@@ -1,0 +1,167 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup: hash-groupBy on a digest of normalized text — one
+  shuffle keyed by digest (uniform, no skew), keep min doc_id.
+- MinHash+LSH: per-doc signature (narrow map, JVM-only expressions) →
+  explode to (band_idx, band_hash) → self-join per bucket.  The join key
+  includes band_idx so buckets stay small; candidate pairs are then
+  exact-verified with Jaccard.  No all-pairs comparison ever happens.
+- SimHash: 64-bit signature from md5 bits of tokens; near-dup = equal
+  simhash bucket (or Hamming ≤ k via rotation tables at scale).
+- n-gram Jaccard: exact verification primitive; only ever run on
+  LSH/blocked candidate pairs, never all-pairs.
+
+Everything is built-in Spark SQL expressions — hashes via md5 so any
+engine (the DuckDB oracle included) reproduces identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase + collapse whitespace — canonical form for exact dedup."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: keeper id + multiplicity."""
+    return (
+        docs.select(F.md5(normalize_text(F.col(text_col))).alias("digest"),
+                    F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (strings) of the lowercased text."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(k)]  # noqa: E731
+    # guard: F.sequence(1, x) with x < 1 counts DOWN — short docs get
+    # an empty shingle set instead.
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash via seeded md5: sig_j = min over shingles of
+    md5(j || shingle).  String-min is engine-portable (hex compares
+    lexicographically identically everywhere)."""
+    return [
+        F.array_min(F.transform(shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))))
+        .alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash, exact-verified.
+
+    rows-per-band = num_hashes // bands.  Returns (id_a, id_b, jaccard)
+    with id_a < id_b and jaccard ≥ threshold.
+    """
+    rows = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = sh.select("id", "sh", *[
+        c for c in minhash_signature(F.col("sh"), num_hashes)
+    ])
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+                 .alias("bh"))
+        for b in range(bands)
+    ]
+    exploded = sig.select("id", "sh", F.explode(F.array(*band_cols)).alias("bk")) \
+                  .select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    l = exploded.alias("l")
+    r = exploded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = F.array_distinct(F.col("sh_a"))
+    sb = F.array_distinct(F.col("sh_b"))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All-pairs Jaccard within blocking-key groups (exact, for small
+    blocks; use minhash_lsh_pairs when blocks are large)."""
+    base = docs.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    l = base.alias("l")
+    r = base.alias("r")
+    cond = (F.col("l.id") < F.col("r.id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
+    union = (F.size("l.sh") + F.size("r.sh")).cast("double") - inter
+    return (
+        l.join(r, cond)
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash signature: per-token md5 bits voted bitwise over the
+    document's distinct tokens; near-dups share the signature (or differ
+    in few bits).  Uses the md5's top ``bits`` bits; engine-portable.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    # per-token integer hash from the top 8 hex chars of md5
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    votes = [
+        F.aggregate(
+            th, F.lit(0).cast("long"),
+            lambda acc, h, b=b: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                                             F.lit(1)).otherwise(F.lit(-1)),
+        )
+        for b in range(bits)
+    ]
+    sig = None
+    for b, v in enumerate(votes):
+        bit = F.when(v > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else (sig + bit)
+    return docs.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+scan the corpus once, rank per query with a window.  At 100 TB the
+corpus side stays partitioned (never collected/shuffled); cost is one
+scan × |Q| dot products, all inside codegen'd SQL expressions.
+
+Scale path: IVF — assign every vector to its nearest centroid (one
+broadcast join against k centroids), then search only within the
+probed cluster(s): turns full scans into cluster-pruned scans.  An
+LSH-bucketed variant (random-hyperplane signs) gives the same effect
+for cosine similarity without training.
+
+All arithmetic casts float32 → double first so results are
+reproducible across engines (and match the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _to_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector (self excluded).
+
+    Ranking uses the ROUNDED similarity + id tiebreak so results are
+    deterministic and engine-portable.
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select("q_id", "c_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (IVF build
+    step).  Centroids are broadcast; one corpus scan, no shuffle of the
+    corpus itself."""
+    cen = centroids.select(F.col(centroid_id_col).alias("cent_id"),
+                           F.col(vec_col).alias("cent_vec"))
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cen))
+        .select(id_col,
+                "cent_id",
+                F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("cos_sim").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("cent_id").alias(centroid_id_col), "cos_sim")
+    )
+
+
+def ivf_search(
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """ANN search: probe the ``n_probe`` nearest clusters per query,
+    brute-force within them.  ``corpus_assigned`` = corpus joined with
+    its ``ivf_assign`` output (carries centroid_id)."""
+    q_probe = (
+        ivf_assign(queries, centroids, id_col, vec_col, "cent_id")
+        .withColumnRenamed(id_col, "q_id")
+    ) if n_probe == 1 else _probe_n(queries, centroids, n_probe, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    cand = (
+        corpus_assigned.join(q_probe.withColumnRenamed("cent_id", centroid_id_col),
+                             on=centroid_id_col)
+        .join(F.broadcast(q), on="q_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("c_id"),
+                F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return cand.withColumn("rank", F.row_number().over(w).cast("long")) \
+               .filter(F.col("rank") <= k)
+
+
+def _probe_n(queries, centroids, n_probe, id_col, vec_col):
+    cen = centroids.select(F.col("centroid_id").alias("cent_id"),
+                           F.col(vec_col).alias("cent_vec"))
+    scored = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(cen))
+        .select("q_id", "cent_id",
+                F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6).alias("cs"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cs").desc(), F.col("cent_id"))
+    return scored.withColumn("rn", F.row_number().over(w)) \
+                 .filter(F.col("rn") <= n_probe).select("q_id", "cent_id")
+
+
+def embedding_norms(embeddings: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label mean L2 norm — sanity stats over an embedding table."""
+    norm = l2_norm(_to_double(F.col(vec_col)))
+    return (
+        embeddings.select(F.col(label_col), norm.alias("norm"))
+        .groupBy(label_col)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("norm"), 6).alias("avg_norm"))
+    )

@@ -1,0 +1,95 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` (JVM-side, codegen'd) — no Python
+UDFs in any hot path, so these run at full scan speed over 100 TB of
+documents: each is a narrow map over the text column (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword lists for the n-gram/stopword langid
+# heuristic — public common function words.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "du", "une", "est"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish alphabetic-run tokens via regex count."""
+    return F.regexp_count(text, F.lit("[A-Za-z]+")).cast("long")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats: chars, tokens, distinct tokens, punct ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    return docs.withColumns({
+        "n_chars_c": n_chars,
+        "n_tokens": n_tokens,
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "avg_token_len": F.round(
+            F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens, 6),
+        "punct_ratio": F.round(
+            F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")) / n_chars, 6),
+    })
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  lang: str = "en") -> DataFrame:
+    """Heuristic quality: length band + stopword density + token diversity."""
+    t = F.col(text_col)
+    toks = tokens(F.lower(t))
+    n_tokens = F.size(toks).cast("double")
+    stop_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))).cast("double")
+    diversity = F.size(F.array_distinct(toks)) / n_tokens
+    length_ok = (F.length(t) >= 50) & (F.length(t) <= 20000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(stop_hits / F.lit(5.0), F.lit(1.0)) * 0.3
+        + diversity * 0.3
+    )
+    return docs.withColumn("quality", F.round(score, 6))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID over the distinct token set.
+
+    Deterministic argmax with fixed tie order en > es > de > fr > und.
+    """
+    toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    hits = {
+        lang: F.size(F.array_intersect(
+            toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order = tie-break priority
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return docs.withColumn("lang_pred", pred)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                out_col: str = "fp") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct lowercase token set (near-dup blocking key)."""
+    toks = F.sort_array(F.array_distinct(tokens(F.lower(F.col(text_col)))))
+    return docs.withColumn(out_col, F.md5(F.concat_ws(" ", toks)))

@@ -1,0 +1,334 @@
+"""Driver-facing query wrappers + DuckDB oracles for the pipeline
+operators (dedup / similarity / text analysis) and event windowing.
+
+Hash portability: every hash used in signatures is md5 (identical hex
+in Spark and DuckDB); every float is rounded on both sides; every
+ranking orders by the ROUNDED value with an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.pipeline import dedup, similarity, text
+from legate_dataframe_spark.plans.relational import load_table
+from legate_dataframe_spark.streaming import windows as stream_windows
+
+_TOK_RE = r"\s+"
+
+
+# --------------------------------------------------------------------- text
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.text_stats(d).select(
+        "doc_id", "n_chars_c", "n_tokens", "n_distinct_tokens",
+        "avg_token_len", "punct_ratio")
+
+
+TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_c,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_tokens,
+       round(length(regexp_replace(text, '\s+', '', 'g'))
+             / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len,
+       round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+             / length(text), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        text.word_token_count(F.col("text")).alias("alpha_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+')) AS alpha_tokens
+FROM documents
+"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.lang_id(d).select("doc_id", "lang_pred")
+
+
+def _sw(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
+
+
+LANG_ID_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         len(list_intersect(toks, {_sw('en')})) AS h_en,
+         len(list_intersect(toks, {_sw('es')})) AS h_es,
+         len(list_intersect(toks, {_sw('de')})) AS h_de,
+         len(list_intersect(toks, {_sw('fr')})) AS h_fr
+  FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_es, h_de, h_fr) <= 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+            WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+            WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+       END AS lang_pred
+FROM h
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(d).select("doc_id", "fp")
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(
+           list_sort(list_distinct(string_split_regex(trim(lower(text)), '\s+'))),
+           ' ')) AS fp
+FROM documents
+"""
+
+
+# -------------------------------------------------------------------- dedup
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d)
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS digest,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, block_cols=["source", "lang"],
+                                     threshold=0.3)
+
+
+DEDUP_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT source, lang, doc_id AS id,
+         string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+b AS (
+  SELECT source, lang, id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= 3)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT l.id AS id_a, r.id AS id_b,
+         round(len(list_intersect(l.sh, r.sh))
+               / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))), 6) AS jaccard
+  FROM b l JOIN b r
+    ON l.source = r.source AND l.lang = r.lang AND l.id < r.id)
+WHERE jaccard >= 0.3
+"""
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS = _NUM_HASHES // _BANDS
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, num_hashes=_NUM_HASHES, bands=_BANDS,
+                                   jaccard_threshold=0.5)
+
+
+def _minhash_sql() -> str:
+    mh_exprs = ",\n         ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(_NUM_HASHES))
+    sep = " || '|' || "
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, md5({concat}) AS bh FROM sig".format(
+            b=b, concat=sep.join(f"mh{b * _ROWS + r}" for r in range(_ROWS)))
+        for b in range(_BANDS))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+shg AS (
+  SELECT id,
+         list_transform(range(1, greatest(len(t) - 1, 1)),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+  FROM toks WHERE len(t) >= 3),
+sig AS (
+  SELECT id, sh,
+         {mh_exprs}
+  FROM shg),
+bands AS (
+{band_selects}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+v AS (
+  SELECT c.id_a, c.id_b,
+         list_distinct(a.sh) AS sa, list_distinct(b.sh) AS sb
+  FROM cand c JOIN shg a ON a.id = c.id_a JOIN shg b ON b.id = c.id_b)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa, sb))
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard
+  FROM v)
+WHERE jaccard >= 0.5
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
+
+# --------------------------------------------------------------- similarity
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return similarity.brute_force_topk(e, q, k=5)
+
+
+SIMILARITY_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT q_id, c_id,
+             round(list_cosine_similarity(cv, qv), 6) AS cos_sim
+      FROM c, q WHERE c_id != q_id),
+r AS (SELECT q_id, c_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, c_id) AS rank
+      FROM s)
+SELECT q_id, c_id, cos_sim, rank FROM r WHERE rank <= 5
+"""
+
+
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return similarity.ivf_assign(e, cen)
+
+
+ANN_IVF_SQL = """
+WITH cen AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+s AS (SELECT e.vec_id, cent_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], cv), 6) AS cos_sim
+      FROM embeddings e, cen),
+r AS (SELECT vec_id, cent_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, cent_id) AS rn
+      FROM s)
+SELECT vec_id, cent_id AS centroid_id, cos_sim FROM r WHERE rn = 1
+"""
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_norms(e)
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))), 6) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------- windowing
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stream_windows.tumbling_window_agg(e)
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stream_windows.sliding_window_agg(e)
+
+
+EVENTS_SLIDING_SQL = """
+SELECT ws AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM (SELECT event_type, value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      FROM events)
+GROUP BY 1, 2
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return stream_windows.sessionize(e)
+
+
+SESSIONIZE_SQL = """
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM x)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ------------------------------------------------------ misc scalar parity
+def replace_nulls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 1, F.round("value", 2))
+    return e.select("event_id", F.coalesce(v, F.lit(-1.0)).alias("v"))
+
+
+REPLACE_NULLS_SQL = """
+SELECT event_id,
+       coalesce(CASE WHEN value >= 1 THEN round(value, 2) END, -1.0) AS v
+FROM events
+"""
+
+
+def sort_nulls_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("value") >= 1, F.round("value", 2))
+    return (
+        e.select("event_id", v.alias("v"))
+        .orderBy(F.col("v").asc_nulls_first(), "event_id")
+        .limit(20)
+    )
+
+
+SORT_NULLS_FIRST_SQL = """
+SELECT event_id, CASE WHEN value >= 1 THEN round(value, 2) END AS v
+FROM events ORDER BY v ASC NULLS FIRST, event_id LIMIT 20
+"""

@@ -1,0 +1,73 @@
+"""Central registry: query name → (spark callable, DuckDB oracle SQL).
+
+``QUERIES[name](spark, sf_dir)`` returns a DataFrame; ``ORACLES[name]``
+is ANSI SQL DuckDB runs over the same parquet views.  The driver's
+correctness gate compares both at sf0.01 (row count + schema +
+order-insensitive value hash) — see __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from legate_dataframe_spark.plans import pipeline_queries as pq
+from legate_dataframe_spark.plans import relational as r
+from legate_dataframe_spark.plans.relational import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (spark_fn, oracle_sql | None).  None ⇒ rows-only check.
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # relational core (reference parity, SURVEY §2)
+    "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
+    "q03_shipping_priority": (r.q03_shipping_priority, r.Q03_SQL),
+    "q05_nation_revenue": (r.q05_nation_revenue, r.Q05_SQL),
+    "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
+    "join_left": (r.join_left, r.JOIN_LEFT_SQL),
+    "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
+    "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
+    "join_full": (r.join_full, r.JOIN_FULL_SQL),
+    "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
+    "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),
+    "distinct_keys": (r.distinct_keys, r.DISTINCT_KEYS_SQL),
+    "sort_topk": (r.sort_topk, r.SORT_TOPK_SQL),
+    "sort_tail": (r.sort_tail, r.SORT_TAIL_SQL),
+    "slice_offset": (r.slice_offset, r.SLICE_OFFSET_SQL),
+    "union_all": (r.union_all, r.UNION_ALL_SQL),
+    "case_when_bucket": (r.case_when_bucket, r.CASE_WHEN_SQL),
+    "isin_filter": (r.isin_filter, r.ISIN_SQL),
+    "string_match": (r.string_match, r.STRING_MATCH_SQL),
+    "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
+    "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
+    "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
+    # window functions (beyond-reference, native Spark)
+    "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
+    "window_topn_per_group": (r.window_topn_per_group, r.WINDOW_TOPN_SQL),
+    # event windowing / sessionization
+    "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),
+    "events_sliding": (pq.events_sliding, pq.EVENTS_SLIDING_SQL),
+    "sessionize": (pq.sessionize, pq.SESSIONIZE_SQL),
+    # text analysis
+    "text_stats": (pq.text_stats, pq.TEXT_STATS_SQL),
+    "token_count": (pq.token_count, pq.TOKEN_COUNT_SQL),
+    "lang_id": (pq.lang_id, pq.LANG_ID_SQL),
+    "doc_fingerprint": (pq.doc_fingerprint, pq.DOC_FINGERPRINT_SQL),
+    # dedup
+    "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
+    "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
+    "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
+    # similarity search
+    "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
+    "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
+    "embedding_norms": (pq.embedding_norms, pq.EMBEDDING_NORMS_SQL),
+    # scalar parity extras
+    "replace_nulls": (pq.replace_nulls_q, pq.REPLACE_NULLS_SQL),
+    "sort_nulls_first": (pq.sort_nulls_first, pq.SORT_NULLS_FIRST_SQL),
+}
+
+QUERIES: dict[str, QueryFn] = {k: v[0] for k, v in _REGISTRY.items()}
+ORACLES: dict[str, str] = {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+__all__ = ["QUERIES", "ORACLES", "load_table"]

@@ -1,0 +1,609 @@
+"""Relational query plans covering SURVEY §2's operator inventory,
+each paired with a DuckDB oracle (registered in plans/registry.py).
+
+Conventions (driver compares row-count + schema + order-insensitive
+value-hash of Spark result vs DuckDB oracle):
+
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round(x, k)`` on BOTH sides — the summation
+  order differs between engines (and between Spark partitionings), so
+  raw float hashes would flap;
+- DuckDB ``sum(BIGINT)`` → HUGEINT and ``year()`` → BIGINT: oracle SQL
+  casts to BIGINT / Spark side casts to long so schemas line up;
+- timestamps stay µs-exact (no arithmetic that could diverge).
+
+Scale notes are inline per query; the common themes: dimension joins are
+broadcast (region/nation/supplier/part at TPC-H scale are ≪ fact
+tables), aggregations rely on Spark's partial+final hash agg, top-k
+relies on TakeOrderedAndProject — no full-data shuffles beyond the
+unavoidable fact-fact joins, which AQE plans from runtime stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.
+
+    Spark rejects parquet TIMESTAMP(NANOS) outright; read ns columns as
+    long (legacy conf) and truncate to µs timestamps — the same ns→µs
+    truncation DuckDB applies, so oracle comparisons agree.  Schema
+    sniffing is one footer read on the driver (scale-independent).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    # pin timestamp semantics: parquet values are naive/UTC; component
+    # extraction must not shift with the host timezone (the driver's
+    # session may not set one).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    ns_cols = [f.name for f in schema
+               if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast("timestamp")
+
+
+def _cents(col) -> "F.Column":
+    """Exact integer cents of a 2-decimal-quantized double column.
+
+    Money columns in the testdata are 2-decimal quantized; double
+    arithmetic on them is only reproducible across engines (Spark vs the
+    DuckDB oracle, different summation orders) if sums run in exact
+    integer cents.  round(x*100) is bit-deterministic from the input
+    double in every engine; int64 sums are exact.
+    """
+    return F.round(col * 100, 0).cast("long")
+
+
+# --------------------------------------------------------------------------
+# q01 — flagship: scan → filter → groupby-agg → sort (TPC-H Q1 shape).
+# Exercises the reference's core diagonal: parquet_read (parquet.hpp:123),
+# apply_boolean_mask (stream_compaction.hpp:59), binaryop (binaryop.hpp:26),
+# groupby_aggregation (groupby_aggregation.hpp:64), sort (sort.hpp:76).
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    price_c = _cents(F.col("l_extendedprice"))           # exact cents
+    disc_p = _cents(F.col("l_discount"))                 # discount in %
+    tax_p = _cents(F.col("l_tax"))                       # tax in %
+    n = F.count(F.lit(1))
+    return (
+        l.filter(F.col("l_shipdate") <= _ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(price_c * (100 - disc_p)) / 10000.0, 4).alias("sum_disc_price"),
+            F.round(F.sum(price_c * (100 - disc_p) * (100 + tax_p)) / 1000000.0, 6).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / n, 6).alias("avg_qty"),
+            F.round(F.sum(price_c) / 100.0 / n, 6).alias("avg_price"),
+            F.round(F.sum(disc_p) / 100.0 / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0, 4) AS sum_disc_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS BIGINT) / 1000000.0, 6) AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — shipping priority: 3-way join + agg + top-k.
+# customer is the small side → broadcast; top-10 by revenue is
+# TakeOrderedAndProject (no global sort shuffle).  Ordering key is the
+# ROUNDED revenue + orderkey so both engines rank identically.
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = _ts("1998-03-15 00:00:00")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(_cents(F.col("l_extendedprice"))
+                           * (100 - _cents(F.col("l_discount")))) / 10000.0, 4)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey, o_orderdate,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — multi-way star join: fact-fact join + three broadcast dims.
+def q05_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_cents(F.col("l_extendedprice"))
+                          * (100 - _cents(F.col("l_discount")))) / 10000.0, 4)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q05_SQL = """
+SELECT n_name,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0, 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# join family — the reference's 5 join types (join.hpp:25).
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_custkey", "c_name",
+                F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+JOIN_INNER_SQL = """
+SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS total
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+"""
+
+
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full")
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+JOIN_FULL_SQL = """
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total
+FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
+  ON c_custkey = o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# groupby with the reference's full agg-kind set (sum/min/max/mean/product/
+# count_all/count_distinct — groupby_aggregation.cpp tests, SURVEY §2.4).
+def groupby_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.sum(_cents(F.col("l_discount"))) / 100.0 / F.count(F.lit(1)), 6)
+            .alias("avg_disc"),
+            # product over integer percents: exactness is lost past ~8
+            # factors (102^10 > 2^53) but relative error stays ~1e-15,
+            # far inside the round-6 bucket after normalizing by 100^n.
+            F.round(F.product(100 + _cents(F.col("l_tax")))
+                    / F.pow(F.lit(100.0), F.count(F.lit(1))), 6).alias("prod_tax"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+GROUPBY_AGGS_SQL = """
+SELECT l_orderkey,
+       round(sum(l_quantity), 2)        AS sum_qty,
+       round(min(l_extendedprice), 2)   AS min_price,
+       round(max(l_extendedprice), 2)   AS max_price,
+       round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_disc,
+       round(product(100 + CAST(round(l_tax * 100, 0) AS BIGINT))
+             / pow(100.0, count(*)), 6) AS prod_tax,
+       count(*)                         AS n_lines,
+       count(DISTINCT l_suppkey)        AS n_supps
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# global reduction (reduction.hpp:52; two-phase partial+final is automatic).
+def reduce_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.sum(_cents(F.col("l_extendedprice"))) / 100.0, 2).alias("sum_price"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.sum(_cents(F.col("l_discount"))) / 100.0 / F.count(F.lit(1)), 6)
+        .alias("avg_disc"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+REDUCE_GLOBAL_SQL = """
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_price,
+       round(min(l_quantity), 2)       AS min_qty,
+       round(max(l_quantity), 2)       AS max_qty,
+       round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_disc,
+       count(*)                        AS n_rows,
+       count(DISTINCT l_orderkey)      AS n_orders,
+       min(l_shipdate)                 AS first_ship,
+       max(l_shipdate)                 AS last_ship
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct on keys (stream_compaction.hpp:74, keep="any" → key-only output
+# keeps the oracle deterministic).
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+DISTINCT_KEYS_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# --------------------------------------------------------------------------
+# sort + top-k (sort.hpp:76-81 limit pushdown ≈ TakeOrderedAndProject)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+SORT_TOPK_SQL = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# sort with negative limit = tail (cpp/src/sort.cpp:425-431)
+def sort_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.operators.sort import sort as ldf_sort
+
+    o = load_table(spark, sf_dir, "orders")
+    t = ldf_sort(o, ["o_totalprice", "o_orderkey"], limit=-10)
+    return t.select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+
+
+SORT_TAIL_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+"""
+
+
+# sorted slice with offset (dsl/ir.py:1252-1272 → Spark ≥3.4 offset)
+def slice_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+SLICE_OFFSET_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
+"""
+
+
+# --------------------------------------------------------------------------
+# union (dsl/ir.py:808-831)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", F.lit("hi").alias("bucket"))
+    lo = o.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", F.lit("lo").alias("bucket"))
+    return hi.unionByName(lo)
+
+
+UNION_ALL_SQL = """
+SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 200000
+UNION ALL
+SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 50000
+"""
+
+
+# --------------------------------------------------------------------------
+# copy_if_else / when-otherwise (copying.hpp:74)
+def case_when_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 200000, F.lit("large"))
+        .when(F.col("o_totalprice") > 100000, F.lit("medium"))
+        .otherwise(F.lit("small"))
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(_cents(F.col("o_totalprice"))) / 100.0, 2).alias("total"))
+        .orderBy("bucket")
+    )
+
+
+CASE_WHEN_SQL = """
+SELECT CASE WHEN o_totalprice > 200000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS bucket,
+       count(*) AS n,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# isin / contains (search.hpp:47)
+def isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ISIN_SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# string functions — the reference's implemented set (strings.hpp:49):
+# starts_with / ends_with / match_substring / match_substring_regex.
+def string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.col("p_name").startswith("red").alias("is_red"),
+        F.col("p_name").endswith("bolt").alias("is_bolt"),
+        F.col("p_name").contains("wid").alias("has_wid"),
+        F.col("p_name").rlike("^(red|blue) .*(gear|bolt)$").alias("re_match"),
+    )
+
+
+STRING_MATCH_SQL = """
+SELECT p_partkey, p_name,
+       p_name LIKE 'red%'  AS is_red,
+       p_name LIKE '%bolt' AS is_bolt,
+       p_name LIKE '%wid%' AS has_wid,
+       regexp_matches(p_name, '^(red|blue) .*(gear|bolt)$') AS re_match
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# binary/unary expression grid (binaryop.hpp:26-48, unary.py:77-99)
+def arithmetic_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        # per-row money product is 4-decimal-true → round 4 keeps the
+        # value at a bucket center (round 2 would sit on .xx5 boundaries
+        # where Spark's decimal-string HALF_UP and DuckDB's binary
+        # rounding disagree).
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("qty_dev"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        (F.col("l_linenumber").cast("long") % 3).alias("mod3"),
+    )
+
+
+ARITHMETIC_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4)  AS revenue,
+       round(sqrt(l_quantity), 6)                    AS sqrt_qty,
+       round(pow(1 + l_tax, 2), 6)                   AS tax_sq,
+       CAST(abs(l_quantity - 25) AS DOUBLE)          AS qty_dev,
+       CAST(floor(l_extendedprice) AS BIGINT)        AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT)         AS ceil_price,
+       round(ln(l_extendedprice), 6)                 AS ln_price,
+       CAST(l_linenumber AS BIGINT) % 3              AS mod3
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# timestamp component extraction (timestamps.hpp:112)
+def ts_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.second("ts").cast("long").alias("s"),
+    )
+
+
+TS_EXTRACT_SQL = """
+SELECT event_id, year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+       hour(ts) AS h, minute(ts) AS mi, second(ts) AS s
+FROM events
+"""
+
+
+# timestamp parse round-trip (timestamps.hpp:100 strptime)
+def ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    formatted = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    return e.select(
+        "event_id",
+        formatted.alias("ts_str"),
+        F.to_timestamp(formatted, "yyyy-MM-dd HH:mm:ss").alias("ts_parsed"),
+    )
+
+
+TS_PARSE_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S')                               AS ts_str,
+       strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_parsed
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# window functions (beyond-reference: SURVEY §2.5 — declared, never
+# implemented there; native in Spark).
+def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum(_cents(F.col("o_totalprice"))).over(w) / 100.0, 2).alias("cum_spend"),
+    )
+
+
+WINDOW_CUMSUM_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0, 2) AS cum_spend
+FROM orders
+"""
+
+
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey",
+                 F.round("o_totalprice", 2).alias("total"),
+                 F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+WINDOW_TOPN_SQL = """
+SELECT o_custkey, o_orderkey, total, rn FROM (
+  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
