@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from legate_dataframe_spark.core.partitioning import widen_partitions
+
 
 def normalize_text(text: Column) -> Column:
     """lowercase + collapse whitespace — canonical form for exact dedup."""
@@ -40,24 +42,43 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (strings) of the lowercased text."""
+    """Array of k-word shingles (strings) of the lowercased text.
+
+    Built as zip_with over k shifted slices rather than
+    transform(sequence, i -> element_at(toks, i+j)): Catalyst inlines
+    the split() expression into every element_at inside a lambda (no
+    CSE there), which made the indexed construction re-split the text
+    O(k·n) times per document — 50× slower at 5k docs.  Slices
+    evaluate the split once each.
+    """
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(k)]  # noqa: E731
-    # guard: F.sequence(1, x) with x < 1 counts DOWN — short docs get
-    # an empty shingle set instead.
-    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))) \
-            .otherwise(F.array().cast("array<string>"))
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))  # shingle count
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(out, F.slice(toks, j + 1, m),
+                         lambda x, y: F.concat_ws(" ", x, y))
+    return out
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash via seeded md5: sig_j = min over shingles of
-    md5(j || shingle).  String-min is engine-portable (hex compares
-    lexicographically identically everywhere)."""
+    """MinHash signatures, engine-portable and md5-once-per-shingle.
+
+    Kirsch-Mitzenmacher: one md5 per shingle yields two 32-bit ints
+    (h1 = hex[0:8], h2 = hex[8:16]); hash function j is
+    (h1 + j*h2) mod 2^32 — all exact int64 arithmetic, reproducible in
+    any engine, 16× cheaper than seeded-md5-per-function.
+    """
+    hexes = F.transform(shingles, F.md5)
+    h1 = F.transform(hexes, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long"))
+    h2 = F.transform(hexes, lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
+
+    def km(j):
+        # closure, NOT a default arg: pyspark counts lambda params to
+        # bind higher-order functions, so (a, b, j=j) would mis-bind.
+        return lambda a, b: (a + j * b) % F.lit(4294967296)
+
     return [
-        F.array_min(F.transform(shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))))
-        .alias(f"mh{j}")
+        F.array_min(F.zip_with(h1, h2, km(j))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
 
@@ -77,6 +98,7 @@ def minhash_lsh_pairs(
     with id_a < id_b and jaccard ≥ threshold.
     """
     rows = num_hashes // bands
+    docs = widen_partitions(docs)
     sh = docs.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
@@ -86,7 +108,8 @@ def minhash_lsh_pairs(
     ])
     band_cols = [
         F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]))
+                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}").cast("string")
+                                          for r in range(rows)]))
                  .alias("bh"))
         for b in range(bands)
     ]
@@ -123,7 +146,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs Jaccard within blocking-key groups (exact, for small
     blocks; use minhash_lsh_pairs when blocks are large)."""
-    base = docs.select(
+    base = widen_partitions(docs).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
@@ -149,6 +172,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     document's distinct tokens; near-dups share the signature (or differ
     in few bits).  Uses the md5's top ``bits`` bits; engine-portable.
     """
+    docs = widen_partitions(docs)
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     # per-token integer hash from the top 8 hex chars of md5
     th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))

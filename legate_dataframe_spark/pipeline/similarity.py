@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from legate_dataframe_spark.core.partitioning import widen_partitions
+
 
 def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -52,7 +54,7 @@ def brute_force_topk(
     deterministic and engine-portable.
     """
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = widen_partitions(corpus).select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))
@@ -79,7 +81,7 @@ def ivf_assign(
     cen = centroids.select(F.col(centroid_id_col).alias("cent_id"),
                            F.col(vec_col).alias("cent_vec"))
     scored = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        widen_partitions(corpus).select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(cen))
         .select(id_col,
                 "cent_id",

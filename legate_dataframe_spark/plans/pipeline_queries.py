@@ -153,13 +153,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    # Kirsch-Mitzenmacher minhash (mirrors pipeline/dedup.py): one md5
+    # per shingle → h1/h2 32-bit ints → fn j = (h1 + j*h2) mod 2^32.
     mh_exprs = ",\n         ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}|' || s))) AS mh{j}"
+        f"list_min(list_transform(hh, p -> (p.h1 + {j} * p.h2) % 4294967296)) AS mh{j}"
         for j in range(_NUM_HASHES))
     sep = " || '|' || "
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT id, {b} AS band, md5({concat}) AS bh FROM sig".format(
-            b=b, concat=sep.join(f"mh{b * _ROWS + r}" for r in range(_ROWS)))
+            b=b, concat=sep.join(f"CAST(mh{b * _ROWS + r} AS VARCHAR)"
+                                 for r in range(_ROWS)))
         for b in range(_BANDS))
     return rf"""
 WITH toks AS (
@@ -170,10 +173,16 @@ shg AS (
          list_transform(range(1, greatest(len(t) - 1, 1)),
                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
   FROM toks WHERE len(t) >= 3),
+hx AS (
+  SELECT id, sh,
+         list_transform(sh, s -> struct_pack(
+             h1 := CAST('0x' || substr(md5(s), 1, 8) AS BIGINT),
+             h2 := CAST('0x' || substr(md5(s), 9, 8) AS BIGINT))) AS hh
+  FROM shg),
 sig AS (
   SELECT id, sh,
          {mh_exprs}
-  FROM shg),
+  FROM hx),
 bands AS (
 {band_selects}),
 cand AS (
