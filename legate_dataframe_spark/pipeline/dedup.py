@@ -129,8 +129,11 @@ def minhash_lsh_pairs(
     sb = F.array_distinct(F.col("sh_b"))
     inter = F.size(F.array_intersect(sa, sb)).cast("double")
     union = (F.size(sa) + F.size(sb)).cast("double") - inter
+    # ANSI mode (Spark 4 default) makes 0/0 an ERROR, not null — guard
+    # the degenerate both-empty pair.
+    jac = F.when(union > 0, F.round(inter / union, 6))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
+        cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -158,9 +161,10 @@ def ngram_jaccard_pairs(
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
     union = (F.size("l.sh") + F.size("r.sh")).cast("double") - inter
+    jac = F.when(union > 0, F.round(inter / union, 6))  # ANSI-safe 0/0
     return (
         l.join(r, cond)
-        .withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "jaccard")
     )
@@ -176,16 +180,20 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     # per-token integer hash from the top 8 hex chars of md5
     th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    votes = [
-        F.aggregate(
-            th, F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                                             F.lit(1)).otherwise(F.lit(-1)),
-        )
-        for b in range(bits)
-    ]
-    sig = None
-    for b, v in enumerate(votes):
-        bit = F.when(v > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else (sig + bit)
+    # single-pass bitwise vote: fold the token hashes into a `bits`-wide
+    # counter array (one aggregate, not one per bit — per-bit aggregates
+    # re-evaluate the md5 transform `bits` times).
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        th, zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1))
+                        .otherwise(F.lit(-1)).cast("long")),
+            lambda x, y: x + y))
+    sig = F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda a, x: a + x)
     return docs.select(F.col(id_col), sig.alias("simhash"))

@@ -109,8 +109,9 @@ def ivf_search(
     brute-force within them.  ``corpus_assigned`` = corpus joined with
     its ``ivf_assign`` output (carries centroid_id)."""
     q_probe = (
-        ivf_assign(queries, centroids, id_col, vec_col, "cent_id")
-        .withColumnRenamed(id_col, "q_id")
+        ivf_assign(queries, centroids, id_col, vec_col, centroid_id_col)
+        .select(F.col(id_col).alias("q_id"),
+                F.col(centroid_id_col).alias("cent_id"))
     ) if n_probe == 1 else _probe_n(queries, centroids, n_probe, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     cand = (

@@ -44,10 +44,11 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_chars_c": n_chars,
         "n_tokens": n_tokens,
         "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
-        "avg_token_len": F.round(
-            F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens, 6),
-        "punct_ratio": F.round(
-            F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")) / n_chars, 6),
+        # ANSI-safe: empty text would make these 0/0 errors in Spark 4
+        "avg_token_len": F.when(n_tokens > 0, F.round(
+            F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens, 6)),
+        "punct_ratio": F.when(n_chars > 0, F.round(
+            F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")) / n_chars, 6)),
     })
 
 
@@ -59,7 +60,8 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     n_tokens = F.size(toks).cast("double")
     stop_hits = F.size(F.array_intersect(
         toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))).cast("double")
-    diversity = F.size(F.array_distinct(toks)) / n_tokens
+    diversity = F.when(n_tokens > 0,
+                       F.size(F.array_distinct(toks)) / n_tokens).otherwise(F.lit(0.0))
     length_ok = (F.length(t) >= 50) & (F.length(t) <= 20000)
     score = (
         F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))

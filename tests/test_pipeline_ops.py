@@ -1,0 +1,122 @@
+"""Pipeline operators: dedup correctness on constructed near-dups,
+similarity search recall, text analysis edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.pipeline import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")          # near-dup of base
+    far = "completely different words about spark shuffles and parquet files here"
+    rows = [
+        (1, base, "en", "s1"),
+        (2, base.upper(), "en", "s1"),                # exact dup modulo case
+        (3, near, "en", "s1"),
+        (4, far, "en", "s2"),
+        (5, "tiny", "en", "s2"),                      # shorter than shingle k
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, lang: string, source: string")
+
+
+def test_exact_dedup_normalizes_case(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_keeper = {r["keeper_id"]: r["n_copies"] for r in out}
+    assert by_keeper[1] == 2      # 1 and 2 collapse
+    assert by_keeper[3] == 1 and by_keeper[4] == 1 and by_keeper[5] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got          # identical after lowering
+    assert (1, 3) in got          # one-word edit
+    assert all(p[0] != 4 and p[1] != 4 for p in got)  # unrelated doc absent
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, ["source"], threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+
+
+def test_short_doc_has_no_shingles(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id: long, text: string")
+    out = df.select(dedup.word_shingles(F.col("text")).alias("sh")).collect()
+    assert out[0]["sh"] == []
+
+
+def test_simhash_identical_docs_same_signature(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sig[1] == sig[2]       # case-normalized identical
+    assert sig[1] != sig[4]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 clusters along axes; vec 0/1/2 are centroid-ish
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0]),
+        (10, [0.9, 0.1, 0.0]), (11, [0.95, 0.05, 0.0]),
+        (20, [0.1, 0.9, 0.0]), (21, [0.0, 0.98, 0.1]),
+        (30, [0.0, 0.1, 0.9]),
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.brute_force_topk(vectors, q, k=2).collect()
+    assert [r["c_id"] for r in sorted(out, key=lambda r: r["rank"])] == [11, 10]
+
+
+def test_ivf_assign_clusters(vectors):
+    cen = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    got = {r["vec_id"]: r["centroid_id"] for r in similarity.ivf_assign(vectors, cen).collect()}
+    assert got[10] == 0 and got[11] == 0
+    assert got[20] == 1 and got[21] == 1
+    assert got[30] == 2
+
+
+def test_ivf_search_matches_brute_force_on_probed_clusters(vectors):
+    cen = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    assigned = vectors.join(
+        similarity.ivf_assign(vectors, cen).select("vec_id", "centroid_id"), "vec_id")
+    q = vectors.filter(F.col("vec_id") == 10)
+    got = similarity.ivf_search(assigned, cen, q, k=2, n_probe=1).collect()
+    assert [r["c_id"] for r in sorted(got, key=lambda r: r["rank"])] == [11, 0]
+
+
+def test_text_quality_and_stats(spark):
+    rows = [(1, "the cat and the dog in a house with the mouse for fun"),
+            (2, "x")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    stats = {r["doc_id"]: r for r in text.text_stats(df).collect()}
+    assert stats[1]["n_tokens"] == 13
+    assert stats[2]["n_tokens"] == 1 and stats[2]["n_chars_c"] == 1
+    quality = {r["doc_id"]: r["quality"] for r in text.quality_score(df).collect()}
+    assert quality[1] > quality[2]
+
+
+def test_lang_id_votes(spark):
+    rows = [(1, "the cat and the dog is in it for now"),
+            (2, "el perro y la casa de que un gato con los"),
+            (3, "zzz qqq www")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame([(1, "b a c"), (2, "c b a"), (3, "a b d")],
+                               "doc_id: long, text: string")
+    fp = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
+    assert fp[1] == fp[2] and fp[1] != fp[3]

@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the optimizations we rely on at 100 TB
+must actually appear in the plan — filter/column pushdown into the
+parquet scan, broadcast joins for dims, distributed top-k, partial
+aggregation.  These catch silent plan regressions that correctness
+tests cannot."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from legate_dataframe_spark.plans.registry import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q01_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: unused columns must not be read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]:
+        assert col not in read_schema, f"{col} should be pruned from the scan"
+    assert "l_extendedprice" in read_schema
+
+
+def test_q05_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(QUERIES["q05_nation_revenue"](spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, customer, nation
+
+
+def test_sort_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["sort_topk"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, sf_dir), "simple")
+    assert "partial_sum" in plan or "partial_" in plan  # map-side combine
+
+
+def test_q01_wholestage_codegen(spark, sf_dir):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, sf_dir), "codegen")
+    assert "WholeStageCodegen subtrees" in plan
+
+
+def test_isin_pushdown(spark, sf_dir):
+    plan = plan_of(QUERIES["isin_filter"](spark, sf_dir))
+    assert "PushedFilters: [In(o_orderpriority" in plan
+
+
+def test_join_semi_is_semi_join(spark, sf_dir):
+    plan = plan_of(QUERIES["join_semi"](spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+
+
+def test_contains_column_haystack_broadcasts(spark):
+    from pyspark.sql import functions as F
+
+    from legate_dataframe_spark.operators.search import contains
+
+    needles = spark.range(0, 1000).withColumnRenamed("id", "x")
+    hay = spark.range(0, 10).withColumnRenamed("id", "h")
+    plan = plan_of(contains(needles, "x", hay, "h"), "simple")
+    assert "BroadcastHashJoin" in plan

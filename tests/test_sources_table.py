@@ -1,0 +1,105 @@
+"""I/O round-trips (csv/parquet/json, FIXTURES F7) + LogicalTable."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pytest
+
+from legate_dataframe_spark.core.table import LogicalTable
+from legate_dataframe_spark.sources.csv import csv_read, csv_write
+from legate_dataframe_spark.sources.json import json_read
+from legate_dataframe_spark.sources.parquet import parquet_read, parquet_read_array, parquet_write
+
+
+@pytest.fixture()
+def tmpdir_str(tmp_path):
+    return str(tmp_path)
+
+
+def test_parquet_roundtrip_multifile(spark, tmpdir_str):
+    df = spark.range(0, 1000, numPartitions=3).withColumnRenamed("id", "x")
+    out = f"{tmpdir_str}/pq"
+    parquet_write(df, out)
+    # one part file per partition — the reference's part.<rank> layout
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 3
+    back = parquet_read(spark, out)
+    assert back.count() == 1000
+    pruned = parquet_read(spark, out, columns=["x"])
+    assert pruned.columns == ["x"]
+
+
+def test_parquet_read_array(spark, tmpdir_str):
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "a: double, b: double")
+    out = f"{tmpdir_str}/arr"
+    parquet_write(df, out)
+    got = parquet_read_array(spark, out, ["a", "b"]).collect()
+    assert sorted(r["data"] for r in got) == [[1.0, 2.0], [3.0, 4.0]]
+
+
+@pytest.mark.parametrize("delim", [",", "|"])
+@pytest.mark.parametrize("header", [True, False])
+def test_csv_roundtrip(spark, tmpdir_str, delim, header):
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", -0.5)], "i: int, s: string, f: double")
+    out = f"{tmpdir_str}/csv_{delim == ','}_{header}"
+    csv_write(df, out, delimiter=delim, header=header)
+    back = csv_read(spark, out, dtypes={"i": "int32", "s": "string", "f": "float64"},
+                    delimiter=delim, header=header)
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a", 1.5), (2, "b", -0.5)]
+
+
+def test_csv_usecols(spark, tmpdir_str):
+    df = spark.createDataFrame([(1, "a", 1.5)], "i: int, s: string, f: double")
+    out = f"{tmpdir_str}/usecols"
+    csv_write(df, out)
+    back = csv_read(spark, out, dtypes={"i": "int32", "s": "string", "f": "float64"},
+                    usecols=["s", "i"])
+    assert back.columns == ["s", "i"]
+
+
+def test_csv_unsigned_widening(spark, tmpdir_str):
+    df = spark.createDataFrame([(200,)], "u: int")
+    out = f"{tmpdir_str}/uw"
+    csv_write(df, out)
+    back = csv_read(spark, out, dtypes={"u": "uint8"})
+    assert back.schema["u"].dataType.simpleString() == "smallint"
+
+
+def test_json_read(spark, tmpdir_str):
+    path = f"{tmpdir_str}/d.jsonl"
+    with open(path, "w") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    got = json_read(spark, path)
+    assert sorted((r["a"], r["b"]) for r in got.collect()) == [(1, "x"), (2, "y")]
+
+
+def test_logical_table_roundtrip_and_widening(spark):
+    tbl = pa.table({
+        "u8": pa.array([1, 250], pa.uint8()),
+        "u32": pa.array([7, 2**31 + 5], pa.uint32()),
+        "s": pa.array(["a", None], pa.utf8()),
+    })
+    lt = LogicalTable.from_arrow(spark, tbl)
+    assert lt.num_rows() == 2
+    assert lt.num_columns() == 3
+    assert lt.column_names() == ["u8", "u32", "s"]
+    schema = {f.name: f.dataType.simpleString() for f in lt.df.schema}
+    assert schema["u8"] == "smallint" and schema["u32"] == "bigint"
+    back = lt.to_arrow()
+    assert back.column("u32").to_pylist() == [7, 2**31 + 5]
+
+
+def test_logical_table_select_by_index(spark):
+    lt = LogicalTable(spark.createDataFrame([(1, "a", 2.0)], "x: long, y: string, z: double"))
+    sel = lt.select([2, "x"])
+    assert sel.column_names() == ["z", "x"]
+    with pytest.raises(KeyError):
+        lt.select(["nope"])
+
+
+def test_logical_table_rejects_duplicate_names(spark):
+    df = spark.createDataFrame([(1, 2)], "a: long, b: long").selectExpr("a", "b as a")
+    with pytest.raises(ValueError, match="duplicate"):
+        LogicalTable(df)

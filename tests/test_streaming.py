@@ -1,0 +1,64 @@
+"""Structured Streaming: the same windowing operators run as a real
+stream (file source → watermark → memory sink) and agree with batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.streaming.windows import (
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # deterministic small event set written as parquet for readStream
+    rows = [(i, f"2024-01-01 {i % 5:02d}:{(i * 7) % 60:02d}:00", i % 3, "t" + str(i % 2), float(i))
+            for i in range(200)]
+    df = (spark.createDataFrame(rows, "event_id: long, ts_s: string, user_id: long, event_type: string, value: double")
+          .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s"))
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, events_dir, make_query, name):
+    static = spark.read.parquet(events_dir)
+    stream = (spark.readStream.schema(static.schema).parquet(events_dir)
+              .withWatermark("ts", "1 hour"))
+    out = make_query(stream)
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql(f"select * from {name}")
+    want = make_query(static)
+    return got, want
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=str)
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    got, want = _run_stream(spark, events_dir,
+                            lambda df: tumbling_window_agg(df, window="30 minutes"),
+                            "tumbling_mem")
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    got, want = _run_stream(spark, events_dir,
+                            lambda df: sliding_window_agg(df, window="30 minutes", slide="15 minutes"),
+                            "sliding_mem")
+    assert _rows(got) == _rows(want)
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    got, want = _run_stream(spark, events_dir,
+                            lambda df: sessionize(df, gap="10 minutes"),
+                            "session_mem")
+    assert _rows(got) == _rows(want)
