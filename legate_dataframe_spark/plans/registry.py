@@ -24,6 +24,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
     "q03_shipping_priority": (r.q03_shipping_priority, r.Q03_SQL),
     "q05_nation_revenue": (r.q05_nation_revenue, r.Q05_SQL),
+    "q06_forecast_revenue": (r.q06_forecast_revenue, r.Q06_SQL),
+    "q10_returned_items": (r.q10_returned_items, r.Q10_SQL),
+    "rollup_flags": (r.rollup_flags, r.ROLLUP_SQL),
+    "cube_orders": (r.cube_orders, r.CUBE_SQL),
+    "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
+    "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
+    "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
+    "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
     "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
     "join_left": (r.join_left, r.JOIN_LEFT_SQL),
     "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),

@@ -607,3 +607,199 @@ SELECT o_custkey, o_orderkey, total, rn FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
   FROM orders) WHERE rn <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# q06 — pure filter + global agg (predicate pushdown showcase: all three
+# filters reach the parquet scan).
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter((F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+                 & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+                 & (F.col("l_discount").between(0.03, 0.07))
+                 & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(_cents(F.col("l_extendedprice"))
+                           * _cents(F.col("l_discount"))) / 10000.0, 4).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q06_SQL = """
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — returned items: join + group + top-k customers by lost revenue.
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(_cents(F.col("l_extendedprice"))
+                           * (100 - _cents(F.col("l_discount")))) / 10000.0, 4)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0, 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup / cube — grouping sets (beyond-reference; native in Spark AND
+# expressible in the DuckDB oracle).
+def rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum(_cents(F.col("o_totalprice"))) / 100.0, 2).alias("total"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total,
+       count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# set ops beyond Union: INTERSECT / EXCEPT (set semantics both engines).
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    with_orders = o.select(F.col("o_custkey").alias("custkey"))
+    positive_bal = c.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("custkey"))
+    return with_orders.intersect(positive_bal)
+
+
+INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders
+INTERSECT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+"""
+
+
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    all_keys = c.select(F.col("c_custkey").alias("custkey"))
+    with_orders = o.select(F.col("o_custkey").alias("custkey"))
+    return all_keys.exceptAll(with_orders).distinct()
+
+
+EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# wider math-function surface: trig/log/shift allowlist coverage
+# (binaryop.hpp:26-48 atan2/logb/shifts; unary.py:77-99 sin/cos/...).
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(F.sin(v), 6).alias("sin_v"),
+        F.round(F.cos(v), 6).alias("cos_v"),
+        F.round(F.atan2(v, F.lit(2.0)), 6).alias("atan2_v"),
+        F.round(F.atan(v / 100), 6).alias("atan_v"),
+        F.round(F.log2(v + 1), 6).alias("log2_v"),
+        F.round(F.log10(v + 1), 6).alias("log10_v"),
+        F.round(F.exp(-v / 100), 6).alias("exp_v"),
+        F.shiftleft(F.col("user_id"), 3).alias("shl"),
+        F.shiftright(F.col("user_id"), 1).alias("shr"),
+        (F.col("user_id").bitwiseXOR(F.col("event_id"))).alias("xor_ids"),
+    )
+
+
+MATH_FUNCTIONS_SQL = """
+SELECT event_id,
+       round(sin(value), 6)            AS sin_v,
+       round(cos(value), 6)            AS cos_v,
+       round(atan2(value, 2.0), 6)     AS atan2_v,
+       round(atan(value / 100), 6)     AS atan_v,
+       round(log2(value + 1), 6)       AS log2_v,
+       round(log10(value + 1), 6)      AS log10_v,
+       round(exp(-value / 100), 6)     AS exp_v,
+       CAST(user_id * 8 AS BIGINT)     AS shl,
+       CAST(floor(user_id / 2) AS BIGINT) AS shr,
+       xor(user_id, event_id)          AS xor_ids
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# as-of join (operators/asof.py): for each purchase event, the most
+# recent at-or-before view event of the same user.  DuckDB oracle uses
+# its native ASOF JOIN.
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", "ts", F.col("event_id").alias("view_event_id"),
+                     F.round("value", 2).alias("view_value"))
+    out = asof_join(purchases, views, on=["user_id"], left_ts="ts",
+                    right_ts="ts", right_payload=["view_event_id", "view_value"])
+    return out.select("event_id", "user_id", "ts",
+                      F.col("ts_right").alias("view_ts"),
+                      "view_event_id", "view_value")
+
+
+ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS view_ts, v.event_id AS view_event_id,
+       round(v.value, 2) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
