@@ -170,19 +170,75 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 32) -> DataFrame:
-    """SimHash signature: per-token md5 bits voted bitwise over the
-    document's distinct tokens; near-dups share the signature (or differ
-    in few bits).  Uses the md5's top ``bits`` bits; engine-portable.
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: signatures within ``max_hamming`` bits.
+
+    Signatures vote over k-word shingles (unigram votes are too coarse:
+    templated corpora share most of their vocabulary, so token-level
+    simhash collapses; shingle-level tracks Jaccard well).  Docs with
+    fewer than ``shingle_k`` tokens have no shingles and are excluded
+    (they would all share signature 0).
+
+    Banding makes the pairing exact without an all-pairs scan: split the
+    signature into ``bands`` chunks; any two signatures differing in
+    ≤ bands-1 bits must agree on at least one full chunk (pigeonhole),
+    so an equi-join on (band_idx, chunk_value) recalls every qualifying
+    pair.  One narrow map + one equi-join shuffle keyed by small-int
+    buckets — no cross join at any scale.
     """
+    assert max_hamming <= bands - 1, "banding is only exact for hamming <= bands-1"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
     docs = widen_partitions(docs)
-    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    # per-token integer hash from the top 8 hex chars of md5
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
-    # single-pass bitwise vote: fold the token hashes into a `bits`-wide
-    # counter array (one aggregate, not one per bit — per-bit aggregates
-    # re-evaluate the md5 transform `bits` times).
+    feats = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    sig = (docs.select(F.col(id_col).alias("id"), feats.alias("ft"))
+           .filter(F.size("ft") > 0)
+           .select("id", _simhash_of(F.col("ft"), bits).alias("simhash")))
+    banded = sig.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("bv"))
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.bv").alias("bv"))
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bv") == F.col("r.bv"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+                .cast("long").alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_of(features: Column, bits: int) -> Column:
+    """SimHash signature expression over an array of feature strings.
+
+    One md5 per feature, top ``bits`` bits (≤ 60 so the int fits a
+    signed long via 15 hex chars); bit b of the signature is set iff
+    strictly more features have bit b set than unset (ties → 0) —
+    the engine-portable majority vote.
+    """
+    hex_chars = (bits + 3) // 4
+    th = F.transform(features, lambda t: F.conv(
+        F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("long"))
+    # single-pass bitwise vote: fold the feature hashes into a
+    # `bits`-wide counter array (one aggregate, not one per bit —
+    # per-bit aggregates re-evaluate the md5 transform `bits` times).
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
     votes = F.aggregate(
@@ -192,8 +248,21 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1))
                         .otherwise(F.lit(-1)).cast("long")),
             lambda x, y: x + y))
-    sig = F.aggregate(
+    return F.aggregate(
         F.zip_with(votes, masks,
                    lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"), lambda a, x: a + x)
-    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 48, shingle_k: int = 3) -> DataFrame:
+    """SimHash signature per document, voted over k-word shingles
+    (``shingle_k=1`` degrades to distinct unigram tokens).  Docs with
+    no shingles (< k tokens) get signature 0.
+    """
+    docs = widen_partitions(docs)
+    if shingle_k <= 1:
+        feats = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    else:
+        feats = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    return docs.select(F.col(id_col), _simhash_of(feats, bits).alias("simhash"))

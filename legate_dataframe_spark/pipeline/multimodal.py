@@ -48,32 +48,39 @@ def _require_codec(kind: str):
     )
 
 
-def _fake_feature(payload: bytes, dim: int) -> list[float]:
-    # deterministic fake: byte histogram folded to `dim` buckets,
-    # normalized — stands in for a real embedding so the distributed
-    # plumbing (batching, schema, partitioning) is exercised end-to-end.
-    if payload is None:
-        return None
-    acc = [0.0] * dim
-    for i, b in enumerate(payload):
-        acc[i % dim] += float(b)
-    total = sum(acc) or 1.0
-    return [v / total for v in acc]
-
-
 def extract_features(media: DataFrame, dim: int = 8,
                      fake: bool = True) -> DataFrame:
-    """Binary payload → feature vector via Arrow-batched mapInPandas."""
+    """Binary payload → feature vector via Arrow-batched mapInPandas.
+
+    The deterministic fake feature is a byte histogram folded to ``dim``
+    buckets, normalized — stands in for a real embedding so the
+    distributed plumbing (batching, schema, partitioning) is exercised
+    end-to-end.
+    """
     if not fake:
         _require_codec("media")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Self-contained on purpose: no module-global references, so
+        # cloudpickle ships the whole closure by value and executors
+        # never need this package on their PYTHONPATH (the driver
+        # contract imports the repo by file path, not as an installed
+        # package).
+        def feat(payload):
+            if payload is None:
+                return None
+            acc = [0.0] * dim
+            for i, b in enumerate(payload):
+                acc[i % dim] += float(b)
+            total = sum(acc) or 1.0
+            return [v / total for v in acc]
+
         for pdf in batches:
             out = pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": pdf["payload"].map(
                     lambda p: len(p) if p is not None else None),
-                "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                "feature": pdf["payload"].map(feat),
             })
             yield out
 

@@ -141,6 +141,75 @@ def _probe_n(queries, centroids, n_probe, id_col, vec_col):
                  .filter(F.col("rn") <= n_probe).select("q_id", "cent_id")
 
 
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim.
+
+    md5-derived (no RNG state) so the SAME planes can be embedded as
+    literals in any engine — the DuckDB oracle regenerates them from
+    this function and gets bit-identical sign bits.
+    """
+    import hashlib
+
+    out = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"hp:{j}:{d}".encode()).hexdigest()[:8]
+            row.append(round(int(h, 16) / 0xFFFFFFFF * 2.0 - 1.0, 6))
+        out.append(row)
+    return out
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    bands: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: random-hyperplane LSH candidates,
+    exact-verified with cosine ≥ threshold.
+
+    Each vector gets ``n_planes`` sign bits, grouped into ``bands``
+    chunks; candidates are pairs agreeing on at least one full chunk
+    (equi-join per band — buckets stay small, no all-pairs).  This is
+    approximate by design (standard SimHash-for-cosine recall); the
+    oracle reproduces the identical planes so results still hash-match.
+    """
+    planes = hyperplanes(n_planes, dim)
+    per_band = n_planes // bands
+    v = _to_double(F.col(vec_col))
+    bits = [
+        F.when(F.round(dot(v, F.array(*[F.lit(x) for x in p])), 6) >= 0, 1)
+        .otherwise(0)
+        for p in planes
+    ]
+    band_vals = [
+        F.struct(F.lit(b).alias("band"),
+                 sum(bits[b * per_band + i] * (1 << i) for i in range(per_band))
+                 .alias("bv"))
+        for b in range(bands)
+    ]
+    base = widen_partitions(embeddings).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.explode(F.array(*band_vals)).alias("bk"),
+    ).select("id", "vec", F.col("bk.band").alias("band"),
+             F.col("bk.bv").alias("bv"))
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bv") == F.col("r.bv"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6)
+                .alias("cos_sim"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_norms(embeddings: DataFrame, vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:
     """Per-label mean L2 norm — sanity stats over an embedding table."""

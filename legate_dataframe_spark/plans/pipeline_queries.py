@@ -204,6 +204,139 @@ WHERE jaccard >= 0.5
 DEDUP_MINHASH_SQL = _minhash_sql()
 
 
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, bits=48, bands=4, max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    # mirrors pipeline/dedup.py simhash_pairs(): per-shingle md5 top-48
+    # bits, majority vote per bit (ties → 0), 4×12-bit bands, hamming ≤ 3.
+    bit_terms = " +\n         ".join(
+        f"(CASE WHEN 2 * len(list_filter(hh, x -> (x >> {b}) & 1 = 1)) > len(hh)"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(48))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+shg AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+  FROM toks WHERE len(t) >= 3),
+h AS (
+  SELECT id,
+         list_transform(sh, tk -> CAST('0x' || substr(md5(tk), 1, 12) AS BIGINT)) AS hh
+  FROM shg),
+s AS (
+  SELECT id,
+         {bit_terms} AS sig
+  FROM h),
+bands AS (
+  SELECT id, sig, b.band, (sig >> CAST(b.band * 12 AS INTEGER)) & 4095 AS bv
+  FROM s, (SELECT unnest(range(4)) AS band) b),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+         CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bv = r.bv AND l.id < r.id)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+_ND_PLANES = 8
+_ND_BANDS = 2
+_ND_DIM = 64
+_ND_THRESHOLD = 0.35
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(
+        e, threshold=_ND_THRESHOLD, dim=_ND_DIM,
+        n_planes=_ND_PLANES, bands=_ND_BANDS)
+
+
+def _neardup_sql() -> str:
+    planes = similarity.hyperplanes(_ND_PLANES, _ND_DIM)
+    per_band = _ND_PLANES // _ND_BANDS
+    bit_cols = ",\n         ".join(
+        f"(CASE WHEN round(list_inner_product(vec, "
+        f"[{', '.join(repr(x) for x in p)}]), 6) >= 0 THEN 1 ELSE 0 END) AS bit{j}"
+        for j, p in enumerate(planes))
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT id, {b} AS band, {expr} AS bv FROM sb".format(
+            b=b, expr=" + ".join(f"bit{b * per_band + i} * {1 << i}"
+                                 for i in range(per_band)))
+        for b in range(_ND_BANDS))
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+sb AS (
+  SELECT id,
+         {bit_cols}
+  FROM v),
+bands AS (
+{band_selects}),
+cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bv = r.bv AND l.id < r.id)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+FROM cand JOIN v a ON a.id = id_a JOIN v b ON b.id = id_b
+WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {_ND_THRESHOLD}
+"""
+
+
+EMBEDDING_NEARDUP_SQL = _neardup_sql()
+
+
+# --------------------------------------------------------------- multimodal
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.encode(F.col("text"), "UTF-8").alias("payload"))
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "n_bytes",
+        F.size("feature").cast("long").alias("dim"),
+        F.round(F.aggregate(F.transform("feature",
+                                        lambda x: x.cast("double")),
+                            F.lit(0.0), lambda a, x: a + x), 4)
+        .alias("feat_sum"))
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(8 AS BIGINT) AS dim,
+       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END AS feat_sum
+FROM documents
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("video").alias("kind"),
+                     (F.col("n_chars") * 10).cast("long").alias("duration_ms"))
+    return multimodal.frame_sample_plan(media, every_ms=500)
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       unnest(range(0, n_chars * 10 + 1, 500)) AS frame_ts_ms
+FROM documents
+"""
+
+
 # --------------------------------------------------------------- similarity
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")

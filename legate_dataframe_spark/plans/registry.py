@@ -66,6 +66,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
     "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
     "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
+    "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
+    "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
+    # multimodal plumbing (binary payloads through mapInPandas)
+    "multimodal_features": (pq.multimodal_features, pq.MULTIMODAL_FEATURES_SQL),
+    "multimodal_frames": (pq.multimodal_frames, pq.MULTIMODAL_FRAMES_SQL),
     # similarity search
     "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
     "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),

@@ -58,6 +58,23 @@ def test_simhash_identical_docs_same_signature(docs):
     assert sig[1] != sig[4]
 
 
+def test_simhash_pairs_exact_dup_and_excludes_short(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0                 # identical after lowering
+    assert all(5 not in p for p in pairs)     # shingle-less doc excluded
+    assert all(4 not in p for p in pairs)     # unrelated doc absent
+
+
+def test_cosine_neardup_pairs_finds_clustered_vectors(vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in similarity.cosine_neardup_pairs(
+                 vectors, threshold=0.99, dim=3).collect()}
+    assert (10, 11) in pairs                  # same-direction vectors
+    assert pairs[(10, 11)] > 0.99
+    assert all({0, 1} != set(p) for p in pairs)  # orthogonal axes absent
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     # 3 clusters along axes; vec 0/1/2 are centroid-ish
