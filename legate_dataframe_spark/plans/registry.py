@@ -24,8 +24,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
     "q03_shipping_priority": (r.q03_shipping_priority, r.Q03_SQL),
     "q05_nation_revenue": (r.q05_nation_revenue, r.Q05_SQL),
+    "q04_order_priority": (r.q04_order_priority, r.Q04_SQL),
     "q06_forecast_revenue": (r.q06_forecast_revenue, r.Q06_SQL),
+    "q07_volume_shipping": (r.q07_volume_shipping, r.Q07_SQL),
+    "q08_market_share": (r.q08_market_share, r.Q08_SQL),
     "q10_returned_items": (r.q10_returned_items, r.Q10_SQL),
+    "q12_priority_lines": (r.q12_priority_lines, r.Q12_SQL),
+    "q14_promo_revenue": (r.q14_promo_revenue, r.Q14_SQL),
+    "q17_small_quantity": (r.q17_small_quantity, r.Q17_SQL),
+    "q18_large_orders": (r.q18_large_orders, r.Q18_SQL),
+    "q19_disjunctive": (r.q19_disjunctive, r.Q19_SQL),
+    "q22_idle_customers": (r.q22_idle_customers, r.Q22_SQL),
     "rollup_flags": (r.rollup_flags, r.ROLLUP_SQL),
     "cube_orders": (r.cube_orders, r.CUBE_SQL),
     "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
