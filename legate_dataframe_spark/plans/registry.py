@@ -35,6 +35,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q18_large_orders": (r.q18_large_orders, r.Q18_SQL),
     "q19_disjunctive": (r.q19_disjunctive, r.Q19_SQL),
     "q22_idle_customers": (r.q22_idle_customers, r.Q22_SQL),
+    "q02_best_supplier": (r.q02_best_supplier, r.Q02_SQL),
+    "q09_product_profit": (r.q09_product_profit, r.Q09_SQL),
+    "q11_important_parts": (r.q11_important_parts, r.Q11_SQL),
+    "q13_customer_distribution": (r.q13_customer_distribution, r.Q13_SQL),
+    "q15_top_supplier": (r.q15_top_supplier, r.Q15_SQL),
+    "q16_supplier_count": (r.q16_supplier_count, r.Q16_SQL),
+    "q20_volume_suppliers": (r.q20_volume_suppliers, r.Q20_SQL),
+    "q21_waiting_suppliers": (r.q21_waiting_suppliers, r.Q21_SQL),
     "rollup_flags": (r.rollup_flags, r.ROLLUP_SQL),
     "cube_orders": (r.cube_orders, r.CUBE_SQL),
     "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),

@@ -1142,3 +1142,346 @@ WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > avg_cents
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# --------------------------------------------------------------------------
+# Final TPC-H wave: q02 q09 q11 q13 q15 q16 q20 q21 adapted to the testdata
+# schema (no partsupp table, no commit/receipt dates).  The part↔supplier
+# relation is derived as `supplies` = DISTINCT (l_partkey, l_suppkey) from
+# lineitem — a composite-key shuffle whose output (~parts×avg-suppliers) is
+# dimension-sized, so every later join against it is broadcastable.
+# "Lateness" (q21) is re-expressed as shipdate > orderdate + 60 days.
+
+def _supplies(l: DataFrame) -> DataFrame:
+    """DISTINCT (l_partkey, l_suppkey) — the partsupp surrogate.
+
+    Scale note: dropDuplicates is a partial+final hash agg (map-side
+    combine shrinks the shuffle to ~|partsupp| rows, not |lineitem|).
+    """
+    return l.select("l_partkey", "l_suppkey").dropDuplicates()
+
+
+def _region_suppliers(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """Suppliers in one region with their nation name (dim-sized)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+             .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+
+
+# q02-shaped — best supplier per part: derived supplies ⋈ broadcast dims,
+# per-part window min (no self-join), top-k output.  TPC-H Q2's correlated
+# MIN(ps_supplycost) subquery becomes min(s_acctbal) OVER (PARTITION BY
+# p_partkey) — one pass, no re-scan.  (reference: join.hpp:78 equi-joins +
+# groupby_aggregation.hpp:64; windows are beyond-reference, SURVEY §2.5)
+def q02_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20)))
+    eu = _region_suppliers(spark, sf_dir, "EUROPE")
+    cand = (_supplies(l)
+            .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+            .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey))
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q02_SQL = """
+WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'EUROPE')
+SELECT p_partkey, s_name, n_name, s_acctbal
+FROM supplies JOIN part ON l_partkey = p_partkey
+              JOIN eu   ON l_suppkey = s_suppkey
+WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+QUALIFY s_acctbal = min(s_acctbal) OVER (PARTITION BY p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+# q09-shaped — product-type profit by nation and year.  TPC-H Q9 minus the
+# ps_supplycost term (no partsupp): profit = Σ extprice·(1-disc), exact
+# cents.  lineitem⋈orders is the only fact-fact shuffle; part filter and
+# supplier→nation are broadcast.
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(_cents(F.col("l_extendedprice"))
+                           * (100 - _cents(F.col("l_discount")))) / 10000.0, 4)
+             .alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q09_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0, 4) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE 'red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# q11-shaped — important parts: per-part value for one nation's suppliers,
+# kept when > 0.1% of that nation's total.  The scalar total is a 1-row agg
+# broadcast via crossJoin (no second scan of the grouped data; Spark reuses
+# the shuffle for both branches only if cached — at 100 TB the grouped
+# intermediate is small (per-part), so recomputing the 1-row global sum from
+# it is cheap either way).
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = (load_table(spark, sf_dir, "nation")
+         .filter(F.col("n_name") == "NATION_7"))
+    nat_lines = (l.join(F.broadcast(
+                     s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                      .select("s_suppkey")),
+                 l.l_suppkey == F.col("s_suppkey")))
+    per_part = (nat_lines.groupBy("l_partkey")
+                .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents")))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") > 0.001 * F.col("total_cents"))
+        .select("l_partkey",
+                F.round(F.col("value_cents") / 100.0, 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH nat_lines AS (
+  SELECT l_partkey, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'),
+per_part AS (
+  SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS value_cents
+  FROM nat_lines GROUP BY l_partkey)
+SELECT l_partkey, round(value_cents / 100.0, 2) AS part_value
+FROM per_part
+WHERE value_cents > 0.001 * (SELECT CAST(sum(value_cents) AS BIGINT) FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# q13-shaped — customer order-count distribution: left join with an extra
+# join-side predicate (priority <> 1-URGENT), two stacked aggregations.
+# Exercises LEFT join null semantics (count(o_orderkey) skips nulls) —
+# reference join.hpp:25 LEFT + groupby count_valid.
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, (c.c_custkey == o.o_custkey)
+               & (o.o_orderpriority != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# q15-shaped — top supplier(s) by 3-month revenue; the max is a 1-row agg
+# broadcast back (exact integer cents ⇒ cross-engine equality is safe).
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter((F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+                 & (F.col("l_shipdate") < _ts("1996-04-01 00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))
+                   * (100 - _cents(F.col("l_discount")))).alias("rev_units"))
+    )
+    best = rev.agg(F.max("rev_units").alias("max_units"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("rev_units") == F.col("max_units"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_suppkey"), F.col("s_name"),
+                F.round(F.col("rev_units") / 10000.0, 4).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(rev_units / 10000.0, 4) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_units = (SELECT max(rev_units) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# q16-shaped — supplier count by part attributes: derived supplies, NOT-IN
+# suppliers with negative balance (broadcast anti join), count distinct.
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#5") & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 3, 9, 14, 23, 36, 45, 49)))
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (
+        _supplies(l)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+WITH supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM supplies JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 3, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# q20-shaped — suppliers who moved volume: per (part,supplier) 1996 shipped
+# quantity over 'cold%' parts above a threshold, then semi-join suppliers of
+# one region.  TPC-H Q20's ps_availqty/2 correlated subquery becomes the
+# qty > 45 HAVING filter (no partsupp).
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").startswith("cold")).select("p_partkey"))
+    af = _region_suppliers(spark, sf_dir, "AFRICA")
+    movers = (
+        l.filter((F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+                 & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00")))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select("l_suppkey").dropDuplicates()
+    )
+    return (
+        af.join(movers, af.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AFRICA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'cold%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(l_quantity) > 45)
+ORDER BY s_name
+"""
+
+
+# q21-shaped — suppliers who kept orders waiting.  "Late" = shipped > 60
+# days after order date (no commit/receipt dates in testdata).  TPC-H Q21's
+# EXISTS/NOT-EXISTS pair collapses into one per-order aggregate: the late
+# supplier counts iff the order has >1 distinct supplier and exactly 1 late
+# one.  One lineitem⋈orders shuffle + one per-order agg — no correlated
+# re-scans (at 100 TB an EXISTS-per-row plan would be quadratic).
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    asia = _region_suppliers(spark, sf_dir, "ASIA")
+    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
+              .withColumn("is_late",
+                          F.col("l_shipdate") > F.col("o_orderdate")
+                          + F.expr("INTERVAL 60 DAYS")))
+    stats = (joined.groupBy("l_orderkey")
+             .agg(F.count_distinct("l_suppkey").alias("nsupp"),
+                  F.count_distinct(F.when(F.col("is_late"),
+                                          F.col("l_suppkey"))).alias("nlate")))
+    late = (joined.filter("is_late")
+            .select("l_orderkey", "l_suppkey").dropDuplicates())
+    return (
+        late.join(stats.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1)),
+                  "l_orderkey", "left_semi")
+        .join(F.broadcast(asia), F.col("l_suppkey") == asia.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+WITH joined AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+stats AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS nlate
+  FROM joined GROUP BY l_orderkey),
+late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM joined WHERE is_late)
+SELECT s_name, count(*) AS numwait
+FROM late
+JOIN stats USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE nsupp > 1 AND nlate = 1 AND r_name = 'ASIA'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
