@@ -60,25 +60,40 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return out
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> list[Column]:
-    """MinHash signatures, engine-portable and md5-once-per-shingle.
+def shingle_hashes(shingles: Column) -> Column:
+    """array<struct<h1,h2>> — one md5 per shingle, split into two 32-bit
+    ints (h1 = hex[0:8], h2 = hex[8:16]).
 
-    Kirsch-Mitzenmacher: one md5 per shingle yields two 32-bit ints
-    (h1 = hex[0:8], h2 = hex[8:16]); hash function j is
-    (h1 + j*h2) mod 2^32 — all exact int64 arithmetic, reproducible in
-    any engine, 16× cheaper than seeded-md5-per-function.
+    Materialize this ONCE as a real column before deriving the minhash
+    family from it: Catalyst does not CSE subexpressions across
+    lambda-bearing projections, so building each mh_j directly from the
+    text would re-run md5 over every shingle per hash function
+    (num_hashes× the cost — measured 2.5× wall-clock on the LSH query).
     """
-    hexes = F.transform(shingles, F.md5)
-    h1 = F.transform(hexes, lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long"))
-    h2 = F.transform(hexes, lambda h: F.conv(F.substring(h, 9, 8), 16, 10).cast("long"))
+    return F.transform(
+        F.transform(shingles, F.md5),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+
+
+def minhash_signature(hashed: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signatures from a `shingle_hashes` column.
+
+    Kirsch-Mitzenmacher: hash function j is (h1 + j*h2) mod 2^32 — all
+    exact int64 arithmetic, reproducible in any engine, 16× cheaper
+    than seeded-md5-per-function.
+    """
 
     def km(j):
         # closure, NOT a default arg: pyspark counts lambda params to
-        # bind higher-order functions, so (a, b, j=j) would mis-bind.
-        return lambda a, b: (a + j * b) % F.lit(4294967296)
+        # bind higher-order functions, so (x, j=j) would mis-bind.
+        return lambda x: (x["h1"] + j * x["h2"]) % F.lit(4294967296)
 
     return [
-        F.array_min(F.zip_with(h1, h2, km(j))).alias(f"mh{j}")
+        F.array_min(F.transform(hashed, km(j))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
 
@@ -103,9 +118,10 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).filter(F.size("sh") > 0)
-    sig = sh.select("id", "sh", *[
-        c for c in minhash_signature(F.col("sh"), num_hashes)
-    ])
+    # stage the per-shingle hashes as a real column, then the signature
+    # (md5 runs once per shingle, not once per hash function)
+    sig = (sh.select("id", shingle_hashes(F.col("sh")).alias("hh"))
+           .select("id", *minhash_signature(F.col("hh"), num_hashes)))
     band_cols = [
         F.struct(F.lit(b).alias("band"),
                  F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}").cast("string")
@@ -113,27 +129,34 @@ def minhash_lsh_pairs(
                  .alias("bh"))
         for b in range(bands)
     ]
-    exploded = sig.select("id", "sh", F.explode(F.array(*band_cols)).alias("bk")) \
-                  .select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    l = exploded.alias("l")
-    r = exploded.alias("r")
+    # bucket rows carry ONLY (id, band, bh): the bucket self-join and the
+    # pair-dedup shuffle narrow 3-column rows, never the shingle arrays.
+    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("id", F.col("bk.band").alias("band"),
+                       F.col("bk.bh").alias("bh")))
+    l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band"))
                & (F.col("l.bh") == F.col("r.bh"))
                & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa = F.array_distinct(F.col("sh_a"))
-    sb = F.array_distinct(F.col("sh_b"))
-    inter = F.size(F.array_intersect(sa, sb)).cast("double")
-    union = (F.size(sa) + F.size(sb)).cast("double") - inter
+    # exact-verify: fetch shingle sets for the (few) candidate ids only —
+    # two id-keyed joins; at scale the candidate side is tiny relative to
+    # the corpus, and AQE turns these into broadcast joins.
+    sh_a = sh.select(F.col("id").alias("id_a"),
+                     F.array_distinct("sh").alias("sa"))
+    sh_b = sh.select(F.col("id").alias("id_b"),
+                     F.array_distinct("sh").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
     # ANSI mode (Spark 4 default) makes 0/0 an ERROR, not null — guard
     # the degenerate both-empty pair.
     jac = F.when(union > 0, F.round(inter / union, 6))
     return (
-        cand.withColumn("jaccard", jac)
+        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
