@@ -21,6 +21,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_nation_revenue",
+    "q09_product_profit",
+    "q21_waiting_suppliers",
     "join_inner",
     "groupby_aggs",
     "distinct_keys",

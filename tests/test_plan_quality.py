@@ -70,3 +70,32 @@ def test_contains_column_haystack_broadcasts(spark):
     hay = spark.range(0, 10).withColumnRenamed("id", "h")
     plan = plan_of(contains(needles, "x", hay, "h"), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q09_broadcasts_dims(spark, sf_dir):
+    # part/supplier/nation are dims — all must broadcast; the only
+    # sort-merge-eligible join is lineitem⋈orders (fact-fact).
+    plan = plan_of(QUERIES["q09_product_profit"](spark, sf_dir), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_q02_topk_and_no_selfjoin(spark, sf_dir):
+    # correlated-MIN rewritten as a window — there must be no second
+    # scan of lineitem (one ReadSchema mention of l_partkey source).
+    plan = plan_of(QUERIES["q02_best_supplier"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q21_single_fact_shuffle(spark, sf_dir):
+    # the EXISTS/NOT-EXISTS pair is one per-order aggregate: lineitem
+    # must be scanned at most twice (joined + late branches share one
+    # join subtree), never once per correlated probe.
+    plan = plan_of(QUERIES["q21_waiting_suppliers"](spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_q16_anti_join_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["q16_supplier_count"](spark, sf_dir), "simple")
+    assert "LeftAnti, BuildRight" in plan
