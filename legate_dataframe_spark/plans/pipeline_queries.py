@@ -380,6 +380,53 @@ SELECT vec_id, cent_id AS centroid_id, cos_sim FROM r WHERE rn = 1
 """
 
 
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: probe the 2 nearest of 8 centroids per query, exact
+    re-rank inside the probed clusters only (the IVF scale path: work
+    per query is corpus/8*2 instead of the whole corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    assigned = similarity.ivf_assign(e, cen).select("vec_id", "centroid_id") \
+        .join(e, "vec_id")
+    return similarity.ivf_search(assigned, cen, q, k=5, n_probe=2)
+
+
+ANN_IVF_SEARCH_SQL = """
+WITH cen AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+             FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.embedding::DOUBLE[], cv), 6) DESC,
+             cent_id) AS rn
+    FROM embeddings e, cen) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q_id, cent_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             round(list_cosine_similarity(qv, cv), 6) DESC, cent_id) AS rn
+    FROM q, cen) WHERE rn <= 2),
+cand AS (
+  SELECT p.q_id AS q_id, a.vec_id AS c_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6) AS cos_sim
+  FROM assign a
+  JOIN probe p ON a.cent_id = p.cent_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id != p.q_id)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id) AS rank
+  FROM cand) WHERE rank <= 5
+"""
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_norms(e)

@@ -7,8 +7,9 @@ path serves batch (driver correctness gate) and Structured Streaming
 
 Scale notes: ``F.window``/``F.session_window`` group rows by derived
 window keys — one hash shuffle, partial+final agg, no per-row Python.
-In streaming mode add ``withWatermark`` (see streaming/jobs.py) so state
-for closed windows is evicted — unbounded state is the 100 TB killer.
+In streaming mode add ``withWatermark`` (see tests/test_streaming.py for
+the readStream → watermark → sink wiring) so state for closed windows is
+evicted — unbounded state is the 100 TB killer.
 """
 
 from __future__ import annotations

@@ -62,3 +62,29 @@ def test_session_stream_matches_batch(spark, events_dir):
                             lambda df: sessionize(df, gap="10 minutes"),
                             "session_mem")
     assert _rows(got) == _rows(want)
+
+
+def test_stateful_user_stats_matches_batch(spark, events_dir):
+    """applyInPandasWithState: the final per-user state after draining
+    the stream equals the batch groupBy aggregation."""
+    from legate_dataframe_spark.streaming.stateful import (
+        batch_user_stats,
+        running_user_stats,
+    )
+
+    static = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    q = (running_user_stats(stream).writeStream.format("memory")
+         .queryName("stateful_mem").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # update mode appends one row per key per micro-batch: the LAST row
+    # per user is the final state.
+    got = spark.sql("""
+        select user_id, n_events, total_value, max_value from (
+          select *, row_number() over (partition by user_id
+                                       order by n_events desc) rn
+          from stateful_mem) where rn = 1""")
+    want = batch_user_stats(static)
+    assert _rows(got) == _rows(want)
+    assert got.count() > 0
