@@ -521,3 +521,37 @@ SORT_NULLS_FIRST_SQL = """
 SELECT event_id, CASE WHEN value >= 1 THEN round(value, 2) END AS v
 FROM events ORDER BY v ASC NULLS FIRST, event_id LIMIT 20
 """
+
+
+# ------------------------------------------------------------- range join
+def event_pairs_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self range-join: per user, count ordered event pairs ≤ 5 minutes
+    apart (the follow-on-activity primitive sessionization is built on).
+
+    Equi-key on user_id keeps it a hash join — the range predicate is
+    evaluated inside the join, never as a cross product; at 100 TB the
+    shuffle is one hash partition per side on user_id.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return (
+        pairs.groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+EVENT_PAIRS_SQL = """
+SELECT a.user_id AS user_id, count(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+GROUP BY 1
+"""

@@ -96,6 +96,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # scalar parity extras
     "replace_nulls": (pq.replace_nulls_q, pq.REPLACE_NULLS_SQL),
     "sort_nulls_first": (pq.sort_nulls_first, pq.SORT_NULLS_FIRST_SQL),
+    # percentiles / arg-extremes / generated sequences / membership
+    "quantile_stats": (r.quantile_stats, r.QUANTILE_STATS_SQL),
+    "minmax_by": (r.minmax_by, r.MINMAX_BY_SQL),
+    "sequence_agg": (r.sequence_agg, r.SEQUENCE_AGG_SQL),
+    "contains_column": (r.contains_column_q, r.CONTAINS_COLUMN_SQL),
+    "event_pairs_within": (pq.event_pairs_within, pq.EVENT_PAIRS_SQL),
+    # approximate sketches (HLL / t-digest) — engine-specific values,
+    # rows-only check by design
+    "approx_sketches": (r.approx_sketches, None),
 }
 
 QUERIES: dict[str, QueryFn] = {k: v[0] for k, v in _REGISTRY.items()}

@@ -1485,3 +1485,119 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+# --------------------------------------------------------------------------
+# exact percentiles (beyond-reference: the reference rejects quantile,
+# dsl/ir.py:962-968 — Spark has an exact distributed percentile built in).
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag quartiles of l_quantity + p90 of price.
+
+    ``F.percentile`` is exact (sort-based partial aggregation, one
+    shuffle on the group keys); use ``approx_sketches`` below when a
+    t-digest sketch is the right 100 TB trade-off.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.round(F.percentile("l_quantity", 0.25), 6).alias("q25"),
+             F.round(F.percentile("l_quantity", 0.5), 6).alias("median"),
+             F.round(F.percentile("l_quantity", 0.75), 6).alias("q75"),
+             F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"))
+    )
+
+
+QUANTILE_STATS_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6)      AS q25,
+       round(quantile_cont(l_quantity, 0.5), 6)       AS median,
+       round(quantile_cont(l_quantity, 0.75), 6)      AS q75,
+       round(quantile_cont(l_extendedprice, 0.9), 6)  AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# min_by/max_by — "value at arg-extreme" aggregation (reference expresses
+# first/last only as slices, dsl/expressions/aggregation.py:39-81; this is
+# the distributed-safe equivalent: deterministic because the ordering
+# column o_orderkey is unique).
+def minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max_by("o_totalprice", "o_orderkey").alias("latest_price"),
+             F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+             F.max("o_orderkey").alias("last_key"))
+    )
+
+
+MINMAX_BY_SQL = """
+SELECT o_custkey,
+       arg_max(o_totalprice, o_orderkey) AS latest_price,
+       arg_min(o_totalprice, o_orderkey) AS first_price,
+       max(o_orderkey)                   AS last_key
+FROM orders GROUP BY o_custkey
+"""
+
+
+# sequence (filling.hpp:56) — generated range column, aggregated so the
+# oracle compare stays tiny. spark.range generates per-partition slices
+# locally: no input IO, no shuffle until the final 1-row agg.
+def sequence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.operators.filling import sequence
+
+    s = sequence(spark, size=100_000, init=1, name="n")
+    return s.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("n") * F.col("n")) % 97).cast("long").alias("sq_mod"),
+    )
+
+
+SEQUENCE_AGG_SQL = """
+SELECT CAST(sum(n) AS BIGINT)            AS total,
+       count(*)                          AS n_rows,
+       CAST(sum((n * n) % 97) AS BIGINT) AS sq_mod
+FROM range(1, 100001) t(n)
+"""
+
+
+# contains with a *column* haystack (search.hpp:47): broadcast the small
+# distinct haystack, mark membership with a broadcast hash join — the
+# fact table never moves (same distribution as the reference's
+# broadcast-haystack design, cpp/src/search.cpp:77-78).
+def contains_column_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.operators.search import contains
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    hay = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    marked = contains(l.select("l_suppkey"), "l_suppkey", hay,
+                      "s_suppkey", out_col="in_debt")
+    return (
+        marked.groupBy("in_debt")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("l_suppkey").cast("long").alias("sum_supp"))
+    )
+
+
+CONTAINS_COLUMN_SQL = """
+SELECT l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         AS in_debt,
+       count(*) AS n,
+       CAST(sum(l_suppkey) AS BIGINT) AS sum_supp
+FROM lineitem GROUP BY 1
+"""
+
+
+# approximate sketches — the 100 TB variants of count-distinct and
+# percentile (HyperLogLog++ / t-digest style: fixed-size state, no
+# sort, mergeable across partitions). Approx values are engine-specific
+# so there is no DuckDB oracle; the driver records a rows-only check.
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+             F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"))
+    )

@@ -99,3 +99,26 @@ def test_q21_single_fact_shuffle(spark, sf_dir):
 def test_q16_anti_join_broadcast(spark, sf_dir):
     plan = plan_of(QUERIES["q16_supplier_count"](spark, sf_dir), "simple")
     assert "LeftAnti, BuildRight" in plan
+
+
+def test_event_pairs_is_hash_join_not_cartesian(spark, sf_dir):
+    # equi-key user_id must anchor the range join: a hash/merge join with
+    # the range predicate as a post-condition, never BroadcastNestedLoop
+    # or Cartesian (which would be |E|^2 at scale).
+    plan = plan_of(QUERIES["event_pairs_within"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_stats_partial_agg(spark, sf_dir):
+    # percentile must still use partial (map-side) aggregation
+    plan = plan_of(QUERIES["quantile_stats"](spark, sf_dir), "simple")
+    assert "partial_percentile" in plan
+
+
+def test_sequence_is_local_range(spark, sf_dir):
+    # generated sequence: a Range leaf, no file scan, no exchange until
+    # the final single-row aggregate.
+    plan = plan_of(QUERIES["sequence_agg"](spark, sf_dir), "simple")
+    assert "Range (1" in plan
+    assert "FileScan" not in plan
