@@ -114,10 +114,17 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     docs = widen_partitions(docs)
+    # The shingle projection feeds THREE consumers (signature path + both
+    # sides of the verify join); without a persist Spark recomputes the
+    # tokenize+hash pass per consumer (no automatic cross-branch CSE —
+    # the reference models this as an explicit Cache node, dsl/ir.py:632).
+    # MEMORY_AND_DISK spills instead of OOMing on a 100 TB corpus.
+    from pyspark import StorageLevel
+
     sh = docs.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
     # stage the per-shingle hashes as a real column, then the signature
     # (md5 runs once per shingle, not once per hash function)
     sig = (sh.select("id", shingle_hashes(F.col("sh")).alias("hh"))
@@ -172,11 +179,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs Jaccard within blocking-key groups (exact, for small
     blocks; use minhash_lsh_pairs when blocks are large)."""
+    from pyspark import StorageLevel
+
+    # both sides of the self-join read this frame — persist so the
+    # shingle pass runs once (spill-capable at corpus scale).
     base = widen_partitions(docs).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     l = base.alias("l")
     r = base.alias("r")
     cond = (F.col("l.id") < F.col("r.id"))
@@ -221,10 +232,16 @@ def simhash_pairs(
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
     docs = widen_partitions(docs)
+    from pyspark import StorageLevel
+
     feats = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+    # the signature (bit-voting over every shingle × `bits` positions) is
+    # the expensive map; both self-join sides consume it — persist so it
+    # runs once per doc, not twice.
     sig = (docs.select(F.col(id_col).alias("id"), feats.alias("ft"))
            .filter(F.size("ft") > 0)
-           .select("id", _simhash_of(F.col("ft"), bits).alias("simhash")))
+           .select("id", _simhash_of(F.col("ft"), bits).alias("simhash"))
+           .persist(StorageLevel.MEMORY_AND_DISK))
     banded = sig.select(
         "id", "simhash",
         F.explode(F.array(*[

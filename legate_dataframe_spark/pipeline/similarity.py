@@ -192,11 +192,15 @@ def cosine_neardup_pairs(
                  .alias("bv"))
         for b in range(bands)
     ]
+    from pyspark import StorageLevel
+
+    # n_planes dot products per vector feed both self-join sides —
+    # persist so the sign bits are computed once (spill-capable).
     base = widen_partitions(embeddings).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         F.explode(F.array(*band_vals)).alias("bk"),
     ).select("id", "vec", F.col("bk.band").alias("band"),
-             F.col("bk.bv").alias("bv"))
+             F.col("bk.bv").alias("bv")).persist(StorageLevel.MEMORY_AND_DISK)
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, (F.col("l.band") == F.col("r.band"))
