@@ -1,0 +1,54 @@
+"""Bucketed (pre-partitioned) tables — shuffle-free co-located joins.
+
+At 100 TB the dominant cost of a fact-fact equi-join is shuffling both
+sides on the key.  Bucketing is Spark's durable answer: write each side
+hash-partitioned into N buckets on the join key (``bucketBy`` +
+``saveAsTable``); every later join/groupBy on that key reads the
+buckets co-located and Catalyst plans a SortMergeJoin with **no
+Exchange on either side** — the shuffle is paid once at write time and
+amortized over every subsequent query.
+
+The reference has no storage layer, so nothing to mirror — this is the
+Spark-native equivalent of its ``repartition_by_hash``
+(cpp/src/core/repartition_by_hash.cpp:61-143) made persistent.
+
+Rules that make the no-shuffle plan actually appear (asserted in
+tests/test_bucketing.py):
+- both sides bucketed by the SAME columns into the SAME bucket count;
+- ``spark.sql.sources.bucketing.enabled`` on (default);
+- join keys == bucket keys (a superset with extra equi-keys is fine);
+- AQE must not coalesce the bucketed scan (it doesn't — bucketed scans
+  have no shuffle to coalesce).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Persist ``df`` hash-bucketed on ``bucket_cols``.
+
+    ``sortBy`` within buckets lets the later sort-merge join skip its
+    per-partition sort too (plan shows neither Exchange nor Sort).
+    """
+    writer = (df.write.format(fmt).mode(mode)
+              .bucketBy(num_buckets, *bucket_cols))
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table (bucket metadata comes from the catalog —
+    a plain ``spark.read.parquet`` of the files would lose it)."""
+    return spark.table(table_name)

@@ -26,4 +26,11 @@ def test_all_queries_have_oracles():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may legitimately omit oracles; keep the
     # list explicit and small.
-    assert missing == set(), f"queries without oracle: {missing}"
+    rows_only_by_design = {
+        # HLL / t-digest estimates are implementation-defined — DuckDB's
+        # approx aggregates use different sketches, so values can't
+        # hash-match; the driver records the weaker rows-only check.
+        "approx_sketches",
+    }
+    assert missing == rows_only_by_design, \
+        f"queries without oracle: {missing - rows_only_by_design}"
