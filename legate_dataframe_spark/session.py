@@ -31,6 +31,11 @@ _DEFAULTS = {
     # Quiet, headless.
     "spark.ui.enabled": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # local[N] runs executors inside the driver JVM, whose default heap
+    # is 1 GiB — a silent throttle (GC thrash, broadcast OOM risk) on a
+    # 128 GiB box.  Only read at JVM launch; on a real cluster the
+    # resource manager's executor/driver memory settings win instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 
