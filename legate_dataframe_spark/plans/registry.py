@@ -54,6 +54,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
     "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
     "join_full": (r.join_full, r.JOIN_FULL_SQL),
+    "skew_salted_join": (r.skew_salted_join, r.SKEW_SALTED_JOIN_SQL),
+    "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
     "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
     "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),
     "distinct_keys": (r.distinct_keys, r.DISTINCT_KEYS_SQL),

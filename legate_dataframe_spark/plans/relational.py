@@ -272,6 +272,53 @@ FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 150000) o
 
 
 # --------------------------------------------------------------------------
+# skew mitigation (core/skew.py) — salting must be invisible in the
+# result, so the oracle is the PLAIN join/groupBy SQL.  At 100 TB this
+# is the fallback for hot keys AQE can't split (shuffled-hash joins,
+# a-priori-known whales); the reference has no skew handling at all.
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.core.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = salted_join(li, o, ["l_orderkey"], ["o_orderkey"], "inner", salt=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.core.skew import salted_groupby
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_groupby(
+        li, ["l_returnflag"],
+        {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count"),
+         "min_qty": ("l_quantity", "min"), "max_qty": ("l_quantity", "max")},
+        salt=8)
+    return out.select("l_returnflag", F.round("sum_qty", 2).alias("sum_qty"),
+                      "n", "min_qty", "max_qty")
+
+
+SKEW_SALTED_AGG_SQL = """
+SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+       count(l_quantity) AS n,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # groupby with the reference's full agg-kind set (sum/min/max/mean/product/
 # count_all/count_distinct — groupby_aggregation.cpp tests, SURVEY §2.4).
 def groupby_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
