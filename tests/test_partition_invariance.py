@@ -1,0 +1,41 @@
+"""Results must be invariant to partition count — the Spark analogue
+of the reference's multi-worker scoping sweeps (testing.py:272-291,
+every key test runs at 1,2,4,…,N processors).  Catches operators that
+silently depend on partition layout (per-partition state, unstable
+windows, driver-side assumptions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from legate_dataframe_spark.plans.registry import QUERIES
+
+REPRESENTATIVE = [
+    "q01_pricing_summary",   # scan→filter→agg→sort diagonal
+    "join_inner",            # shuffle join
+    "join_full",             # outer join null fill
+    "groupby_aggs",          # 7 agg kinds incl. count_distinct
+    "distinct_keys",         # keep-any dedup
+    "sort_topk",             # TakeOrderedAndProject
+    "window_cumsum",         # ordered window frames
+    "dedup_minhash",         # multi-stage LSH pipeline
+    "skew_salted_agg",       # two-phase salted re-agg
+    "events_tumbling",       # time windowing
+]
+
+
+def _rows(df):
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_partition_count_invariance(spark, sf_dir, name):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = _rows(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        many = _rows(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert one == many, f"{name} result depends on partition count"
