@@ -1,0 +1,95 @@
+"""Duplicate-cluster resolution: connected components over candidate
+pairs, then keep one canonical document per cluster.
+
+LSH/minhash emits near-dup PAIRS (pipeline/dedup.py); dropping
+duplicates needs the transitive closure — if A~B and B~C, exactly one
+of {A,B,C} survives.  That is connected components on the pair graph.
+
+Algorithm: min-label propagation with pointer jumping — every node
+starts labelled with itself; each round (a) sends labels across edges
+and keeps the per-node minimum, then (b) pointer-jumps (replaces each
+label by that label's own label), which halves remaining path lengths
+— so convergence is O(log diameter) rounds, not O(diameter): a
+10-million-link chain needs ~24 rounds, and LSH near-dup graphs
+(band-induced near-cliques) converge in 2-3.  Each round is two
+shuffle joins + one groupBy, fully distributed, no driver-side data
+(the only action is the scalar convergence count).  ``localCheckpoint``
+truncates the plan each round so lineage doesn't grow with rounds; on
+a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+``.checkpoint()`` for fault-tolerant truncation.  Same round
+complexity as large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) with simpler rounds.
+
+The reference has no graph or iterative capability at all (batch
+relational only) — this is pure-Spark value on top, and the driver's
+correctness gate still covers it: DuckDB computes the same components
+with a recursive CTE (plans/pipeline_queries.py::DEDUP_CLUSTERS_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """→ (node, component): component = min node id reachable.
+
+    Only nodes appearing in ``edges`` are returned (isolated docs are
+    their own cluster trivially — callers left-join and coalesce).
+    """
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+           .distinct())
+    sym = sym.localCheckpoint(eager=True)  # pairs pipeline re-use, frozen
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        msgs = (sym.join(labels, sym["a"] == labels["node"])
+                .select(F.col("b").alias("node"), F.col("label")))
+        new_labels = (msgs.union(labels)
+                      .groupBy("node").agg(F.min("label").alias("label")))
+        # pointer jump: label ← label's label (halves path lengths)
+        lbl_of_lbl = new_labels.select(F.col("node").alias("l_node"),
+                                       F.col("label").alias("l_label"))
+        new_labels = (new_labels
+                      .join(lbl_of_lbl,
+                            new_labels["label"] == lbl_of_lbl["l_node"],
+                            "left")
+                      .select(F.col("node"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("l_label"),
+                                                 F.col("label")))
+                              .alias("label")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Drop every near-duplicate except the minimum-id member of its
+    cluster; documents in no cluster survive untouched.  One anti-join
+    against the non-canonical member set — AQE broadcasts it when the
+    dup rate is low and falls back to a shuffle join when it isn't
+    (at 100 TB a 30% dup rate makes the loser set far too big to
+    broadcast, so no hint is forced here)."""
+    comp = connected_components(pairs, *pair_cols)
+    losers = comp.filter(F.col("node") != F.col("component")) \
+                 .select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

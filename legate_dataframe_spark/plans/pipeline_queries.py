@@ -204,6 +204,37 @@ WHERE jaccard >= 0.5
 DEDUP_MINHASH_SQL = _minhash_sql()
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive clusters → (doc_id, canonical_id).
+    Iterative min-label propagation (pipeline/components.py); DuckDB
+    reproduces it below with a recursive CTE over the SAME pair SQL —
+    full value-hash oracle coverage for an iterative algorithm."""
+    from legate_dataframe_spark.pipeline.components import connected_components
+
+    pairs = dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(F.col("node").alias("doc_id"),
+                       F.col("component").alias("canonical_id"))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) mh
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, min(label) AS canonical_id FROM walk GROUP BY node
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, bits=48, bands=4, max_hamming=3)
