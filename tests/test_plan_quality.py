@@ -116,6 +116,28 @@ def test_quantile_stats_partial_agg(spark, sf_dir):
     assert "partial_percentile" in plan
 
 
+def test_no_cartesian_anywhere(spark, sf_dir):
+    # registry-wide hygiene: a CartesianProduct anywhere is quadratic
+    # at scale; BroadcastNestedLoopJoin only where a side is tiny BY
+    # CONSTRUCTION (1-row scalar subqueries; deliberate broadcast-small
+    # cross joins for brute-force cosine / IVF centroid assignment).
+    bnlj_ok = {
+        "q11_important_parts",   # vs 1-row global-threshold aggregate
+        "q22_idle_customers",    # vs 1-row avg-balance aggregate
+        "similarity_topk",       # corpus × |Q| broadcast query vectors
+        "ann_ivf_assign",        # corpus × broadcast centroids
+        "ann_ivf_search",        # probes × broadcast centroids
+    }
+    offenders = {}
+    for name, fn in sorted(QUERIES.items()):
+        plan = plan_of(fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+
+
 def test_sequence_is_local_range(spark, sf_dir):
     # generated sequence: a Range leaf, no file scan, no exchange until
     # the final single-row aggregate.
