@@ -35,6 +35,7 @@ HEADLINE = [
     "text_stats",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_clusters",
     "similarity_topk",
     "ann_ivf_assign",
 ]

@@ -43,10 +43,14 @@ def connected_components(
     Only nodes appearing in ``edges`` are returned (isolated docs are
     their own cluster trivially — callers left-join and coalesce).
     """
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-           .distinct())
-    sym = sym.localCheckpoint(eager=True)  # pairs pipeline re-use, frozen
+    # Freeze the upstream pipeline FIRST: edges usually arrive from an
+    # expensive LSH flow, and the two union branches below would each
+    # re-execute it (Spark has no cross-branch CSE).  One eager
+    # checkpoint → both directions read the materialized pairs.
+    edges = edges.select(F.col(src).alias("a"),
+                         F.col(dst).alias("b")).localCheckpoint(eager=True)
+    sym = (edges.union(edges.select(F.col("b"), F.col("a")))
+           .distinct().localCheckpoint(eager=True))
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
     for _ in range(max_iter):
