@@ -71,6 +71,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
     # window functions (beyond-reference, native Spark)
     "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
+    "window_cumall": (r.window_cumall, r.WINDOW_CUMALL_SQL),
     "window_topn_per_group": (r.window_topn_per_group, r.WINDOW_TOPN_SQL),
     # event windowing / sessionization
     "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),

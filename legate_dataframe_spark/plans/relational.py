@@ -636,6 +636,44 @@ FROM orders
 """
 
 
+def window_cumall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full declared cum_* set (cum_sum/min/max/prod —
+    allowlisted but unimplemented there, dsl/expressions/unary.py:110-117)
+    as ordered window frames.  cum_prod runs on (1+l_tax) ≤ 1.1^7 per
+    order, so the double stays exact to 6 places.
+
+    The testdata's l_linenumber is NOT unique per order — the order-by
+    includes every column the cumulatives consume, so tied rows are
+    interchangeable and the output multiset is deterministic (same
+    discipline as the rounded-measure+id-tiebreak ranking rule)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    w = (W.partitionBy("l_orderkey")
+         .orderBy("l_linenumber", "l_quantity", "l_extendedprice", "l_tax")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return l.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("cum_qty"),
+        F.round(F.min("l_extendedprice").over(w), 2).alias("cum_min_price"),
+        F.round(F.max("l_extendedprice").over(w), 2).alias("cum_max_price"),
+        F.round(F.product(1 + F.col("l_tax")).over(w), 6).alias("cum_tax_factor"),
+        F.count("*").over(w).alias("cum_n"),
+    )
+
+
+WINDOW_CUMALL_SQL = """
+SELECT l_orderkey, l_linenumber,
+       round(sum(l_quantity) OVER w, 2) AS cum_qty,
+       round(min(l_extendedprice) OVER w, 2) AS cum_min_price,
+       round(max(l_extendedprice) OVER w, 2) AS cum_max_price,
+       round(product(1 + l_tax) OVER w, 6) AS cum_tax_factor,
+       count(*) OVER w AS cum_n
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity, l_extendedprice, l_tax
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
