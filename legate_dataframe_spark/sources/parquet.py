@@ -38,5 +38,28 @@ def parquet_read_array(spark: SparkSession, paths: str | Sequence[str],
     return df.select(F.array(*columns).alias(out_col))
 
 
-def parquet_write(df: DataFrame, dirpath: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).parquet(dirpath)
+def parquet_write(
+    df: DataFrame,
+    dirpath: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write a parquet directory (reference layout, parquet.hpp:104).
+
+    ``partition_by`` produces Hive-style ``col=value/`` subdirectories —
+    the 100 TB backbone: a reader filtering on the partition column
+    scans only matching directories (PartitionFilters in the plan, zero
+    I/O for pruned partitions, asserted in
+    tests/test_sources_table.py::test_partitioned_write_prunes).
+    Choose low-cardinality columns (date, language, source); a
+    high-cardinality partition key = millions of tiny files.
+    ``max_records_per_file`` caps file size where partitions are
+    skewed (one giant date directory would otherwise emit one giant
+    file per task)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(dirpath)
