@@ -38,12 +38,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # extraction must not shift with the host timezone (the driver's
     # session may not set one).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    import pyarrow as pa
+    import glob as _glob
+    import os
+
     import pyarrow.parquet as pq
 
-    schema = pq.read_schema(path)
-    ns_cols = [f.name for f in schema
-               if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    schema_path = path
+    if os.path.isdir(path):  # directory-of-parts table (production layout)
+        parts = sorted(_glob.glob(f"{path}/*.parquet")) or [path]
+        schema_path = parts[0]
+    # ns detection MUST use the parquet physical type: INT64 +
+    # TIMESTAMP(NANOS) is what Spark rejects (or, under the legacy
+    # conf, surfaces as long).  The arrow-level schema is ambiguous —
+    # pyarrow reports Spark's own INT96 timestamps as ns too, and the
+    # legacy conf is session-global so a try/except read is stateful.
+    psch = pq.ParquetFile(schema_path).schema
+    ns_cols = {
+        psch.column(i).name
+        for i in range(len(psch))
+        if psch.column(i).physical_type == "INT64"
+        and "timeUnit=nanoseconds" in str(psch.column(i).logical_type)
+    }
     if not ns_cols:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
