@@ -106,11 +106,20 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash, exact-verified.
 
     rows-per-band = num_hashes // bands.  Returns (id_a, id_b, jaccard)
     with id_a < id_b and jaccard ≥ threshold.
+
+    ``max_bucket_size`` skips LSH buckets holding more members — the
+    standard web-scale guard: a boilerplate/template cluster of k docs
+    emits O(k²) candidate pairs, and one million-member bucket is both
+    a skew bomb (every pair lands on one join key) and rarely useful
+    (such clusters are better handled by exact dedup on the template).
+    None (default, used by the oracle-matched registry query) keeps
+    exhaustive semantics.
     """
     rows = num_hashes // bands
     docs = widen_partitions(docs)
@@ -141,6 +150,15 @@ def minhash_lsh_pairs(
     buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
                .select("id", F.col("bk.band").alias("band"),
                        F.col("bk.bh").alias("bh")))
+    if max_bucket_size is not None:
+        # window count per bucket, drop oversized buckets before the
+        # self-join (the count is one extra shuffle on the same keys
+        # the join uses anyway; AQE reuses the partitioning)
+        from pyspark.sql import Window as _W
+
+        n_in_bucket = F.count("*").over(_W.partitionBy("band", "bh"))
+        buckets = (buckets.withColumn("__n", n_in_bucket)
+                   .filter(F.col("__n") <= max_bucket_size).drop("__n"))
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band"))

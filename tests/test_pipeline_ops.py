@@ -39,6 +39,24 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert all(p[0] != 4 and p[1] != 4 for p in got)  # unrelated doc absent
 
 
+def test_minhash_bucket_cap_skips_boilerplate_cluster(spark):
+    # 12 copies of one template + 1 genuine near-dup pair elsewhere:
+    # with max_bucket_size the template's O(k²) pairs disappear while
+    # the small cluster survives.
+    tmpl = "standard legal boilerplate footer text repeated on every page exactly"
+    a = "a very specific story about a fox crossing a frozen river at dawn"
+    b = a.replace("dawn", "dusk")
+    rows = [(i, tmpl) for i in range(12)] + [(100, a), (101, b)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    capped = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.5,
+                                     max_bucket_size=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(100, 101)}
+    # uncapped finds the full template clique too
+    full = dedup.minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()
+    assert len(full) == 12 * 11 // 2 + 1
+
+
 def test_ngram_jaccard_pairs(docs):
     pairs = dedup.ngram_jaccard_pairs(docs, ["source"], threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}

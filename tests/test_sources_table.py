@@ -57,6 +57,21 @@ def test_partitioned_write_prunes(spark, tmpdir_str):
         parquet_read(spark, out).filter(F.col("day") == "0").count()
 
 
+def test_load_table_directory_layout(spark, tmpdir_str):
+    """load_table must accept directory-of-parts tables (the production
+    layout) including its timestamp handling, not just the testdata's
+    single-file form."""
+    from legate_dataframe_spark.plans.relational import load_table
+
+    df = (spark.range(0, 100, numPartitions=4)
+          .withColumn("ts", F.timestamp_micros(F.col("id") * 1_000_000)))
+    out = f"{tmpdir_str}/events.parquet"
+    df.write.mode("overwrite").parquet(out)
+    back = load_table(spark, tmpdir_str, "events")
+    assert back.count() == 100
+    assert dict(back.dtypes)["ts"] == "timestamp"
+
+
 def test_parquet_read_array(spark, tmpdir_str):
     df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "a: double, b: double")
     out = f"{tmpdir_str}/arr"
