@@ -45,6 +45,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "q21_waiting_suppliers": (r.q21_waiting_suppliers, r.Q21_SQL),
     "rollup_flags": (r.rollup_flags, r.ROLLUP_SQL),
     "cube_orders": (r.cube_orders, r.CUBE_SQL),
+    "grouping_sets_mix": (r.grouping_sets_mix, r.GROUPING_SETS_SQL),
     "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
     "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
     "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
