@@ -152,7 +152,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    jaccard_threshold=0.5)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(source: str = "documents") -> str:
     # Kirsch-Mitzenmacher minhash (mirrors pipeline/dedup.py): one md5
     # per shingle → h1/h2 32-bit ints → fn j = (h1 + j*h2) mod 2^32.
     mh_exprs = ",\n         ".join(
@@ -167,7 +167,7 @@ def _minhash_sql() -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
-  FROM documents),
+  FROM {source}),
 shg AS (
   SELECT id,
          list_transform(range(1, greatest(len(t) - 1, 1)),
@@ -232,6 +232,93 @@ walk(node, label) AS (
   SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
 )
 SELECT node AS doc_id, min(label) AS canonical_id FROM walk GROUP BY node
+"""
+
+
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composition: language
+    filter (en) → quality gate (≥0.5) → minhash near-dup clustering →
+    keep canonical per cluster → corpus summary.  Every stage is the
+    already-oracle-matched operator; the oracle below chains the same
+    CTEs (incl. the recursive-components one) so the full composition
+    value-hashes end-to-end.
+
+    Scale shape: two document-table map passes (lang+quality fuse into
+    one), the LSH flow on the SURVIVING subset only, one anti-join —
+    no stage touches the corpus twice unnecessarily."""
+    from legate_dataframe_spark.pipeline.components import keep_canonical
+
+    d = load_table(spark, sf_dir, "documents")
+    filtered = (text.quality_score(text.lang_id(d))
+                .filter((F.col("lang_pred") == "en")
+                        & (F.col("quality") >= 0.5))
+                .select("doc_id", "text", "quality"))
+    filtered = filtered.persist()  # consumed by LSH + keep_canonical
+    pairs = dedup.minhash_lsh_pairs(filtered, num_hashes=_NUM_HASHES,
+                                    bands=_BANDS, jaccard_threshold=0.5)
+    kept = keep_canonical(filtered, pairs.select("id_a", "id_b"))
+    return kept.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"))
+
+
+def _quality_filtered_cte() -> str:
+    sw = _sw("en")
+    return rf"""
+qtoks AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS qt
+  FROM documents),
+lhits AS (
+  SELECT doc_id, text, qt,
+         len(list_intersect(list_distinct(qt), {_sw('en')})) AS h_en,
+         len(list_intersect(list_distinct(qt), {_sw('es')})) AS h_es,
+         len(list_intersect(list_distinct(qt), {_sw('de')})) AS h_de,
+         len(list_intersect(list_distinct(qt), {_sw('fr')})) AS h_fr
+  FROM qtoks),
+scored AS (
+  SELECT doc_id, text,
+         round(
+           (CASE WHEN length(text) BETWEEN 50 AND 20000
+                 THEN 0.4 ELSE 0.0 END)
+           + least(len(list_intersect(list_distinct(qt), {sw})) / 5.0,
+                   1.0) * 0.3
+           + (CASE WHEN len(qt) > 0
+                   THEN len(list_distinct(qt)) / CAST(len(qt) AS DOUBLE)
+                   ELSE 0.0 END) * 0.3, 6) AS quality
+  FROM lhits
+  WHERE greatest(h_en, h_es, h_de, h_fr) > 0
+    AND h_en = greatest(h_en, h_es, h_de, h_fr)),
+filtered AS (
+  SELECT doc_id, text, quality FROM scored WHERE quality >= 0.5)"""
+
+
+PIPELINE_END_TO_END_SQL = f"""
+WITH RECURSIVE
+{_quality_filtered_cte()},
+pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql(source="filtered")}) mh
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+losers AS (
+  SELECT node FROM (SELECT node, min(label) AS component FROM walk
+                    GROUP BY node)
+  WHERE node <> component
+)
+SELECT count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM filtered
+WHERE doc_id NOT IN (SELECT node FROM losers)
 """
 
 
