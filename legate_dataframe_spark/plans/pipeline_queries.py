@@ -263,6 +263,14 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 4).alias("avg_quality"))
 
 
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_score(d).select("doc_id", "quality")
+
+
+QUALITY_SCORES_SQL = None  # assigned below once the CTE helper exists
+
+
 def _quality_filtered_cte() -> str:
     sw = _sw("en")
     return rf"""
@@ -291,6 +299,23 @@ scored AS (
     AND h_en = greatest(h_en, h_es, h_de, h_fr)),
 filtered AS (
   SELECT doc_id, text, quality FROM scored WHERE quality >= 0.5)"""
+
+
+QUALITY_SCORES_SQL = rf"""
+WITH qtoks AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS qt
+  FROM documents)
+SELECT doc_id,
+       round(
+         (CASE WHEN length(text) BETWEEN 50 AND 20000
+               THEN 0.4 ELSE 0.0 END)
+         + least(len(list_intersect(list_distinct(qt), {_sw('en')})) / 5.0,
+                 1.0) * 0.3
+         + (CASE WHEN len(qt) > 0
+                 THEN len(list_distinct(qt)) / CAST(len(qt) AS DOUBLE)
+                 ELSE 0.0 END) * 0.3, 6) AS quality
+FROM qtoks
+"""
 
 
 PIPELINE_END_TO_END_SQL = f"""
