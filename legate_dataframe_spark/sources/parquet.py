@@ -44,6 +44,7 @@ def parquet_write(
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
     max_records_per_file: int | None = None,
+    cluster_by: Sequence[str] | None = None,
 ) -> None:
     """Write a parquet directory (reference layout, parquet.hpp:104).
 
@@ -56,7 +57,20 @@ def parquet_write(
     high-cardinality partition key = millions of tiny files.
     ``max_records_per_file`` caps file size where partitions are
     skewed (one giant date directory would otherwise emit one giant
-    file per task)."""
+    file per task).
+
+    ``cluster_by`` range-partitions then sorts rows by the given
+    columns before writing, so each file/row-group covers a narrow
+    value range and its parquet min/max statistics actually prune: a
+    later ``WHERE col BETWEEN …`` skips whole row groups (zone maps).
+    Unclustered data has every row group spanning the full value range
+    — stats exist but never exclude anything.  Pick the column(s) the
+    dominant queries filter on (ship/event date, usually).  Costs one
+    range shuffle at write time, amortized over every later scan —
+    the storage-side sibling of bucketing (`core/bucketing.py`)."""
+    if cluster_by:
+        df = (df.repartitionByRange(*cluster_by)
+              .sortWithinPartitions(*cluster_by))
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -57,6 +57,39 @@ def test_partitioned_write_prunes(spark, tmpdir_str):
         parquet_read(spark, out).filter(F.col("day") == "0").count()
 
 
+def test_clustered_write_narrows_rowgroup_stats(spark, tmpdir_str):
+    """cluster_by must produce files whose per-file value ranges are
+    disjoint slices (zone maps that actually prune), vs the unclustered
+    control where every file spans ~the whole domain."""
+    import pyarrow.parquet as pq
+
+    df = (spark.range(0, 100_000, numPartitions=8)
+          .withColumn("k", (F.col("id") * 7919) % 100_000))
+
+    def file_ranges(d):
+        ranges = []
+        for p in sorted(glob.glob(f"{d}/part-*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            ci = md.row_group(0).column(1)  # k
+            lo, hi = ci.statistics.min, ci.statistics.max
+            for rg in range(1, md.num_row_groups):
+                s = md.row_group(rg).column(1).statistics
+                lo, hi = min(lo, s.min), max(hi, s.max)
+            ranges.append((lo, hi))
+        return sorted(ranges)
+
+    plain, clustered = f"{tmpdir_str}/plain", f"{tmpdir_str}/clust"
+    parquet_write(df, plain)
+    parquet_write(df, clustered, cluster_by=["k"])
+    span = lambda rs: sum(hi - lo for lo, hi in rs)  # noqa: E731
+    # every unclustered file spans ~the full domain; clustered files
+    # tile it -> total span shrinks by ~#files
+    assert span(file_ranges(clustered)) < span(file_ranges(plain)) / 4
+    # clustered ranges are non-overlapping slices
+    rs = file_ranges(clustered)
+    assert all(rs[i][1] <= rs[i + 1][0] for i in range(len(rs) - 1))
+
+
 def test_load_table_directory_layout(spark, tmpdir_str):
     """load_table must accept directory-of-parts tables (the production
     layout) including its timestamp handling, not just the testdata's
