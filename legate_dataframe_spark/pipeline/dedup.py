@@ -230,6 +230,7 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     shingle_k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: signatures within ``max_hamming`` bits.
 
@@ -270,6 +271,15 @@ def simhash_pairs(
         ])).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"),
              F.col("bk.bv").alias("bv"))
+    if max_bucket_size is not None:
+        # same boilerplate-cluster guard as minhash_lsh_pairs: a k-doc
+        # template bucket emits O(k²) pairs on one join key (skew bomb)
+        from pyspark.sql import Window as _W
+
+        banded = (banded
+                  .withColumn("__n", F.count("*").over(
+                      _W.partitionBy("band", "bv")))
+                  .filter(F.col("__n") <= max_bucket_size).drop("__n"))
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(r, (F.col("l.band") == F.col("r.band"))

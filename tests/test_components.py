@@ -48,6 +48,15 @@ def test_keep_canonical(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 4, 5, 7]
 
 
+def test_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
+    docs = spark.createDataFrame([(1, "a"), (2, "b")],
+                                 "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert keep_canonical(docs, pairs).count() == 2  # nothing dropped
+
+
 def test_components_partition_invariance(spark):
     edges = [(i % 17, (i * 5) % 17) for i in range(40)] + [(100, 101)]
     prev = spark.conf.get("spark.sql.shuffle.partitions")

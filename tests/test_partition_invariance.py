@@ -19,6 +19,7 @@ REPRESENTATIVE = [
     "sort_topk",             # TakeOrderedAndProject
     "window_cumsum",         # ordered window frames
     "dedup_minhash",         # multi-stage LSH pipeline
+    "dedup_clusters",        # iterative label propagation
     "skew_salted_agg",       # two-phase salted re-agg
     "events_tumbling",       # time windowing
 ]
