@@ -10,10 +10,11 @@ from legate_dataframe_spark.operators.copying import concatenate, copy_if_else, 
 from legate_dataframe_spark.operators.filling import sequence
 from legate_dataframe_spark.operators.replace import replace_nulls
 from legate_dataframe_spark.operators.search import contains
+from legate_dataframe_spark.operators.asof import asof_join
 
 __all__ = [
     "join", "JoinType", "BroadcastInput", "groupby_aggregation",
     "reduce_column", "sort", "apply_boolean_mask", "distinct",
     "concatenate", "copy_if_else", "slice_table", "sequence",
-    "replace_nulls", "contains",
+    "replace_nulls", "contains", "asof_join",
 ]
