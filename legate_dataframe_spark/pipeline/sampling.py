@@ -1,0 +1,56 @@
+"""Deterministic dataset splitting — train/val/test assignment that is
+reproducible across runs, partitionings, and engines.
+
+``DataFrame.randomSplit`` is none of those (it samples per-partition
+with a seed, so adding one input file reshuffles every assignment).
+Hash-splitting assigns each row by a pure function of its id: stable
+under re-runs, appends, repartitioning, and engine changes — the
+property a training pipeline needs so yesterday's val doc can never
+leak into tomorrow's train set.  md5 keeps it reproducible in DuckDB
+for the oracle gate (same discipline as the minhash pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Uniform bucket in [0, 1e6) from md5(salt || id) — first 8 hex
+    chars as an integer (F.conv), mod 1e6."""
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(_BUCKETS))
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Label each row with its split by cumulative fraction bands.
+
+    ``fractions`` e.g. ``{"train": 0.9, "val": 0.05, "test": 0.05}``
+    (must sum to 1 ± 1e-9; band edges are exact integers so the same
+    row lands in the same split everywhere)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        edge = int(round(cum * _BUCKETS))
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn(out_col, expr)

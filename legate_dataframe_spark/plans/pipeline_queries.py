@@ -271,6 +271,37 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_SCORES_SQL = None  # assigned below once the CTE helper exists
 
 
+def train_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split of documents + per-split stats; the
+    oracle reproduces the exact md5-bucket assignment, proving the
+    split is engine-independent (the property that prevents val→train
+    leakage across pipeline reruns)."""
+    from legate_dataframe_spark.pipeline.sampling import split_by_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    s = split_by_hash(d, "doc_id",
+                      {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (s.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(text.token_count(F.col("text")))
+                 .alias("total_tokens")))
+
+
+TRAIN_SPLIT_SQL = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000000 AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+FROM b GROUP BY 1
+"""
+
+
 def _quality_filtered_cte() -> str:
     sw = _sw("en")
     return rf"""

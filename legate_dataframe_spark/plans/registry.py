@@ -90,6 +90,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_clusters": (pq.dedup_clusters, pq.DEDUP_CLUSTERS_SQL),
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
     "quality_scores": (pq.quality_scores, pq.QUALITY_SCORES_SQL),
+    "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
     "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
     # multimodal plumbing (binary payloads through mapInPandas)
