@@ -95,6 +95,47 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means on the embedding corpus → (centroid_id,
+    embedding) after ``n_iter`` iterations from the k lowest-id seed
+    vectors (deterministic init — no RNG, reproducible anywhere).
+
+    Each iteration is fully distributed: one broadcast-centroid
+    assignment pass over the corpus (``ivf_assign``: no corpus
+    shuffle), then an element-wise mean via posexplode + groupBy
+    (shuffles k×dim rows, not the corpus).  ``localCheckpoint``
+    truncates lineage per iteration like pipeline/components.py.
+    Means are rounded to 6 decimals each iteration so the refinement
+    is bit-reproducible across engines (the DuckDB oracle unrolls the
+    same iterations).  Clusters that lose all members drop out
+    (k shrinks) rather than being re-seeded — deterministic.
+    """
+    cen = (corpus.orderBy(id_col).limit(k)
+           .select(F.col(id_col).alias("centroid_id"),
+                   _to_double(F.col(vec_col)).alias(vec_col)))
+    for _ in range(n_iter):
+        assigned = ivf_assign(corpus, cen, id_col, vec_col)
+        joined = assigned.select(id_col, "centroid_id") \
+            .join(corpus.select(id_col, vec_col), id_col)
+        expl = joined.select(
+            "centroid_id",
+            F.posexplode(_to_double(F.col(vec_col))).alias("pos", "val"))
+        means = (expl.groupBy("centroid_id", "pos")
+                 .agg(F.round(F.avg("val"), 6).alias("m")))
+        cen = (means.groupBy("centroid_id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                   lambda s: s["m"]).alias(vec_col)))
+        cen = cen.localCheckpoint(eager=True)
+    return cen
+
+
 def ivf_search(
     corpus_assigned: DataFrame,
     centroids: DataFrame,

@@ -554,6 +554,45 @@ SELECT vec_id, cent_id AS centroid_id, cos_sim FROM r WHERE rn = 1
 """
 
 
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations over the embedding corpus from the 8
+    lowest-id seeds; output = refined centroids exploded to scalar
+    rows so the hash compare is exact.  Oracle unrolls the identical
+    iterations in SQL — full value-parity for an iterative algorithm."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = similarity.kmeans_refine(e, k=8, n_iter=2)
+    return cen.select(
+        "centroid_id",
+        F.posexplode("embedding").alias("pos", "m")
+    ).select("centroid_id", F.col("pos").cast("long").alias("pos"), "m")
+
+
+KMEANS_SQL = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round(list_cosine_similarity(e.v, cv), 6) DESC, cid) AS rn
+         FROM emb e, c0) WHERE rn = 1),
+x1 AS (SELECT a1.cid, unnest(e.v) AS val,
+              unnest(range(1, len(e.v) + 1)) AS pos
+       FROM a1 JOIN emb e USING (vec_id)),
+m1 AS (SELECT cid, pos, round(avg(val), 6) AS m FROM x1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT e.vec_id, cid,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                  round(list_cosine_similarity(e.v, cv), 6) DESC, cid) AS rn
+         FROM emb e, c1) WHERE rn = 1),
+x2 AS (SELECT a2.cid, unnest(e.v) AS val,
+              unnest(range(1, len(e.v) + 1)) AS pos
+       FROM a2 JOIN emb e USING (vec_id)),
+m2 AS (SELECT cid, pos, round(avg(val), 6) AS m FROM x2 GROUP BY 1, 2)
+SELECT cid AS centroid_id, CAST(pos - 1 AS BIGINT) AS pos, m FROM m2
+"""
+
+
 def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: probe the 2 nearest of 8 centroids per query, exact
     re-rank inside the probed clusters only (the IVF scale path: work

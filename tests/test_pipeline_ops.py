@@ -120,6 +120,24 @@ def test_ivf_assign_clusters(vectors):
     assert got[30] == 2
 
 
+def test_kmeans_refine_moves_centroids_to_cluster_means(vectors):
+    cen = {r.centroid_id: r.embedding
+           for r in similarity.kmeans_refine(vectors, k=3, n_iter=2).collect()}
+    assert set(cen) == {0, 1, 2}
+    # centroid 0's cluster = {0,10,11}: mean x ≈ (1+.9+.95)/3 = .95
+    assert abs(cen[0][0] - 0.95) < 0.01
+    # each refined centroid stays dominant on its own axis
+    for cid in (0, 1, 2):
+        assert cen[cid][cid] == max(cen[cid])
+
+
+def test_kmeans_refine_partition_invariant(vectors):
+    a = sorted(map(repr, similarity.kmeans_refine(vectors, 3, 2).collect()))
+    b = sorted(map(repr, similarity.kmeans_refine(
+        vectors.repartition(7), 3, 2).collect()))
+    assert a == b
+
+
 def test_ivf_search_matches_brute_force_on_probed_clusters(vectors):
     cen = vectors.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
