@@ -666,6 +666,37 @@ FROM events GROUP BY 1, 2
 """
 
 
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day cohort retention: per day, how many active users
+    were also active the previous day.  Shape: dedup to distinct
+    (user, day) — tiny vs the event stream — then a self-join shifted
+    by one day; the raw events shuffle once for the dedup, never for
+    the join."""
+    e = load_table(spark, sf_dir, "events")
+    ud = (e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+          .distinct())
+    a, b = ud.alias("a"), ud.alias("b")
+    return (a.join(b,
+                   (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.date_add(F.col("b.day"), 1) == F.col("a.day")),
+                   "left")
+            .groupBy(F.col("a.day").alias("day"))
+            .agg(F.countDistinct(F.col("a.user_id")).alias("active_users"),
+                 F.countDistinct(F.col("b.user_id")).alias("retained_users")))
+
+
+USER_RETENTION_SQL = """
+WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events)
+SELECT a.day AS day,
+       count(DISTINCT a.user_id) AS active_users,
+       count(DISTINCT b.user_id) AS retained_users
+FROM ud a LEFT JOIN ud b
+  ON a.user_id = b.user_id AND b.day + INTERVAL 1 DAY = a.day
+GROUP BY a.day
+"""
+
+
 def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return stream_windows.sliding_window_agg(e)

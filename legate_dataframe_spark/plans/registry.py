@@ -76,6 +76,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_topn_per_group": (r.window_topn_per_group, r.WINDOW_TOPN_SQL),
     # event windowing / sessionization
     "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),
+    "user_retention": (pq.user_retention, pq.USER_RETENTION_SQL),
     "events_sliding": (pq.events_sliding, pq.EVENTS_SLIDING_SQL),
     "sessionize": (pq.sessionize, pq.SESSIONIZE_SQL),
     # text analysis
