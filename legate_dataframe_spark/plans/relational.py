@@ -1565,10 +1565,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     asia = _region_suppliers(spark, sf_dir, "ASIA")
+    # `joined` feeds BOTH the stats and late branches; without a
+    # persist Spark runs the fact-fact join twice (no cross-branch
+    # CSE — same lesson as pipeline/components.py).  Project down to
+    # the 3 consumed columns first so the cached footprint is minimal.
     joined = (l.join(o, l.l_orderkey == o.o_orderkey)
               .withColumn("is_late",
                           F.col("l_shipdate") > F.col("o_orderdate")
-                          + F.expr("INTERVAL 60 DAYS")))
+                          + F.expr("INTERVAL 60 DAYS"))
+              .select("l_orderkey", "l_suppkey", "is_late")
+              .persist())
     stats = (joined.groupBy("l_orderkey")
              .agg(F.count_distinct("l_suppkey").alias("nsupp"),
                   F.count_distinct(F.when(F.col("is_late"),

