@@ -1387,8 +1387,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
                       .select("s_suppkey")),
                  l.l_suppkey == F.col("s_suppkey")))
+    # per_part feeds both the global total and the detail filter —
+    # persist so the lineitem aggregation runs once (no cross-branch CSE)
     per_part = (nat_lines.groupBy("l_partkey")
-                .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents")))
+                .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+                .persist())
     total = per_part.agg(F.sum("value_cents").alias("total_cents"))
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -1455,6 +1458,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))
                    * (100 - _cents(F.col("l_discount")))).alias("rev_units"))
+        # consumed by max() and the detail filter — persist to run the
+        # lineitem aggregation once (no cross-branch CSE)
+        .persist()
     )
     best = rev.agg(F.max("rev_units").alias("max_units"))
     return (
