@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from legate_dataframe_spark.core.partitioning import widen_partitions
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),       # image|audio|video
@@ -84,7 +86,10 @@ def extract_features(media: DataFrame, dim: int = 8,
             })
             yield out
 
-    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+    # decode is the textbook compute-heavy per-row pass: a narrow input
+    # (few files/row-groups) must be widened or it runs on one core
+    return widen_partitions(media.select("media_id", "payload")) \
+        .mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
