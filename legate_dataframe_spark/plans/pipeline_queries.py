@@ -567,7 +567,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("centroid_id", F.col("pos").cast("long").alias("pos"), "m")
 
 
-KMEANS_SQL = """
+_KMEANS_CTES = """
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 c0 AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 8),
 a1 AS (SELECT vec_id, cid FROM (
@@ -588,8 +588,57 @@ a2 AS (SELECT vec_id, cid FROM (
 x2 AS (SELECT a2.cid, unnest(e.v) AS val,
               unnest(range(1, len(e.v) + 1)) AS pos
        FROM a2 JOIN emb e USING (vec_id)),
-m2 AS (SELECT cid, pos, round(avg(val), 6) AS m FROM x2 GROUP BY 1, 2)
+m2 AS (SELECT cid, pos, round(avg(val), 6) AS m FROM x2 GROUP BY 1, 2)"""
+
+KMEANS_SQL = _KMEANS_CTES + """
 SELECT cid AS centroid_id, CAST(pos - 1 AS BIGINT) AS pos, m FROM m2
+"""
+
+
+def ann_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ANN pipeline: TRAIN centroids (2 Lloyd iterations)
+    then probe-pruned search over them — train → assign → probe →
+    exact re-rank, all one lazy plan (the kmeans iterations execute
+    when the search materializes).  Oracle = kmeans CTEs + search CTEs
+    chained, so even the trained-index search is value-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = similarity.kmeans_refine(e, k=8, n_iter=2)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    assigned = similarity.ivf_assign(e, cen).select("vec_id", "centroid_id") \
+        .join(e, "vec_id")
+    return similarity.ivf_search(assigned, cen, q, k=5, n_probe=2)
+
+
+ANN_KMEANS_SQL = _KMEANS_CTES + """,
+c2 AS (SELECT cid AS cent_id, list(m ORDER BY pos) AS cv
+       FROM m2 GROUP BY cid),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.v, cv), 6) DESC,
+             cent_id) AS rn
+    FROM emb e, c2) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q_id, cent_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             round(list_cosine_similarity(qv, cv), 6) DESC, cent_id) AS rn
+    FROM q, c2) WHERE rn <= 2),
+cand AS (
+  SELECT p.q_id AS q_id, a.vec_id AS c_id,
+         round(list_cosine_similarity(e.v, qv), 6) AS cos_sim
+  FROM assign a
+  JOIN probe p ON a.cent_id = p.cent_id
+  JOIN emb e ON e.vec_id = a.vec_id
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id != p.q_id)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id) AS rank
+  FROM cand) WHERE rank <= 5
 """
 
 

@@ -102,6 +102,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
     "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
     "kmeans_centroids": (pq.kmeans_centroids, pq.KMEANS_SQL),
+    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
     "embedding_norms": (pq.embedding_norms, pq.EMBEDDING_NORMS_SQL),
     # scalar parity extras
     "replace_nulls": (pq.replace_nulls_q, pq.REPLACE_NULLS_SQL),
