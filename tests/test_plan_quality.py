@@ -130,6 +130,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "similarity_topk",       # corpus × |Q| broadcast query vectors
         "ann_ivf_assign",        # corpus × broadcast centroids
         "ann_ivf_search",        # probes × broadcast centroids
+        "kmeans_centroids",      # corpus × broadcast centroids per iter
+        "ann_kmeans_search",     # trained centroids broadcast, same shape
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
