@@ -99,6 +99,15 @@ def test_q21_single_fact_shuffle(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2
 
 
+@pytest.mark.parametrize("name", ["q11_important_parts", "q15_top_supplier"])
+def test_global_agg_vs_detail_shares_subtree(spark, sf_dir, name):
+    # the per-key aggregate feeds both the global threshold/max and the
+    # detail filter — both consumers must read the persisted subtree
+    # (InMemoryTableScan), not re-run the lineitem aggregation.
+    plan = plan_of(QUERIES[name](spark, sf_dir), "simple")
+    assert plan.count("InMemoryTableScan") >= 2, name
+
+
 def test_q16_anti_join_broadcast(spark, sf_dir):
     plan = plan_of(QUERIES["q16_supplier_count"](spark, sf_dir), "simple")
     assert "LeftAnti, BuildRight" in plan
