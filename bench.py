@@ -96,10 +96,16 @@ def main() -> None:
 
     spark = get_session(app_name="ldf-bench", master=f"local[{cpus}]")
 
+    from legate_dataframe_spark.core.caching import release_caches
+
     def run(name: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        elapsed = time.perf_counter() - t0
+        # each repeat persists fresh frames; release between runs so run
+        # N+1 doesn't time against run N's lingering cached blocks
+        release_caches()
+        return elapsed
 
     # warm up the JVM / parquet readers / codegen on the smallest query
     run("sort_topk")

@@ -65,7 +65,31 @@ def salted_join(
     left_keys = list(left_keys)
 
     if hot_keys is not None:
-        hot = F.array(*[F.lit(k) for k in hot_keys])
+        # fail loudly on a key/literal dtype mismatch: array_contains
+        # with e.g. int literals against a string key column matches
+        # nothing, silently restoring the original skew while still
+        # paying the replication cost (ADVICE r01)
+        l_dtype = dict(left.dtypes)[left_keys[0]]
+        r_dtype = dict(right.dtypes)[right_keys[0]]
+        if l_dtype != r_dtype:
+            raise TypeError(
+                f"salted_join hot_keys: left key {left_keys[0]!r} is "
+                f"{l_dtype} but right key {right_keys[0]!r} is {r_dtype}")
+        _num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+        base = "bigint" if l_dtype in _num else l_dtype
+        for k in hot_keys:
+            py_ok = (isinstance(k, (int, float)) and not isinstance(k, bool)
+                     if base == "bigint" or l_dtype in _num
+                     else isinstance(k, str) if l_dtype == "string"
+                     else True)
+            if not py_ok:
+                raise TypeError(
+                    f"salted_join hot_keys: literal {k!r} "
+                    f"({type(k).__name__}) does not match key column "
+                    f"{left_keys[0]!r} of type {l_dtype}")
+        # cast literals to the key column's exact type so comparison
+        # never falls back to a lossy implicit coercion
+        hot = F.array(*[F.lit(k).cast(l_dtype) for k in hot_keys])
         l_salted = left.withColumn(
             _SALT,
             F.when(F.array_contains(hot, F.col(left_keys[0])),

@@ -24,8 +24,9 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 # SURVEY §1: Spark has no unsigned ints; widen on ingest.  uint64 does not
-# fit in long — we map it to long and document the overflow caveat rather
-# than DecimalType(20,0), trading exactness above 2^63 for arithmetic speed.
+# fit in long — the default maps it to long (overflow caveat above 2^63,
+# trading exactness for arithmetic speed); ``uint64_as="decimal"`` opts in
+# to exact DecimalType(20,0) semantics instead.
 _UNSIGNED_WIDENING = {
     pa.uint8(): pa.int16(),
     pa.uint16(): pa.int32(),
@@ -34,11 +35,17 @@ _UNSIGNED_WIDENING = {
 }
 
 
-def _widen_unsigned(table: pa.Table) -> pa.Table:
+def _widen_unsigned(table: pa.Table, uint64_as: str = "long") -> pa.Table:
+    if uint64_as not in ("long", "decimal"):
+        raise ValueError(f"uint64_as must be 'long' or 'decimal', got {uint64_as!r}")
+    widening = dict(_UNSIGNED_WIDENING)
+    if uint64_as == "decimal":
+        # exact for the full uint64 range — Spark DecimalType(20,0)
+        widening[pa.uint64()] = pa.decimal128(20, 0)
     fields = []
     changed = False
     for f in table.schema:
-        target = _UNSIGNED_WIDENING.get(f.type)
+        target = widening.get(f.type)
         if target is not None:
             fields.append(pa.field(f.name, target, f.nullable))
             changed = True
@@ -65,9 +72,23 @@ class LogicalTable:
 
     # -- construction ---------------------------------------------------
     @classmethod
-    def from_arrow(cls, spark: SparkSession, table: pa.Table) -> "LogicalTable":
-        """Scatter a local Arrow table to the cluster (table.hpp:85-88)."""
-        return cls(spark.createDataFrame(_widen_unsigned(table).to_pandas()))
+    def from_arrow(cls, spark: SparkSession, table: pa.Table,
+                   uint64_as: str = "long") -> "LogicalTable":
+        """Scatter a local Arrow table to the cluster (table.hpp:85-88).
+
+        ``uint64_as="decimal"`` maps uint64 → DecimalType(20,0): exact
+        above 2^63 (the reference keeps native uint64,
+        cpp/src/utils.cpp:30-93) at decimal-arithmetic cost; the default
+        long mapping is exact below 2^63 and integer-fast.
+        """
+        widened = _widen_unsigned(table, uint64_as)
+        # explicit schema: createDataFrame's sampling inference guesses
+        # decimal(19,0) for Decimal objects, which truncates uint64
+        # values above 10^19-1
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return cls(spark.createDataFrame(
+            widened.to_pandas(), schema=from_arrow_schema(widened.schema)))
 
     @classmethod
     def read_parquet(cls, spark: SparkSession, *paths: str,

@@ -7,8 +7,9 @@ Design for 100 TB:
   explode to (band_idx, band_hash) → self-join per bucket.  The join key
   includes band_idx so buckets stay small; candidate pairs are then
   exact-verified with Jaccard.  No all-pairs comparison ever happens.
-- SimHash: 64-bit signature from md5 bits of tokens; near-dup = equal
-  simhash bucket (or Hamming ≤ k via rotation tables at scale).
+- SimHash: signature from md5 bits of shingles; near-dup = Hamming ≤ k
+  via pigeonhole banding (bands auto-widen to k+1, so any radius is
+  exactly recalled through equi-joins — no all-pairs scan).
 - n-gram Jaccard: exact verification primitive; only ever run on
   LSH/blocked candidate pairs, never all-pairs.
 
@@ -21,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from legate_dataframe_spark.core.caching import tracked_persist
 from legate_dataframe_spark.core.partitioning import widen_partitions
 
 
@@ -128,12 +130,10 @@ def minhash_lsh_pairs(
     # tokenize+hash pass per consumer (no automatic cross-branch CSE —
     # the reference models this as an explicit Cache node, dsl/ir.py:632).
     # MEMORY_AND_DISK spills instead of OOMing on a 100 TB corpus.
-    from pyspark import StorageLevel
-
-    sh = docs.select(
+    sh = tracked_persist(docs.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+    ).filter(F.size("sh") > 0))
     # stage the per-shingle hashes as a real column, then the signature
     # (md5 runs once per shingle, not once per hash function)
     sig = (sh.select("id", shingle_hashes(F.col("sh")).alias("hh"))
@@ -197,15 +197,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs Jaccard within blocking-key groups (exact, for small
     blocks; use minhash_lsh_pairs when blocks are large)."""
-    from pyspark import StorageLevel
-
     # both sides of the self-join read this frame — persist so the
     # shingle pass runs once (spill-capable at corpus scale).
-    base = widen_partitions(docs).select(
+    base = tracked_persist(widen_partitions(docs).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     l = base.alias("l")
     r = base.alias("r")
     cond = (F.col("l.id") < F.col("r.id"))
@@ -241,32 +239,58 @@ def simhash_pairs(
     (they would all share signature 0).
 
     Banding makes the pairing exact without an all-pairs scan: split the
-    signature into ``bands`` chunks; any two signatures differing in
-    ≤ bands-1 bits must agree on at least one full chunk (pigeonhole),
-    so an equi-join on (band_idx, chunk_value) recalls every qualifying
-    pair.  One narrow map + one equi-join shuffle keyed by small-int
-    buckets — no cross join at any scale.
+    signature into ``bands`` chunks; ``h`` differing bits corrupt at
+    most ``h`` chunks, so two signatures within Hamming ``h`` agree on
+    at least one full chunk whenever ``bands ≥ h+1`` (pigeonhole) and an
+    equi-join on (band_idx, chunk_value) recalls every qualifying pair.
+    When ``max_hamming > bands-1`` the band count auto-widens to
+    ``max_hamming+1`` — the multi-index generalization (same machinery
+    as Manku et al.'s rotated simhash tables, expressed as more/narrower
+    equi-join buckets; shorter chunks trade precision — bigger candidate
+    buckets — for the wider exact-recall radius).  One narrow map + one
+    equi-join shuffle keyed by small-int buckets — no cross join at any
+    scale.
     """
-    assert max_hamming <= bands - 1, "banding is only exact for hamming <= bands-1"
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
     docs = widen_partitions(docs)
-    from pyspark import StorageLevel
-
     feats = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
     # the signature (bit-voting over every shingle × `bits` positions) is
     # the expensive map; both self-join sides consume it — persist so it
     # runs once per doc, not twice.
-    sig = (docs.select(F.col(id_col).alias("id"), feats.alias("ft"))
-           .filter(F.size("ft") > 0)
-           .select("id", _simhash_of(F.col("ft"), bits).alias("simhash"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    sig = tracked_persist(
+        docs.select(F.col(id_col).alias("id"), feats.alias("ft"))
+        .filter(F.size("ft") > 0)
+        .select("id", _simhash_of(F.col("ft"), bits).alias("simhash")))
+    return simhash_pairs_from_signatures(
+        sig, bits=bits, bands=bands, max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size)
+
+
+def simhash_pairs_from_signatures(
+    sig: DataFrame,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded pairing stage over an (id, simhash) frame — exact for any
+    ``max_hamming`` (bands auto-widen to ``max_hamming+1``); split out
+    so the recall guarantee is testable on handcrafted signatures."""
+    if max_hamming > bands - 1:
+        # pigeonhole needs one band more than the error budget
+        bands = max_hamming + 1
+    if bands > bits:
+        raise ValueError(f"bands={bands} exceeds signature bits={bits}")
+    # uneven widths cover every bit: h differing bits corrupt ≤ h bands
+    # regardless of where they land, so exactness is width-independent
+    widths = [bits // bands + (1 if i < bits % bands else 0)
+              for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
     banded = sig.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("simhash", b * band_bits)
-                     .bitwiseAND(F.lit(mask)).alias("bv"))
+                     F.shiftright("simhash", offsets[b])
+                     .bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("bv"))
             for b in range(bands)
         ])).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"),

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from legate_dataframe_spark.core.caching import tracked_persist
 from legate_dataframe_spark.core.partitioning import widen_partitions
 
 
@@ -233,15 +234,13 @@ def cosine_neardup_pairs(
                  .alias("bv"))
         for b in range(bands)
     ]
-    from pyspark import StorageLevel
-
     # n_planes dot products per vector feed both self-join sides —
     # persist so the sign bits are computed once (spill-capable).
-    base = widen_partitions(embeddings).select(
+    base = tracked_persist(widen_partitions(embeddings).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         F.explode(F.array(*band_vals)).alias("bk"),
     ).select("id", "vec", F.col("bk.band").alias("band"),
-             F.col("bk.bv").alias("bv")).persist(StorageLevel.MEMORY_AND_DISK)
+             F.col("bk.bv").alias("bv")))
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, (F.col("l.band") == F.col("r.band"))

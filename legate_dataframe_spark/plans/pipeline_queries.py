@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from legate_dataframe_spark.core.caching import tracked_persist
 from legate_dataframe_spark.pipeline import dedup, similarity, text
 from legate_dataframe_spark.plans.relational import load_table
 from legate_dataframe_spark.streaming import windows as stream_windows
@@ -253,7 +254,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter((F.col("lang_pred") == "en")
                         & (F.col("quality") >= 0.5))
                 .select("doc_id", "text", "quality"))
-    filtered = filtered.persist()  # consumed by LSH + keep_canonical
+    filtered = tracked_persist(filtered)  # consumed by LSH + keep_canonical
     pairs = dedup.minhash_lsh_pairs(filtered, num_hashes=_NUM_HASHES,
                                     bands=_BANDS, jaccard_threshold=0.5)
     kept = keep_canonical(filtered, pairs.select("id_a", "id_b"))

@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from legate_dataframe_spark.core.caching import release_caches
 from legate_dataframe_spark.plans import pipeline_queries as pq
 from legate_dataframe_spark.plans import relational as r
 from legate_dataframe_spark.plans.relational import load_table
@@ -127,7 +128,26 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
 }
 
-QUERIES: dict[str, QueryFn] = {k: v[0] for k, v in _REGISTRY.items()}
+def _with_cache_release(fn: QueryFn) -> QueryFn:
+    """Release the previous query's tracked persists before planning the
+    next one (ADVICE r01: persists had no matching unpersist, so ~90
+    queries in one driver session accumulated cached blocks for its
+    lifetime).  Released subtrees recompute if ever re-consumed —
+    correctness-safe by construction."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_caches()
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+QUERIES: dict[str, QueryFn] = {
+    k: _with_cache_release(v[0]) for k, v in _REGISTRY.items()
+}
 ORACLES: dict[str, str] = {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
 
 __all__ = ["QUERIES", "ORACLES", "load_table"]

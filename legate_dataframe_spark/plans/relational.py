@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from legate_dataframe_spark.core.caching import tracked_persist
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
@@ -45,7 +47,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     schema_path = path
     if os.path.isdir(path):  # directory-of-parts table (production layout)
-        parts = sorted(_glob.glob(f"{path}/*.parquet")) or [path]
+        # recursive: a Hive-partitioned layout (col=val/part-*.parquet —
+        # what parquet_write(partition_by=...) produces) has no data
+        # files at the top level
+        parts = (sorted(_glob.glob(f"{path}/*.parquet"))
+                 or sorted(_glob.glob(f"{path}/**/*.parquet", recursive=True))
+                 or [path])
         schema_path = parts[0]
     # ns detection MUST use the parquet physical type: INT64 +
     # TIMESTAMP(NANOS) is what Spark rejects (or, under the legacy
@@ -60,11 +67,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         and "timeUnit=nanoseconds" in str(psch.column(i).logical_type)
     }
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ltz_normalize(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _ltz_normalize(df)
+
+
+def _ltz_normalize(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (LTZ).
+
+    Parquet µs timestamps with isAdjustedToUTC=false infer as
+    TIMESTAMP_NTZ under Spark 4, while the ns→µs path above produces
+    LTZ — one engine-wide timestamp type keeps literal comparisons,
+    double-casts, and oracle schema checks uniform.  The session
+    timezone is pinned to UTC in ``load_table``, so the cast is a pure
+    reinterpretation (no instant shift).
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -1389,9 +1415,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  l.l_suppkey == F.col("s_suppkey")))
     # per_part feeds both the global total and the detail filter —
     # persist so the lineitem aggregation runs once (no cross-branch CSE)
-    per_part = (nat_lines.groupBy("l_partkey")
-                .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
-                .persist())
+    per_part = tracked_persist(
+        nat_lines.groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents")))
     total = per_part.agg(F.sum("value_cents").alias("total_cents"))
     return (
         per_part.crossJoin(F.broadcast(total))
@@ -1458,10 +1484,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_cents(F.col("l_extendedprice"))
                    * (100 - _cents(F.col("l_discount")))).alias("rev_units"))
-        # consumed by max() and the detail filter — persist to run the
-        # lineitem aggregation once (no cross-branch CSE)
-        .persist()
     )
+    # consumed by max() and the detail filter — persist to run the
+    # lineitem aggregation once (no cross-branch CSE)
+    rev = tracked_persist(rev)
     best = rev.agg(F.max("rev_units").alias("max_units"))
     return (
         rev.crossJoin(F.broadcast(best))
@@ -1575,12 +1601,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist Spark runs the fact-fact join twice (no cross-branch
     # CSE — same lesson as pipeline/components.py).  Project down to
     # the 3 consumed columns first so the cached footprint is minimal.
-    joined = (l.join(o, l.l_orderkey == o.o_orderkey)
-              .withColumn("is_late",
-                          F.col("l_shipdate") > F.col("o_orderdate")
-                          + F.expr("INTERVAL 60 DAYS"))
-              .select("l_orderkey", "l_suppkey", "is_late")
-              .persist())
+    joined = tracked_persist(
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn("is_late",
+                    F.col("l_shipdate") > F.col("o_orderdate")
+                    + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "is_late"))
     stats = (joined.groupBy("l_orderkey")
              .agg(F.count_distinct("l_suppkey").alias("nsupp"),
                   F.count_distinct(F.when(F.col("is_late"),

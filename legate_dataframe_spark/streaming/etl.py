@@ -51,6 +51,15 @@ def incremental_etl(
          .outputMode("append")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     if q.exception() is not None:
         raise q.exception()
+    if not finished:
+        # timed out with the query still running: stop it and fail loudly —
+        # returning silently would let callers read a partially-drained
+        # sink or start a conflicting run on the same checkpoint
+        q.stop()
+        raise TimeoutError(
+            f"incremental_etl: backlog not drained within {timeout_s}s "
+            f"(src={src_dir}); query stopped, checkpoint remains valid — "
+            "re-run to resume")

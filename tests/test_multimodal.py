@@ -1,8 +1,10 @@
 """Multimodal plumbing: binary columns + Arrow-batched feature UDF.
 
-The decode kernels are stubbed (no codec libs here) — these tests
-exercise the REAL distributed parts: schema, mapInPandas batching,
-partitioning, null payloads.
+Decode kernels try-import PIL/soundfile on the executor and fall back
+to the deterministic fake feature when absent (this sandbox has
+neither) — these tests exercise the REAL distributed parts either
+way: schema, mapInPandas batching, partitioning, null payloads,
+graceful fallback.
 """
 
 from __future__ import annotations
@@ -45,9 +47,34 @@ def test_extract_features_deterministic(media):
     assert a == b
 
 
-def test_extract_features_real_decoder_stubbed(media):
-    with pytest.raises(NotImplementedError, match="codec"):
-        extract_features(media, fake=False)
+def test_extract_features_real_decode_falls_back(media):
+    """fake=False must not fail when codecs are missing: each kind
+    falls back to the fake feature (warning on the executor), and when
+    PIL exists image features come from real pixel decode."""
+    out = {r["media_id"]: r for r in
+           extract_features(media, dim=8, fake=False).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[4]["feature"] is None  # null payload stays null
+    from legate_dataframe_spark.pipeline.multimodal import codecs_available
+    if not codecs_available()["image"]:
+        # fallback = identical to the fake path
+        fake = {r["media_id"]: r["feature"] for r in
+                extract_features(media, dim=8).collect()}
+        assert out[1]["feature"] == fake[1]
+    else:
+        # payload bytes aren't a real PNG → decode failure → null
+        assert out[1]["feature"] is None
+
+
+def test_resize_images_real_path_passthrough(media):
+    """fake=False resize without PIL passes payloads through; schema is
+    the 4-column resized shape either way."""
+    out = {r["media_id"]: r for r in resize_images(media, 8, 8, fake=False).collect()}
+    assert set(out) == {1, 2}
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out.values())
+    from legate_dataframe_spark.pipeline.multimodal import codecs_available
+    if not codecs_available()["image"]:
+        assert out[1]["payload"] == bytes([1, 2, 3, 4] * 8)
 
 
 def test_frame_sample_plan(media):

@@ -173,3 +173,35 @@ def test_fingerprint_order_insensitive(spark):
                                "doc_id: long, text: string")
     fp = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
     assert fp[1] == fp[2] and fp[1] != fp[3]
+
+
+def test_simhash_wide_radius_auto_widens_bands(spark):
+    """max_hamming > bands-1 must still recall exactly (multi-index
+    banding: bands auto-widen to max_hamming+1).  Signatures are
+    handcrafted so the 4 differing bits corrupt all 4 original uniform
+    bands of a 16-bit/4-band split — the pre-widening scheme would miss
+    the pair; pigeonhole over 5 bands cannot."""
+    base = 0b1010_0110_0101_1001
+    # flip one bit inside each uniform 4-bit band (positions 0,5,10,15)
+    worst = base ^ ((1 << 0) | (1 << 5) | (1 << 10) | (1 << 15))
+    far = base ^ 0b0110_1011_1010_0110  # hamming 9 — must stay excluded
+    sig = spark.createDataFrame(
+        [(1, base), (2, worst), (3, far)], "id: long, simhash: long")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_pairs_from_signatures(
+                 sig, bits=16, bands=4, max_hamming=4).collect()}
+    assert pairs == {(1, 2): 4}
+
+
+def test_simhash_pairs_from_signatures_matches_bruteforce(spark):
+    """Banded recall == brute-force Hamming filter on a random-ish set
+    (exactness, not just the constructed worst case)."""
+    import itertools
+    vals = [(i, (i * 2654435761) % (1 << 20)) for i in range(40)]
+    want = {(a, b) for (a, va), (b, vb) in itertools.combinations(vals, 2)
+            if bin(va ^ vb).count("1") <= 6}
+    sig = spark.createDataFrame(vals, "id: long, simhash: long")
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_pairs_from_signatures(
+               sig, bits=20, bands=3, max_hamming=6).collect()}
+    assert got == want

@@ -177,3 +177,17 @@ def test_logical_table_rejects_duplicate_names(spark):
     df = spark.createDataFrame([(1, 2)], "a: long, b: long").selectExpr("a", "b as a")
     with pytest.raises(ValueError, match="duplicate"):
         LogicalTable(df)
+
+
+def test_uint64_exact_decimal_mode(spark):
+    """uint64 > 2^63 survives exactly with uint64_as='decimal'
+    (DecimalType(20,0)); the default long mapping is documented-lossy
+    there (SURVEY §1 policy)."""
+    big = 2**63 + 12345  # not representable in a signed long
+    tbl = pa.table({"u64": pa.array([1, big], pa.uint64())})
+    lt = LogicalTable.from_arrow(spark, tbl, uint64_as="decimal")
+    assert lt.df.schema["u64"].dataType.simpleString() == "decimal(20,0)"
+    vals = sorted(int(v) for v in lt.to_arrow().column("u64").to_pylist())
+    assert vals == [1, big]
+    with pytest.raises(ValueError):
+        LogicalTable.from_arrow(spark, tbl, uint64_as="nope")
