@@ -264,6 +264,26 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("quality"), 4).alias("avg_quality"))
 
 
+def byte_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy mapInArrow task surface over the documents table —
+    per-doc byte/ASCII counts computed on raw Arrow buffers
+    (pipeline/custom.py arrow_task, the reference's
+    __legate_data_interface__ analogue, lib/core/column.pyx:232)."""
+    from legate_dataframe_spark.pipeline.custom import doc_byte_stats_arrow
+
+    d = load_table(spark, sf_dir, "documents")
+    return doc_byte_stats_arrow(d)
+
+
+BYTE_STATS_ARROW_SQL = r"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS BIGINT)
+           AS n_ascii
+FROM documents
+"""
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return text.quality_score(d).select("doc_id", "quality")

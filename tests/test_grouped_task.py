@@ -52,3 +52,40 @@ def test_grouped_task_generic(spark):
     out = {r.k: r.span for r in
            grouped_task(df, ["k"], span, "k long, span double").collect()}
     assert out == {1: 2.0, 2: 0.0}
+
+
+def test_arrow_task_differential_vs_pandas(spark, sf_dir):
+    """mapInArrow kernel must agree exactly with its mapInPandas twin
+    on the real documents table (zero-copy surface differential)."""
+    from legate_dataframe_spark.pipeline.custom import (
+        doc_byte_stats_arrow,
+        doc_byte_stats_pandas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: (r.n_bytes, r.n_ascii)
+         for r in doc_byte_stats_arrow(docs).collect()}
+    p = {r.doc_id: (r.n_bytes, r.n_ascii)
+         for r in doc_byte_stats_pandas(docs).collect()}
+    assert a == p
+    assert len(a) == docs.count()
+
+
+def test_arrow_task_generic_passthrough(spark):
+    """arrow_task ships raw RecordBatches both ways."""
+    import pyarrow as pa
+
+    from legate_dataframe_spark.pipeline.custom import arrow_task
+
+    df = spark.createDataFrame([(1, 2.0), (2, 4.0)], "k long, v double")
+
+    def double_v(batches):
+        import pyarrow.compute as pc
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pc.multiply(b.column(1), 2.0)],
+                names=["k", "v"])
+
+    out = {r.k: r.v for r in
+           arrow_task(df, double_v, "k long, v double").collect()}
+    assert out == {1: 4.0, 2: 8.0}
