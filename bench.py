@@ -42,7 +42,7 @@ HEADLINE = [
 ]
 
 
-def join_throughput_gibs(spark, nrows: int = 1 << 20, nruns: int = 3) -> float:
+def join_throughput_gibs(spark, nrows: int = 1 << 24, nruns: int = 3) -> float:
     """Inner-join GiB/s, mirroring the reference harness
     (python/benchmarks/join.py:106-176): two tables of nrows × (key,
     data) float64, keys a permutation of [0, nrows) on each side
@@ -52,6 +52,11 @@ def join_throughput_gibs(spark, nrows: int = 1 << 20, nruns: int = 3) -> float:
     distributed and the output size is exactly nrows — same shape as
     the reference's argsort(random) permutation without a driver-side
     materialization.
+
+    Default 2^24 rows (1 GiB through the join): at 2^20 the metric is
+    fixed-overhead-bound (~0.05 GiB/s regardless of engine work) and
+    meaningless as a throughput — BASELINE.md records ~0.13 GiB/s at
+    2^24 where the shuffle actually dominates.
     """
     import statistics
 
@@ -126,7 +131,7 @@ def main() -> None:
         "sf": sf_num if sf_num is not None else sf,
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         # reference harness metric shape (join.py:158-166): inner-join
-        # throughput over 2×2^20-row float64 tables, unique keys.
+        # throughput over 2×2^24-row float64 tables, unique keys.
         "join_gibs": join_throughput_gibs(spark),
     }))
 
