@@ -153,9 +153,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    jaccard_threshold=0.5)
 
 
-def _minhash_sql(source: str = "documents") -> str:
-    # Kirsch-Mitzenmacher minhash (mirrors pipeline/dedup.py): one md5
-    # per shingle → h1/h2 32-bit ints → fn j = (h1 + j*h2) mod 2^32.
+def _lsh_cand_ctes(source: str = "documents") -> str:
+    """Shared CTE chain text→shingles→signatures→bands→cand (mirrors
+    pipeline/dedup.py's Kirsch-Mitzenmacher minhash: one md5 per
+    shingle → h1/h2 32-bit ints → fn j = (h1 + j*h2) mod 2^32)."""
     mh_exprs = ",\n         ".join(
         f"list_min(list_transform(hh, p -> (p.h1 + {j} * p.h2) % 4294967296)) AS mh{j}"
         for j in range(_NUM_HASHES))
@@ -165,8 +166,7 @@ def _minhash_sql(source: str = "documents") -> str:
             b=b, concat=sep.join(f"CAST(mh{b * _ROWS + r} AS VARCHAR)"
                                  for r in range(_ROWS)))
         for b in range(_BANDS))
-    return rf"""
-WITH toks AS (
+    return rf"""toks AS (
   SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
   FROM {source}),
 shg AS (
@@ -188,7 +188,12 @@ bands AS (
 {band_selects}),
 cand AS (
   SELECT DISTINCT l.id AS id_a, r.id AS id_b
-  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id),
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id)"""
+
+
+def _minhash_sql(source: str = "documents") -> str:
+    return rf"""
+WITH {_lsh_cand_ctes(source)},
 v AS (
   SELECT c.id_a, c.id_b,
          list_distinct(a.sh) AS sa, list_distinct(b.sh) AS sb
@@ -203,6 +208,32 @@ WHERE jaccard >= 0.5
 
 
 DEDUP_MINHASH_SQL = _minhash_sql()
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked bounded-edit-distance near-dup pairs
+    (pipeline/dedup.py levenshtein_pairs): same banded-minhash
+    candidates as dedup_minhash, verified with thresholded levenshtein
+    on normalized text instead of shingle Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.levenshtein_pairs(d, num_hashes=_NUM_HASHES, bands=_BANDS,
+                                   max_rel_dist=0.2, max_abs_dist=200)
+
+
+DEDUP_LEVENSHTEIN_SQL = rf"""
+WITH {_lsh_cand_ctes()},
+nrm AS (
+  SELECT doc_id AS id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS txt
+  FROM documents),
+v AS (
+  SELECT c.id_a, c.id_b, a.txt AS ta, b.txt AS tb
+  FROM cand c JOIN nrm a ON a.id = c.id_a JOIN nrm b ON b.id = c.id_b)
+SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+FROM v
+WHERE levenshtein(ta, tb) <= 200
+  AND levenshtein(ta, tb) <= floor(0.2 * greatest(length(ta), length(tb)))
+"""
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

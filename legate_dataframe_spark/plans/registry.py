@@ -35,6 +35,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
     "dedup_clusters": (pq.dedup_clusters, pq.DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
+    "dedup_levenshtein": (pq.dedup_levenshtein, pq.DEDUP_LEVENSHTEIN_SQL),
     "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
     # similarity search

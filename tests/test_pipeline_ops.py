@@ -205,3 +205,21 @@ def test_simhash_pairs_from_signatures_matches_bruteforce(spark):
            for r in dedup.simhash_pairs_from_signatures(
                sig, bits=20, bands=3, max_hamming=6).collect()}
     assert got == want
+
+
+def test_levenshtein_pairs_typo_neardups(spark):
+    """Character-level near-dups (small typos) pair with their exact
+    edit distance; unrelated docs and over-threshold edits don't."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "qvick")),            # 1 edit
+        (3, "a completely different document about spark and arrow ok"),
+        (4, base + " " + "extra " * 30),                # way past 20%
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pairs = {(r["id_a"], r["id_b"]): r["edit_dist"]
+             for r in dedup.levenshtein_pairs(df, max_rel_dist=0.2).collect()}
+    assert pairs[(1, 2)] == 1
+    assert all(3 not in p for p in pairs)
+    assert (1, 4) not in pairs and (2, 4) not in pairs
