@@ -767,6 +767,76 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg through a REAL Structured Streaming run.
+
+    Executes readStream(events) → watermark → windowed agg →
+    foreachBatch parquet sink with ``trigger(availableNow=True)`` (drain
+    everything visible, then stop), and returns the reconstructed final
+    aggregate — so the driver's DuckDB oracle hash-checks an actual
+    streaming execution against batch SQL, not a batch re-expression.
+
+    Append mode can't be oracle-complete (windows newer than
+    max_event_time − watermark never close before the query stops), so
+    this uses UPDATE mode with last-update-wins reconstruction: each
+    micro-batch appends its changed (window, key) rows stamped with
+    batch_id; the final value of every key is its row from the highest
+    batch_id — the same pattern that upserts streaming aggregates into
+    a serving store.  Reconstruction is a window-function DataFrame op;
+    nothing is collected to the driver.
+
+    Scale: watermark bounds state (closed windows evict); the sink
+    receives only changed aggregate rows per batch, never raw events.
+    """
+    import tempfile
+
+    from pyspark.sql import Window as _W
+
+    # load_table pins session tz UTC and yields the LTZ-normalized
+    # schema; declaring it on readStream reads the same files with
+    # identical timestamp semantics as the batch path
+    schema = load_table(spark, sf_dir, "events").schema
+    # glob, not bare path: the file source requires a directory
+    # basePath, and `events.parquet` may be a single file (testdata) or
+    # a directory of parts (production layout) — the glob serves both
+    stream = (spark.readStream.schema(schema)
+              .parquet(f"{sf_dir}/events.parquet*"))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "sum_value"))
+    outdir = tempfile.mkdtemp(prefix="ldf_stream_tumbling_out_")
+    ck = tempfile.mkdtemp(prefix="ldf_stream_tumbling_ck_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(outdir))
+
+    q = (agg.writeStream.outputMode("update").foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    finished = q.awaitTermination(300)
+    if q.exception() is not None:
+        raise q.exception()
+    if not finished:
+        q.stop()
+        raise TimeoutError("events_stream_tumbling: drain exceeded 300s")
+    upd = spark.read.parquet(outdir)
+    last = _W.partitionBy("window_start", "event_type").orderBy(
+        F.desc("batch_id"))
+    return (upd.withColumn("__rn", F.row_number().over(last))
+            .filter(F.col("__rn") == 1).drop("__rn", "batch_id"))
+
+
+EVENTS_STREAM_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day cohort retention: per day, how many active users
     were also active the previous day.  Shape: dedup to distinct

@@ -59,6 +59,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_frames": (pq.multimodal_frames, pq.MULTIMODAL_FRAMES_SQL),
     # event windowing / sessionization
     "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),
+    "events_stream_tumbling": (pq.events_stream_tumbling,
+                               pq.EVENTS_STREAM_TUMBLING_SQL),
     "user_retention": (pq.user_retention, pq.USER_RETENTION_SQL),
     "events_sliding": (pq.events_sliding, pq.EVENTS_SLIDING_SQL),
     "sessionize": (pq.sessionize, pq.SESSIONIZE_SQL),

@@ -88,3 +88,18 @@ def test_stateful_user_stats_matches_batch(spark, events_dir):
     want = batch_user_stats(static)
     assert _rows(got) == _rows(want)
     assert got.count() > 0
+
+
+def test_events_stream_tumbling_matches_batch(spark, sf_dir):
+    """The registry's real-streaming tumbling query (update mode +
+    foreachBatch last-update-wins) equals the batch window agg."""
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        events_stream_tumbling,
+        events_tumbling,
+    )
+
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+           for r in events_stream_tumbling(spark, sf_dir).collect()}
+    want = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in events_tumbling(spark, sf_dir).collect()}
+    assert got == want
