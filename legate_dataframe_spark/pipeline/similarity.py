@@ -264,3 +264,126 @@ def embedding_norms(embeddings: DataFrame, vec_col: str = "embedding",
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.avg("norm"), 6).alias("avg_norm"))
     )
+
+
+# ---------------------------------------------------------------- product
+# quantization (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search") — the compact-code ANN family the reference lacks entirely.
+
+def _subvectors(df: DataFrame, m: int, dim: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """Explode each vector into m contiguous subvectors →
+    (id, sub_id, sv).  One narrow map, no shuffle."""
+    sd = dim // m
+    subs = F.array(*[
+        F.struct(F.lit(s).alias("sub_id"),
+                 F.slice(_to_double(F.col(vec_col)), s * sd + 1, sd).alias("sv"))
+        for s in range(m)
+    ])
+    return (df.select(F.col(id_col).alias("id"), F.explode(subs).alias("b"))
+            .select("id", F.col("b.sub_id").alias("sub_id"),
+                    F.col("b.sv").alias("sv")))
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Rounded squared euclidean distance (round 6 ⇒ the DuckDB oracle
+    reproduces the exact value, same policy as the kmeans oracle)."""
+    return F.round(F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v), 6)
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    dim: int = 64,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks → (sub_id, cid, cv array<double>).
+
+    All m subspaces train in ONE distributed Lloyd's pass per
+    iteration (grouped by sub_id), not m sequential jobs: assignment
+    is a broadcast join of the exploded subvector frame against the
+    m×k codebook rows; means shuffle m×k×(dim/m) scalar rows — never
+    the corpus.  Seeds = subvectors of the k lowest-id vectors
+    (deterministic, no RNG — reproducible in any engine).
+    """
+    sub = _subvectors(widen_partitions(corpus), m, dim, id_col, vec_col)
+    cen = _subvectors(corpus.orderBy(id_col).limit(k), m, dim,
+                      id_col, vec_col) \
+        .select("sub_id", F.col("id").alias("cid"), F.col("sv").alias("cv"))
+    for _ in range(n_iter):
+        assigned = _pq_assign(sub, cen)
+        expl = (assigned.join(sub, ["id", "sub_id"])
+                .select("sub_id", "cid",
+                        F.posexplode("sv").alias("pos", "val")))
+        means = (expl.groupBy("sub_id", "cid", "pos")
+                 .agg(F.round(F.avg("val"), 6).alias("mv")))
+        cen = (means.groupBy("sub_id", "cid")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                   lambda s: s["mv"]).alias("cv")))
+        cen = cen.localCheckpoint(eager=True)
+    return cen
+
+
+def _pq_assign(sub: DataFrame, cen: DataFrame) -> DataFrame:
+    """Nearest codebook entry per (id, sub_id) by squared L2
+    (broadcast codebook; ties break on lowest cid)."""
+    scored = (sub.join(F.broadcast(cen), "sub_id")
+              .withColumn("d2", _l2sq(F.col("sv"), F.col("cv"))))
+    w = W.partitionBy("id", "sub_id").orderBy("d2", "cid")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "sub_id", "cid"))
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → compact codes (id, sub_id, code): m small ints per
+    vector instead of dim floats — the 8-32× footprint cut that makes
+    billion-vector search fit a cluster's memory."""
+    sub = _subvectors(widen_partitions(corpus), m, dim, id_col, vec_col)
+    return _pq_assign(sub, codebooks) \
+        .select("id", "sub_id", F.col("cid").alias("code"))
+
+
+def pq_adc_search(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query build the m×k distance
+    table against the codebooks (tiny: |q|·m·k rows), then one equi-
+    join with the corpus CODES on (sub_id, code) and a sum per
+    (q_id, c_id).  Raw corpus vectors are never touched at query time
+    — work scales with |codes|, not |corpus|·dim."""
+    qsub = _subvectors(queries, m, dim, id_col, vec_col) \
+        .select(F.col("id").alias("q_id"), "sub_id", "sv")
+    dtab = (qsub.join(F.broadcast(codebooks), "sub_id")
+            .select("q_id", "sub_id", F.col("cid").alias("code"),
+                    _l2sq(F.col("sv"), F.col("cv")).alias("d2")))
+    scored = (codes.withColumnRenamed("id", "c_id")
+              .join(dtab, ["sub_id", "code"])
+              .groupBy("q_id", "c_id")
+              .agg(F.round(F.sum("d2"), 6).alias("approx_d2")))
+    scored = scored.filter(F.col("q_id") != F.col("c_id"))
+    w = W.partitionBy("q_id").orderBy("approx_d2", "c_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("q_id", "c_id", "approx_d2",
+                    F.col("rank").cast("long").alias("rank")))

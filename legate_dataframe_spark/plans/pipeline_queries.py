@@ -741,6 +741,100 @@ SELECT q_id, c_id, cos_sim, rank FROM (
 """
 
 
+# ------------------------------------------------------ product quantization
+_PQ_M, _PQ_K, _PQ_DIM = 4, 4, 64
+_PQ_SD = _PQ_DIM // _PQ_M
+
+
+def _pq_sub_sql(src: str = "emb") -> str:
+    """Subvector explosion CTE body (DuckDB 1-based inclusive slices)."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {s} AS sub_id, v[{s * _PQ_SD + 1}:{(s + 1) * _PQ_SD}] AS sv FROM {src}"
+        for s in range(_PQ_M))
+
+
+_PQ_D2 = ("round(list_sum(list_transform(range(1, len(sv) + 1), "
+          "i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), 6)")
+
+# train one Lloyd iteration per subspace (seeds = subvectors of the
+# _PQ_K lowest-id vectors), mirroring similarity.pq_train exactly
+_PQ_CTES = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+{_pq_sub_sql()}),
+c0 AS (SELECT sub_id, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+a1 AS (SELECT vec_id, sub_id, cid FROM (
+         SELECT s.vec_id, s.sub_id, c.cid,
+                row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+                  {_PQ_D2} ASC, c.cid) AS rn
+         FROM sub s JOIN c0 c USING (sub_id)) WHERE rn = 1),
+x1 AS (SELECT a1.sub_id, a1.cid, unnest(s.sv) AS val,
+              unnest(range(1, len(s.sv) + 1)) AS pos
+       FROM a1 JOIN sub s ON s.vec_id = a1.vec_id AND s.sub_id = a1.sub_id),
+m1 AS (SELECT sub_id, cid, pos, round(avg(val), 6) AS mv
+       FROM x1 GROUP BY 1, 2, 3),
+cb AS (SELECT sub_id, cid, list(mv ORDER BY pos) AS cv
+       FROM m1 GROUP BY sub_id, cid),
+codes AS (SELECT vec_id, sub_id, cid AS code FROM (
+            SELECT s.vec_id, s.sub_id, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY
+                     {_PQ_D2} ASC, c.cid) AS rn
+            FROM sub s JOIN cb c USING (sub_id)) WHERE rn = 1)"""
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: train per-subspace codebooks (one
+    Lloyd iteration, deterministic seeds) and encode every vector as
+    m small ints — the 8-32× footprint cut that lets billion-vector
+    indexes fit cluster memory.  All m subspaces train in one
+    distributed pass (pipeline/similarity.py pq_train); oracle unrolls
+    the identical iteration in SQL."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(e, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, n_iter=1)
+    return (similarity.pq_encode(e, cb, m=_PQ_M, dim=_PQ_DIM)
+            .select(F.col("id").alias("vec_id"),
+                    F.col("sub_id").cast("long").alias("sub_id"),
+                    F.col("code").cast("long").alias("code")))
+
+
+PQ_CODES_SQL = _PQ_CTES + """
+SELECT vec_id, CAST(sub_id AS BIGINT) AS sub_id, CAST(code AS BIGINT) AS code
+FROM codes
+"""
+
+
+def pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed PQ pipeline: train → encode → asymmetric-distance
+    top-5.  At query time only the compact codes and the per-query
+    m×k distance tables are touched — never raw corpus vectors; work
+    scales with |codes|, not |corpus|·dim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_train(e, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, n_iter=1)
+    codes = similarity.pq_encode(e, cb, m=_PQ_M, dim=_PQ_DIM)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.pq_adc_search(codes, cb, q, topk=5,
+                                    m=_PQ_M, dim=_PQ_DIM)
+
+
+PQ_ADC_SEARCH_SQL = _PQ_CTES + """,
+q AS (SELECT vec_id, sub_id, sv FROM sub WHERE vec_id % 50 = 0),
+dtab AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cid AS code,
+         round(list_sum(list_transform(range(1, len(q.sv) + 1),
+               i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), 6) AS d2
+  FROM q JOIN cb c USING (sub_id)),
+scored AS (
+  SELECT d.q_id, k.vec_id AS c_id, round(sum(d.d2), 6) AS approx_d2
+  FROM codes k JOIN dtab d ON d.sub_id = k.sub_id AND d.code = k.code
+  GROUP BY 1, 2)
+SELECT q_id, c_id, approx_d2, rank FROM (
+  SELECT q_id, c_id, approx_d2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY approx_d2 ASC, c_id) AS rank
+  FROM scored WHERE q_id != c_id) WHERE rank <= 5
+"""
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_norms(e)

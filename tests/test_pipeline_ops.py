@@ -223,3 +223,29 @@ def test_levenshtein_pairs_typo_neardups(spark):
     assert pairs[(1, 2)] == 1
     assert all(3 not in p for p in pairs)
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_pq_encode_compact_codes(vectors):
+    """PQ codes: m small ints per vector, all in [0, k)."""
+    cb = similarity.pq_train(vectors, m=3, k=3, dim=3, n_iter=1)
+    codes = similarity.pq_encode(vectors, cb, m=3, dim=3).collect()
+    n_vecs = vectors.count()
+    assert len(codes) == n_vecs * 3  # one code per (vector, subspace)
+    assert all(0 <= r["code"] < 100 for r in codes)
+    cids = {r["cid"] for r in cb.collect()}
+    assert all(r["code"] in cids for r in codes)
+
+
+def test_pq_adc_search_finds_cluster_neighbors(vectors):
+    """ADC top-k on the axis clusters must rank same-cluster vectors
+    first (approximate, but this geometry is unambiguous)."""
+    cb = similarity.pq_train(vectors, m=3, k=3, dim=3, n_iter=1)
+    codes = similarity.pq_encode(vectors, cb, m=3, dim=3)
+    q = vectors.filter(F.col("vec_id") == 10)
+    out = sorted(similarity.pq_adc_search(codes, cb, q, topk=3, m=3, dim=3)
+                 .collect(), key=lambda r: r["rank"])
+    # 0/11 share vec-10's quantization cell; axis-y/z clusters do not
+    top = {r["c_id"] for r in out[:2]}
+    assert top <= {0, 11, 1}
+    assert all(r1["approx_d2"] <= r2["approx_d2"]
+               for r1, r2 in zip(out, out[1:]))
