@@ -377,8 +377,11 @@ def pq_adc_search(
     dtab = (qsub.join(F.broadcast(codebooks), "sub_id")
             .select("q_id", "sub_id", F.col("cid").alias("code"),
                     _l2sq(F.col("sv"), F.col("cv")).alias("d2")))
+    # dtab is |q|·m·k rows — broadcast it so the (huge) code table
+    # never shuffles; same query-side-small assumption as
+    # brute_force_topk
     scored = (codes.withColumnRenamed("id", "c_id")
-              .join(dtab, ["sub_id", "code"])
+              .join(F.broadcast(dtab), ["sub_id", "code"])
               .groupBy("q_id", "c_id")
               .agg(F.round(F.sum("d2"), 6).alias("approx_d2")))
     scored = scored.filter(F.col("q_id") != F.col("c_id"))
