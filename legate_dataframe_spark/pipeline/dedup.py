@@ -415,11 +415,19 @@ def levenshtein_pairs(
     )
     ta = norm.select(F.col("id").alias("id_a"), F.col("txt").alias("ta"))
     tb = norm.select(F.col("id").alias("id_b"), F.col("txt").alias("tb"))
-    dist = F.levenshtein(F.col("ta"), F.col("tb"), max_abs_dist)
     limit = F.floor(F.lit(max_rel_dist)
                     * F.greatest(F.length("ta"), F.length("tb")))
+    # two semantics-preserving guards before the O(n·k) distance:
+    # - dist ≥ |len_a − len_b|, so a length gap past the limit can
+    #   never qualify — filter BEFORE computing levenshtein;
+    # - exact replicas (the dominant candidate class on template/
+    #   mirror corpora) short-circuit to 0 via an O(n) equality test.
+    len_gap = F.abs(F.length("ta") - F.length("tb"))
+    dist = F.when(F.col("ta") == F.col("tb"), F.lit(0)) \
+        .otherwise(F.levenshtein(F.col("ta"), F.col("tb"), max_abs_dist))
     return (
         cand.join(ta, "id_a").join(tb, "id_b")
+        .filter(len_gap <= F.least(F.lit(max_abs_dist), limit))
         .withColumn("edit_dist", dist)
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= limit))
         .select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))

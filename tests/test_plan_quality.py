@@ -158,3 +158,21 @@ def test_sequence_is_local_range(spark, sf_dir):
     plan = plan_of(QUERIES["sequence_agg"](spark, sf_dir), "simple")
     assert "Range (1" in plan
     assert "FileScan" not in plan
+
+
+def test_pq_adc_search_all_broadcast_joins(spark, sf_dir):
+    """The corpus-sized code table must never shuffle: codebooks and
+    the per-query distance table ride broadcast-side."""
+    plan = plan_of(QUERIES["pq_adc_search"](spark, sf_dir), "simple")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dedup_levenshtein_equi_joins_only(spark, sf_dir):
+    """Edit-distance dedup must stay LSH-blocked: band-bucket and
+    id-keyed equi-joins, no cartesian, and the thresholded (3-arg)
+    levenshtein in the condition."""
+    plan = plan_of(QUERIES["dedup_levenshtein"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "levenshtein" in plan

@@ -79,3 +79,25 @@ def test_salted_groupby_rejects_nonalgebraic(skewed):
     fact, _ = skewed
     with pytest.raises(ValueError):
         salted_groupby(fact, ["k"], {"d": ("v", "count_distinct")})
+
+
+def test_salted_join_hot_keys_dtype_mismatch_raises(spark):
+    """int hot_keys against a string key column must fail loudly, not
+    silently skip salting (the replication cost without the benefit)."""
+    import pytest as _pytest
+
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "k: string, v: int")
+    right = spark.createDataFrame([("a", 10)], "k: string, w: int")
+    with _pytest.raises(TypeError, match="hot_keys"):
+        salted_join(left, right, ["k"], hot_keys=[1, 2])
+
+
+def test_salted_join_hot_keys_numeric_literals_cast(spark):
+    """Numeric hot_keys against a numeric key column salt correctly
+    (literals cast to the column's exact type)."""
+    left = spark.createDataFrame([(1, "x")] * 50 + [(2, "y")],
+                                 "k: int, v: string")
+    right = spark.createDataFrame([(1, "hot"), (2, "cold")],
+                                  "k: int, d: string")
+    out = salted_join(left, right, ["k"], hot_keys=[1], salt=4)
+    assert out.count() == 51  # identical to the unsalted join

@@ -191,3 +191,18 @@ def test_uint64_exact_decimal_mode(spark):
     assert vals == [1, big]
     with pytest.raises(ValueError):
         LogicalTable.from_arrow(spark, tbl, uint64_as="nope")
+
+
+def test_load_table_hive_partitioned_directory(spark, tmpdir_str):
+    """load_table's schema sniff must find data files in a
+    Hive-partitioned layout (col=val/part-*.parquet) — the layout
+    parquet_write(partition_by=...) produces."""
+    from legate_dataframe_spark.plans.relational import load_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)],
+        "id: long, grp: string, v: double")
+    parquet_write(df, f"{tmpdir_str}/tbl.parquet", partition_by=["grp"])
+    back = load_table(spark, tmpdir_str, "tbl")
+    assert back.count() == 3
+    assert {r.grp for r in back.select("grp").distinct().collect()} == {"a", "b"}
