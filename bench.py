@@ -41,6 +41,16 @@ HEADLINE = [
     "ann_ivf_assign",
 ]
 
+# round-2 flagships, timed and reported under "extra_queries" (kept out
+# of the headline total so BENCH totals stay baseline-comparable)
+EXTRA = [
+    "dedup_levenshtein",
+    "pq_codes",
+    "pq_adc_search",
+    "byte_stats_arrow",
+    "events_stream_tumbling",
+]
+
 
 def join_throughput_gibs(spark, nrows: int = 1 << 24, nruns: int = 3) -> float:
     """Inner-join GiB/s, mirroring the reference harness
@@ -124,12 +134,20 @@ def main() -> None:
         times[name] = round(min(run(name) for _ in range(3)), 3)
         release_caches()
 
+    # round-2 additions, reported separately so the headline total stays
+    # comparable against BASELINE.md's 21-query suite
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        extra[name] = round(min(run(name) for _ in range(3)), 3)
+        release_caches()
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "extra_queries": extra,
         "sf": sf_num if sf_num is not None else sf,
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         # reference harness metric shape (join.py:158-166): inner-join
