@@ -228,3 +228,57 @@ def test_scalar_grid_matches_duckdb(grid_results, col, label):
         got, want = spark_rows[row][col], duck_rows[row][idx]
         assert _close(got, want), (
             f"{label} row {row}: spark={got!r} duckdb={want!r}")
+
+
+# ---------------------------------------------------------------- strings
+# STRING_OPS differential vs DuckDB over unicode / empty / null /
+# whitespace / regex-metacharacter values.  Known divergence kept OUT
+# of the grid and pinned separately below: upper('ß') is 'SS' in Spark
+# (Java full case mapping) but 'ẞ' (capital sharp s) in DuckDB.
+STR_VALUES = ["Hello World", "", None, "  padded  ", "ünïcödé",
+              "a.b*c", "line1\nline2", "ALLCAPS", "hello"]
+
+STRING_CASES = [
+    ("starts_with", "he", None, "starts_with(s, 'he')"),
+    ("ends_with", "lo", None, "ends_with(s, 'lo')"),
+    ("match_substring", "l1", None, "contains(s, 'l1')"),
+    ("match_substring_regex", "^[a-z]+$", None,
+     "regexp_matches(s, '^[a-z]+$')"),
+    ("lowercase", None, None, "lower(s)"),
+    ("uppercase", None, None, "upper(s)"),
+    ("strip_chars", None, None, "trim(s)"),
+    ("len_chars", None, None, "CAST(length(s) AS INTEGER)"),
+    ("reverse", None, None, "reverse(s)"),
+    ("replace", "l+", "L", "regexp_replace(s, 'l+', 'L', 'g')"),
+]
+
+
+@pytest.mark.parametrize("op,pat,repl,dsql", STRING_CASES,
+                         ids=[c[0] for c in STRING_CASES])
+def test_string_ops_match_duckdb(spark, op, pat, repl, dsql):
+    from legate_dataframe_spark.functions.strings import string_function
+
+    sdf = spark.createDataFrame([(v,) for v in STR_VALUES], "s: string")
+    got = [r["r"] for r in
+           sdf.select(string_function(F.col("s"), op, pat, repl).alias("r"))
+           .collect()]
+    con = duckdb.connect()
+    vals = ", ".join("(NULL)" if v is None else "(" + "'" + v.replace("'", "''") + "')"
+                     for v in STR_VALUES)
+    want = [row[0] for row in con.execute(
+        f"SELECT {dsql} FROM (VALUES {vals}) AS t(s)").fetchall()]
+    assert got == want, f"{op}: spark={got!r} duckdb={want!r}"
+
+
+def test_uppercase_sharp_s_divergence_pinned(spark):
+    """Engine-semantics pin: Java's full case mapping expands ß → SS;
+    DuckDB maps ß → ẞ.  The engine exposes Spark/Java semantics — this
+    test documents the divergence so a future engine change is loud."""
+    from legate_dataframe_spark.functions.strings import string_function
+
+    sdf = spark.createDataFrame([("straße",)], "s: string")
+    got = sdf.select(string_function(F.col("s"), "uppercase").alias("r")) \
+        .collect()[0]["r"]
+    assert got == "STRASSE"
+    duck = duckdb.connect().execute("SELECT upper('straße')").fetchone()[0]
+    assert duck == "STRAẞE"  # what DuckDB does instead
