@@ -22,6 +22,9 @@ REPRESENTATIVE = [
     "dedup_clusters",        # iterative label propagation
     "skew_salted_agg",       # two-phase salted re-agg
     "events_tumbling",       # time windowing
+    "dedup_levenshtein",     # LSH candidates + thresholded edit distance
+    "pq_adc_search",         # trained codebooks + code-table join
+    "byte_stats_arrow",      # mapInArrow partition task
 ]
 
 

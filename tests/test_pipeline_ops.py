@@ -249,3 +249,17 @@ def test_pq_adc_search_finds_cluster_neighbors(vectors):
     assert top <= {0, 11, 1}
     assert all(r1["approx_d2"] <= r2["approx_d2"]
                for r1, r2 in zip(out, out[1:]))
+
+
+def test_new_ops_empty_input(spark):
+    """Empty corpora must yield empty results, not errors (the classic
+    breakage for multi-stage pipelines with seeds/limits)."""
+    empty_docs = spark.createDataFrame([], "doc_id: long, text: string")
+    assert dedup.levenshtein_pairs(empty_docs).count() == 0
+    empty_vecs = spark.createDataFrame([], "vec_id: long, embedding: array<float>")
+    cb = similarity.pq_train(empty_vecs, m=2, k=2, dim=4, n_iter=1)
+    assert cb.count() == 0
+    assert similarity.pq_encode(empty_vecs, cb, m=2, dim=4).count() == 0
+    assert similarity.pq_adc_search(
+        similarity.pq_encode(empty_vecs, cb, m=2, dim=4), cb,
+        empty_vecs, topk=3, m=2, dim=4).count() == 0
