@@ -390,3 +390,50 @@ def pq_adc_search(
             .filter(F.col("rank") <= topk)
             .select("q_id", "c_id", "approx_d2",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def ivfpq_search(
+    corpus: DataFrame,
+    coarse_centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    n_probe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cluster pruning + compact-code ADC — the
+    FAISS-style index shape, composed from ``ivf_assign`` (cosine
+    coarse quantizer) and the PQ pieces.
+
+    Query-time work = |probed clusters' codes| × m lookups: the coarse
+    probe cuts the candidate set ~(n_probe/n_clusters)×, and ADC never
+    touches raw corpus vectors.  Both pruning structures ride
+    broadcast-side; the corpus-sized code table never shuffles.
+    """
+    codes = pq_encode(corpus, codebooks, m, dim, id_col, vec_col) \
+        .withColumnRenamed("id", "c_id")
+    assign = ivf_assign(corpus, coarse_centroids, id_col, vec_col) \
+        .select(F.col(id_col).alias("c_id"),
+                F.col("centroid_id").alias("cent_id"))
+    probe = _probe_n(queries, coarse_centroids, n_probe, id_col, vec_col)
+    qsub = _subvectors(queries, m, dim, id_col, vec_col) \
+        .select(F.col("id").alias("q_id"), "sub_id", "sv")
+    dtab = (qsub.join(F.broadcast(codebooks), "sub_id")
+            .select("q_id", "sub_id", F.col("cid").alias("code"),
+                    _l2sq(F.col("sv"), F.col("cv")).alias("d2")))
+    # candidate codes: corpus rows whose coarse cluster is probed by q
+    cand = (codes.join(assign, "c_id")
+            .join(F.broadcast(probe), "cent_id")
+            .select("q_id", "c_id", "sub_id", "code"))
+    scored = (cand.join(F.broadcast(dtab), ["q_id", "sub_id", "code"])
+              .groupBy("q_id", "c_id")
+              .agg(F.round(F.sum("d2"), 6).alias("approx_d2")))
+    scored = scored.filter(F.col("q_id") != F.col("c_id"))
+    w = W.partitionBy("q_id").orderBy("approx_d2", "c_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("q_id", "c_id", "approx_d2",
+                    F.col("rank").cast("long").alias("rank")))

@@ -835,6 +835,61 @@ SELECT q_id, c_id, approx_d2, rank FROM (
 """
 
 
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (the FAISS shape): coarse cosine clusters
+    prune candidates to the probed n_probe/8 of the corpus, then
+    asymmetric distance over trained PQ codes ranks them — query-time
+    work touches codes only, never raw vectors.  Oracle chains the
+    coarse-assign, probe, PQ-training and ADC CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coarse = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    cb = similarity.pq_train(e, m=_PQ_M, k=_PQ_K, dim=_PQ_DIM, n_iter=1)
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.ivfpq_search(e, coarse, cb, q, topk=5, n_probe=2,
+                                   m=_PQ_M, dim=_PQ_DIM)
+
+
+IVFPQ_SEARCH_SQL = _PQ_CTES + """,
+coarse AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+             c.cent_id) AS rn
+    FROM emb e, coarse c) WHERE rn = 1),
+q AS (SELECT vec_id, sub_id, sv FROM sub WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT e.vec_id AS q_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+             c.cent_id) AS rn
+    FROM emb e, coarse c WHERE e.vec_id % 50 = 0) WHERE rn <= 2),
+dtab AS (
+  SELECT q.vec_id AS q_id, q.sub_id, c.cid AS code,
+         round(list_sum(list_transform(range(1, len(q.sv) + 1),
+               i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i]))), 6) AS d2
+  FROM q JOIN cb c USING (sub_id)),
+cand AS (
+  SELECT p.q_id, k.vec_id AS c_id, k.sub_id, k.code
+  FROM codes k
+  JOIN assign a ON a.vec_id = k.vec_id
+  JOIN probe p ON p.cent_id = a.cent_id),
+scored AS (
+  SELECT c.q_id, c.c_id, round(sum(d.d2), 6) AS approx_d2
+  FROM cand c JOIN dtab d
+    ON d.q_id = c.q_id AND d.sub_id = c.sub_id AND d.code = c.code
+  GROUP BY 1, 2)
+SELECT q_id, c_id, approx_d2, rank FROM (
+  SELECT q_id, c_id, approx_d2,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY approx_d2 ASC, c_id) AS rank
+  FROM scored WHERE q_id != c_id) WHERE rank <= 5
+"""
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_norms(e)

@@ -46,6 +46,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
     "pq_codes": (pq.pq_codes, pq.PQ_CODES_SQL),
     "pq_adc_search": (pq.pq_adc_search, pq.PQ_ADC_SEARCH_SQL),
+    "ivfpq_search": (pq.ivfpq_search, pq.IVFPQ_SEARCH_SQL),
     "embedding_norms": (pq.embedding_norms, pq.EMBEDDING_NORMS_SQL),
     # text analysis
     "text_stats": (pq.text_stats, pq.TEXT_STATS_SQL),

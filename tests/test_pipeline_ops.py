@@ -263,3 +263,17 @@ def test_new_ops_empty_input(spark):
     assert similarity.pq_adc_search(
         similarity.pq_encode(empty_vecs, cb, m=2, dim=4), cb,
         empty_vecs, topk=3, m=2, dim=4).count() == 0
+
+
+def test_ivfpq_search_prunes_to_probed_clusters(vectors):
+    """IVF-PQ candidates must come only from probed coarse clusters."""
+    coarse = vectors.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    cb = similarity.pq_train(vectors, m=3, k=3, dim=3, n_iter=1)
+    q = vectors.filter(F.col("vec_id") == 10)
+    out = similarity.ivfpq_search(vectors, coarse, cb, q, topk=8,
+                                  n_probe=1, m=3, dim=3).collect()
+    assert out, "probed cluster must yield candidates"
+    # with n_probe=1 only x-axis cluster members (0, 11) are candidates
+    assert {r["c_id"] for r in out} <= {0, 11}
+    assert all(r["q_id"] == 10 for r in out)

@@ -176,3 +176,14 @@ def test_dedup_levenshtein_equi_joins_only(spark, sf_dir):
     plan = plan_of(QUERIES["dedup_levenshtein"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "levenshtein" in plan
+
+
+def test_ivfpq_search_single_build_join(spark, sf_dir):
+    """Query-time structures (probe, distance table, codebooks) ride
+    broadcast-side; the only shuffle join is the build-time
+    codes-with-coarse-assignment zip (co-resident in a deployed
+    index)."""
+    plan = plan_of(QUERIES["ivfpq_search"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+    assert plan.count("BroadcastHashJoin") >= 3
