@@ -95,3 +95,78 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     distinct lowercase token set (near-dup blocking key)."""
     toks = F.sort_array(F.array_distinct(tokens(F.lower(F.col(text_col)))))
     return docs.withColumn(out_col, F.md5(F.concat_ws(" ", toks)))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training/RAG chunking pass.
+
+    Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap; the last chunk is the remainder
+    (possibly shorter).  One narrow map with sequence+explode+slice —
+    no shuffle, no Python; output rows carry (doc_id, chunk_id,
+    n_tokens, chunk_text) so downstream passes never re-tokenize.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # chunks start at 0, step, 2·step, … while start < n (at least one)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)).cast("int")
+    return (
+        docs.select(F.col(id_col), toks.alias("__toks"),
+                    F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(F.col("__toks"), F.col("chunk_id") * step + 1,
+                    chunk_tokens).alias("__ctoks"))
+        .select(
+            id_col, "chunk_id",
+            F.size("__ctoks").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.col("__ctoks")).alias("chunk_text"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document to a
+    (bucket, pack) so packs hold ~``max_tokens`` tokens — the batch
+    assembly step before training.
+
+    A greedy global pack is inherently sequential; the distributed
+    contract is hash-bucketed streaming packs: documents hash into
+    ``n_buckets`` independent buckets (md5-stable, engine-portable),
+    and within a bucket the running token cumsum (ordered by id)
+    opens a new pack each time it crosses ``max_tokens``.  A document
+    is assigned by its START offset; docs longer than ``max_tokens``
+    own their packs.  One window pass per bucket — n_buckets-way
+    parallel, no driver involvement, append-stable as new docs only
+    extend their bucket's tail.
+    """
+    from pyspark.sql import Window as _W
+
+    nt = token_count(F.col(text_col))
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                     16, 10).cast("long") % n_buckets).alias("bucket")
+    base = docs.select(F.col(id_col), nt.alias("n_tokens"), bucket)
+    w = _W.partitionBy("bucket").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        id_col, "bucket", "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / max_tokens)
+        .cast("long").alias("pack_id"),
+    )

@@ -520,6 +520,52 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {_ND_THRESHOLD}
 EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (pipeline/text.py
+    chunk_documents) — chunk 64 tokens, overlap 8, step 56."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
+DOC_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+c AS (SELECT doc_id, t,
+             unnest(range(0, greatest(CAST(ceil((n - 8) / 56.0) AS BIGINT), 1)))
+                 AS chunk_id
+      FROM n)
+SELECT doc_id, chunk_id,
+       CAST(len(t[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS BIGINT)
+           AS n_tokens,
+       array_to_string(t[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')
+           AS chunk_text
+FROM c
+"""
+
+
+def pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed sequence packing (pipeline/text.py
+    pack_sequences): 64 independent buckets, ~512-token packs."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(d, max_tokens=512, n_buckets=64)
+
+
+PACK_ASSIGNMENTS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % 64 AS bucket
+  FROM documents)
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                   - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM base
+"""
+
+
 # --------------------------------------------------------------- multimodal
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legate_dataframe_spark.pipeline import multimodal

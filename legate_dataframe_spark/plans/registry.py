@@ -55,6 +55,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_fingerprint": (pq.doc_fingerprint, pq.DOC_FINGERPRINT_SQL),
     "quality_scores": (pq.quality_scores, pq.QUALITY_SCORES_SQL),
     "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
+    "doc_chunks": (pq.doc_chunks, pq.DOC_CHUNKS_SQL),
+    "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
     # zero-copy task surface (mapInArrow)
     "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),
     # multimodal plumbing (binary payloads through mapInPandas)

@@ -277,3 +277,52 @@ def test_ivfpq_search_prunes_to_probed_clusters(vectors):
     # with n_probe=1 only x-axis cluster members (0, 11) are candidates
     assert {r["c_id"] for r in out} <= {0, 11}
     assert all(r["q_id"] == 10 for r in out)
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    """Chunks tile the token stream: consecutive chunks share exactly
+    `overlap` tokens and their union reconstructs the document."""
+    from legate_dataframe_spark.pipeline import text as T
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(1, words), (2, "short doc")],
+                               "doc_id: long, text: string")
+    out = sorted(T.chunk_documents(df, chunk_tokens=10, overlap=2).collect(),
+                 key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in out if r.doc_id == 1]
+    # 25 tokens, step 8 -> ceil((25-2)/8) = 3 chunks
+    assert [r.chunk_id for r in d1] == [0, 1, 2]
+    assert d1[0].chunk_text.split()[-2:] == d1[1].chunk_text.split()[:2]
+    rebuilt = d1[0].chunk_text.split()
+    for r in d1[1:]:
+        rebuilt += r.chunk_text.split()[2:]
+    assert rebuilt == words.split()
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 2
+
+
+def test_pack_sequences_capacity_and_determinism(spark):
+    """Packs respect capacity at their start boundary; assignment is
+    deterministic and append-stable (adding docs never reassigns
+    existing ones)."""
+    from legate_dataframe_spark.pipeline import text as T
+
+    docs = [(i, " ".join(["tok"] * 10)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in
+           T.pack_sequences(df, max_tokens=25, n_buckets=4).collect()}
+    assert all(r.n_tokens == 10 for r in out.values())
+    # within a bucket, pack_id is nondecreasing in doc order and a new
+    # pack opens when the running start offset crosses the capacity
+    by_bucket = {}
+    for r in sorted(out.values(), key=lambda r: (r.bucket, r.doc_id)):
+        start = by_bucket.get(r.bucket, 0)
+        assert r.pack_id == start // 25
+        by_bucket[r.bucket] = start + r.n_tokens
+    # append-stability: re-run with 10 more docs; originals unchanged
+    df2 = spark.createDataFrame(
+        docs + [(100 + i, "x y z") for i in range(10)],
+        "doc_id: long, text: string")
+    out2 = {r.doc_id: (r.bucket, r.pack_id) for r in
+            T.pack_sequences(df2, max_tokens=25, n_buckets=4).collect()}
+    assert all(out2[i] == (out[i].bucket, out[i].pack_id) for i in range(40))
