@@ -170,3 +170,58 @@ def pack_sequences(
         F.floor((cum - F.col("n_tokens")) / max_tokens)
         .cast("long").alias("pack_id"),
     )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al., "Scaling Language
+    Models: ... Gopher", §A1.1) — the standard web-corpus quality
+    signals beyond length/stopword heuristics:
+
+    - ``dup_line_frac``: fraction of lines that are duplicates of an
+      earlier line (repeated boilerplate / navigation chrome);
+    - ``top_bigram_frac``: fraction of all word-bigram occurrences
+      taken by the single most frequent bigram (templated spam).
+
+    Pure array expressions over one narrow map — no shuffle, no
+    Python; downstream filters compare against the published
+    thresholds (e.g. drop when dup_line_frac > 0.3).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"),
+                     lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("double")
+    dup_line_frac = F.when(n_lines > 0,
+                           F.round(dup_lines / n_lines, 6)) \
+        .otherwise(F.lit(0.0))
+
+    toks = tokens(F.lower(t))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.concat_ws(" ", a, b))
+    # modal-bigram count = longest equal run of the SORTED bigram array
+    # (one O(n log n) sort + one linear fold — the naive
+    # count-each-distinct scan is O(n·d) and dies on long documents)
+    run_next = lambda acc, g: F.when(g == acc["prev"], acc["run"] + 1) \
+        .otherwise(F.lit(1))
+    top_count = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            run_next(acc, g).alias("run"),
+            F.greatest(acc["best"], run_next(acc, g)).alias("best")),
+        lambda acc: acc["best"])
+    top_bigram_frac = F.when(m > 0,
+                             F.round(top_count.cast("double") / m, 6)) \
+        .otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"))

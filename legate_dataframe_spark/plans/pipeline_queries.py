@@ -520,6 +520,47 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {_ND_THRESHOLD}
 EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
+def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (pipeline/text.py
+    repetition_signals): duplicate-line fraction + modal-bigram
+    occurrence fraction, pure narrow-map array expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(d)
+
+
+REPETITION_SIGNALS_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     x -> len(trim(x)) > 0) AS lines
+  FROM documents),
+dl AS (
+  SELECT doc_id,
+         CASE WHEN len(lines) > 0
+              THEN round((len(lines) - len(list_distinct(lines)))
+                         / CAST(len(lines) AS DOUBLE), 6)
+              ELSE 0.0 END AS dup_line_frac
+  FROM l),
+tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+       FROM documents),
+bg AS (SELECT doc_id, greatest(len(t) - 1, 0) AS m,
+              list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                             i -> t[i] || ' ' || t[i + 1]) AS g
+       FROM tk),
+cnt AS (SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(g) AS gram FROM bg) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS topc FROM cnt GROUP BY doc_id),
+tb AS (SELECT bg.doc_id,
+              CASE WHEN bg.m > 0
+                   THEN round(COALESCE(top.topc, 0)
+                              / CAST(bg.m AS DOUBLE), 6)
+                   ELSE 0.0 END AS top_bigram_frac
+       FROM bg LEFT JOIN top ON top.doc_id = bg.doc_id)
+SELECT dl.doc_id, dl.dup_line_frac, tb.top_bigram_frac
+FROM dl JOIN tb ON dl.doc_id = tb.doc_id
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (pipeline/text.py
     chunk_documents) — chunk 64 tokens, overlap 8, step 56."""

@@ -326,3 +326,21 @@ def test_pack_sequences_capacity_and_determinism(spark):
     out2 = {r.doc_id: (r.bucket, r.pack_id) for r in
             T.pack_sequences(df2, max_tokens=25, n_buckets=4).collect()}
     assert all(out2[i] == (out[i].bucket, out[i].pack_id) for i in range(40))
+
+
+def test_repetition_signals_gopher_semantics(spark):
+    """dup-line fraction and modal-bigram fraction match hand-computed
+    values (incl. the empty-document degenerate case)."""
+    from legate_dataframe_spark.pipeline.text import repetition_signals
+
+    df = spark.createDataFrame([
+        (1, "a b\na b\nc d"),   # 3 lines, 1 dup; bigram 'a b' 2/5
+        (2, "x y x y x y"),     # bigram 'x y' 3 of 5
+        (3, ""),
+    ], "doc_id: long, text: string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert abs(out[1].dup_line_frac - 1 / 3) < 1e-6
+    assert abs(out[1].top_bigram_frac - 0.4) < 1e-6
+    assert out[2].dup_line_frac == 0.0
+    assert abs(out[2].top_bigram_frac - 0.6) < 1e-6
+    assert out[3].dup_line_frac == 0.0 and out[3].top_bigram_frac == 0.0
