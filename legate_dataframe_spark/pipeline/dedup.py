@@ -432,3 +432,49 @@ def levenshtein_pairs(
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= limit))
         .select("id_a", "id_b", F.col("edit_dist").cast("long").alias("edit_dist"))
     )
+
+
+def cross_corpus_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_shared: int = 2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Decontamination: training docs sharing ≥ ``min_shared`` distinct
+    k-gram shingles with a benchmark document.
+
+    The standard pre-training hygiene pass (benchmark leakage check):
+    both corpora explode to (shingle-digest, id) rows — digests, not
+    shingle text, ride the shuffle — and one digest-keyed equi-join +
+    group-count finds overlapping pairs.  Cross-corpus and asymmetric,
+    unlike the self-join dedup family: the benchmark side is typically
+    tiny, so AQE broadcasts it and the training corpus never shuffles.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    benchmark docs (stop-shingle guard: a boilerplate phrase shared by
+    every benchmark doc would otherwise fan out |train-hits| × |bench|).
+    """
+    def digests(df: DataFrame, out_id: str) -> DataFrame:
+        sh = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        return (df.select(F.col(id_col).alias(out_id), sh.alias("sh"))
+                .filter(F.size("sh") > 0)
+                .select(out_id, F.explode("sh").alias("s"))
+                .select(out_id, F.md5("s").alias("dig")))
+
+    t = digests(widen_partitions(train), "train_id")
+    b = digests(bench, "bench_id")
+    if max_shingle_df is not None:
+        from pyspark.sql import Window as _W
+
+        b = (b.withColumn("__df", F.size(F.collect_set("bench_id").over(
+                _W.partitionBy("dig"))))
+             .filter(F.col("__df") <= max_shingle_df).drop("__df"))
+    return (
+        t.join(b, "dig")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -520,6 +520,38 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {_ND_THRESHOLD}
 EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (pipeline/dedup.py
+    cross_corpus_overlap): docs from source='src0' stand in as the
+    benchmark set; training docs sharing ≥2 distinct 5-gram shingles
+    with a benchmark doc are flagged with the overlap count."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    return dedup.cross_corpus_overlap(train, bench, shingle_k=5,
+                                      min_shared=2)
+
+
+DECONTAMINATE_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 3, 1)),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                  t[i+3] || ' ' || t[i+4])) AS sh
+  FROM (SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents)
+  WHERE len(t) >= 5),
+t AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM sh
+      WHERE source <> 'src0'),
+b AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM sh
+      WHERE source = 'src0')
+SELECT train_id, bench_id, count(*) AS n_shared
+FROM t JOIN b USING (s)
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 def repetition_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality filters (pipeline/text.py
     repetition_signals): duplicate-line fraction + modal-bigram

@@ -57,6 +57,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "doc_chunks": (pq.doc_chunks, pq.DOC_CHUNKS_SQL),
     "repetition_signals": (pq.repetition_signals_q, pq.REPETITION_SIGNALS_SQL),
+    "decontaminate_overlap": (pq.decontaminate_overlap, pq.DECONTAMINATE_SQL),
     "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
     # zero-copy task surface (mapInArrow)
     "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),

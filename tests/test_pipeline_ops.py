@@ -344,3 +344,37 @@ def test_repetition_signals_gopher_semantics(spark):
     assert out[2].dup_line_frac == 0.0
     assert abs(out[2].top_bigram_frac - 0.6) < 1e-6
     assert out[3].dup_line_frac == 0.0 and out[3].top_bigram_frac == 0.0
+
+
+def test_cross_corpus_overlap_flags_contaminated(spark):
+    """A training doc containing a benchmark passage is flagged with
+    the shared-shingle count; clean docs are not."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id: long, text: string")
+    train = spark.createDataFrame([
+        (1, "intro text then the quick brown fox jumps over the lazy dog"),
+        (2, "a completely unrelated training document about databases"),
+    ], "doc_id: long, text: string")
+    out = {(r.train_id, r.bench_id): r.n_shared
+           for r in dedup.cross_corpus_overlap(
+               train, bench, shingle_k=5, min_shared=2).collect()}
+    assert (1, 100) in out and out[(1, 100)] >= 2
+    assert all(t != 2 for t, _ in out)
+
+
+def test_cross_corpus_overlap_stop_shingle_guard(spark):
+    """max_shingle_df drops shingles shared by too many benchmark docs
+    (boilerplate), removing their pairs."""
+    boiler = "terms of service apply to all users here"
+    bench = spark.createDataFrame(
+        [(i, boiler) for i in range(100, 105)],
+        "doc_id: long, text: string")
+    train = spark.createDataFrame([(1, boiler)],
+                                  "doc_id: long, text: string")
+    hits = dedup.cross_corpus_overlap(train, bench, shingle_k=5,
+                                      min_shared=2).count()
+    guarded = dedup.cross_corpus_overlap(train, bench, shingle_k=5,
+                                         min_shared=2,
+                                         max_shingle_df=3).count()
+    assert hits == 5 and guarded == 0

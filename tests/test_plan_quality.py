@@ -141,6 +141,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "ann_ivf_search",        # probes × broadcast centroids
         "kmeans_centroids",      # corpus × broadcast centroids per iter
         "ann_kmeans_search",     # trained centroids broadcast, same shape
+        "ivfpq_search",          # coarse quantizer: corpus × broadcast centroids
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
