@@ -54,3 +54,26 @@ def split_by_hash(
     expr = (F.lit(names[-1]) if expr is None
             else expr.otherwise(F.lit(names[-1])))
     return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``k`` rows per stratum, deterministic and append-aware.
+
+    Rows rank within their stratum by md5(id) — a stable pseudo-random
+    order reproducible in any engine (``df.sample`` is none of:
+    exact-k, engine-stable, partition-stable).  One window pass per
+    stratum; strata are the parallelism unit, so low-cardinality
+    strata columns (lang, source) shuffle once and scale with the
+    stratum count, not the corpus.
+    """
+    from pyspark.sql import Window as _W
+
+    order = F.md5(F.col(id_col).cast("string"))
+    w = _W.partitionBy(*strata_cols).orderBy(order, id_col)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k).drop("__rk"))

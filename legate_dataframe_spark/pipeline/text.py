@@ -225,3 +225,32 @@ def repetition_signals(
         F.col(id_col),
         dup_line_frac.alias("dup_line_frac"),
         top_bigram_frac.alias("top_bigram_frac"))
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood under the
+    corpus's own unigram distribution — the KenLM-style fluency score
+    stand-in (low = typical text, high = gibberish/rare-token spam).
+
+    Decomposed as ln(total) − avg(ln count(tok)) so the corpus total
+    joins as a broadcast 1-row aggregate instead of a global window:
+    one token-count shuffle + one per-doc re-aggregation, both keyed
+    uniformly; the vocabulary frame joins the exploded corpus by
+    token (AQE broadcasts it when small).
+    """
+    toks = (docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col))))
+                        .alias("tok"))
+            .filter(F.length("tok") > 0))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    per_doc = (toks.join(vocab, "tok")
+               .groupBy(id_col)
+               .agg(F.avg(F.log("c")).alias("avg_ln_c")))
+    return (per_doc.crossJoin(F.broadcast(total))
+            .select(id_col,
+                    F.round(F.log("total") - F.col("avg_ln_c"), 6)
+                    .alias("nll")))

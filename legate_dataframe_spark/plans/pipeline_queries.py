@@ -520,6 +520,49 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {_ND_THRESHOLD}
 EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sampling (pipeline/sampling.py
+    stratified_sample): 10 docs per (lang, source) stratum ranked by
+    md5(doc_id) — engine/partition/append-stable unlike df.sample."""
+    from legate_dataframe_spark.pipeline.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang", "source"], k=10) \
+        .select("doc_id", "lang", "source")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rk
+  FROM documents) WHERE rk <= 10
+"""
+
+
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram mean NLL per document (pipeline/text.py
+    unigram_logprob) — the KenLM-style fluency score stand-in."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.unigram_logprob(d)
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
+vocab AS (SELECT tok, count(*) AS c FROM tok2 GROUP BY tok),
+total AS (SELECT sum(c) AS total FROM vocab),
+per_doc AS (
+  SELECT t.doc_id, avg(ln(v.c)) AS avg_ln_c
+  FROM tok2 t JOIN vocab v USING (tok) GROUP BY t.doc_id)
+SELECT doc_id, round(ln(total) - avg_ln_c, 6) AS nll
+FROM per_doc, total
+"""
+
+
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check (pipeline/dedup.py
     cross_corpus_overlap): docs from source='src0' stand in as the

@@ -58,6 +58,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "doc_chunks": (pq.doc_chunks, pq.DOC_CHUNKS_SQL),
     "repetition_signals": (pq.repetition_signals_q, pq.REPETITION_SIGNALS_SQL),
     "decontaminate_overlap": (pq.decontaminate_overlap, pq.DECONTAMINATE_SQL),
+    "stratified_sample": (pq.stratified_sample_q, pq.STRATIFIED_SAMPLE_SQL),
+    "unigram_logprob": (pq.unigram_logprob_q, pq.UNIGRAM_LOGPROB_SQL),
     "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
     # zero-copy task surface (mapInArrow)
     "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),

@@ -378,3 +378,30 @@ def test_cross_corpus_overlap_stop_shingle_guard(spark):
                                          min_shared=2,
                                          max_shingle_df=3).count()
     assert hits == 5 and guarded == 0
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    from legate_dataframe_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, "g1" if i < 30 else "g2") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, grp: string")
+    a = {r.doc_id for r in stratified_sample(df, ["grp"], k=5).collect()}
+    b = {r.doc_id for r in stratified_sample(df, ["grp"], k=5).collect()}
+    assert a == b and len(a) == 10  # 5 from each stratum, stable
+    # a stratum smaller than k yields all its rows
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id: long, grp: string")
+    assert stratified_sample(small, ["grp"], k=5).count() == 2
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """Docs made of rare tokens must score higher NLL than docs made
+    of the corpus-dominant token."""
+    from legate_dataframe_spark.pipeline.text import unigram_logprob
+
+    docs = [(1, "common common common common")] * 1
+    docs += [(i, "common common") for i in range(2, 10)]
+    docs += [(99, "zyx qwv")]  # two singleton tokens
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = {r.doc_id: r.nll for r in unigram_logprob(df).collect()}
+    assert out[99] > out[1]
+    assert out[1] == out[2]  # same token mix -> same score

@@ -142,6 +142,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "kmeans_centroids",      # corpus × broadcast centroids per iter
         "ann_kmeans_search",     # trained centroids broadcast, same shape
         "ivfpq_search",          # coarse quantizer: corpus × broadcast centroids
+        "unigram_logprob",       # vs 1-row corpus-total aggregate
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
