@@ -254,3 +254,50 @@ def unigram_logprob(
             .select(id_col,
                     F.round(F.log("total") - F.col("avg_ln_c"), 6)
                     .alias("nll")))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents for a bag of query terms
+    (Robertson/Sparck-Jones idf, the Okapi tf saturation) — the
+    keyword-search complement to the ANN family.
+
+    One token explode feeds both per-doc length (dl) and per-(doc,
+    query-term) tf; document frequencies and the 1-row (N, avgdl)
+    stats are tiny and ride broadcast-side.  Corpus shuffles once,
+    keyed by doc id.  avgdl and scores round at 6 decimals so any
+    engine reproduces identical rankings.
+    """
+    terms = [t.lower() for t in query_terms]
+    tok = (docs.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("tok")))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    tf = (tok.filter(F.col("tok").isin(terms))
+          .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.round(F.avg("dl"), 6).alias("avgdl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    denom = (F.col("tf")
+             + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    term_score = idf * F.col("tf") * (k1 + 1) / denom
+    scored = (tf.join(dl, id_col)
+              .join(F.broadcast(df_), "tok")
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col)
+              .agg(F.round(F.sum(term_score), 6).alias("bm25")))
+    # orderBy+limit plans as TakeOrderedAndProject (distributed top-k);
+    # a global row_number window would single-partition the scored set
+    top = scored.orderBy(F.col("bm25").desc(), id_col).limit(topk)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("bm25").desc(), id_col)  # topk rows only
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -520,6 +520,40 @@ WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {_ND_THRESHOLD}
 EMBEDDING_NEARDUP_SQL = _neardup_sql()
 
 
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (pipeline/text.py bm25_topk): top-10
+    docs for a 3-term query — the lexical complement to the ANN
+    family."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(d, ["shuffle", "broadcast", "vector"], topk=10)
+
+
+BM25_SEARCH_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+       WHERE tok IN ('shuffle', 'broadcast', 'vector')
+       GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+             AS bm25
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, bm25, rank FROM (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored) WHERE rank <= 10
+"""
+
+
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-k-per-stratum deterministic sampling (pipeline/sampling.py
     stratified_sample): 10 docs per (lang, source) stratum ranked by

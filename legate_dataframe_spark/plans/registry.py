@@ -60,6 +60,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "decontaminate_overlap": (pq.decontaminate_overlap, pq.DECONTAMINATE_SQL),
     "stratified_sample": (pq.stratified_sample_q, pq.STRATIFIED_SAMPLE_SQL),
     "unigram_logprob": (pq.unigram_logprob_q, pq.UNIGRAM_LOGPROB_SQL),
+    "bm25_search": (pq.bm25_search, pq.BM25_SEARCH_SQL),
     "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
     # zero-copy task surface (mapInArrow)
     "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),

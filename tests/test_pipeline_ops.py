@@ -405,3 +405,18 @@ def test_unigram_logprob_orders_rarity(spark):
     out = {r.doc_id: r.nll for r in unigram_logprob(df).collect()}
     assert out[99] > out[1]
     assert out[1] == out[2]  # same token mix -> same score
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    from legate_dataframe_spark.pipeline.text import bm25_topk
+
+    docs = [(1, "spark shuffle shuffle shuffle join"),
+            (2, "spark shuffle join"),
+            (3, "unrelated words entirely different"),
+            (4, "shuffle " + "filler " * 50)]  # long doc penalized by dl
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    out = sorted(bm25_topk(df, ["shuffle"], topk=3).collect(),
+                 key=lambda r: r["rank"])
+    assert [r.doc_id for r in out][:2] == [1, 2]  # tf saturation + dl norm
+    assert 3 not in {r.doc_id for r in out}
+    assert all(r.bm25 > 0 for r in out)

@@ -143,6 +143,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "ann_kmeans_search",     # trained centroids broadcast, same shape
         "ivfpq_search",          # coarse quantizer: corpus × broadcast centroids
         "unigram_logprob",       # vs 1-row corpus-total aggregate
+        "bm25_search",           # vs 1-row (N, avgdl) stats aggregate
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
