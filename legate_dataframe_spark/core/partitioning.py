@@ -47,8 +47,10 @@ def _scan_split_estimate(df: DataFrame) -> int | None:
             "Sort", "Repartition", "Intersect", "Except", "GlobalLimit")):
         return None
     conf = df.sparkSession.conf
-    max_bytes = int(conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
-    open_cost = int(conf.get("spark.sql.files.openCostInBytes", str(4 << 20)))
+    max_bytes = _parse_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))
+    open_cost = _parse_bytes(
+        conf.get("spark.sql.files.openCostInBytes", str(4 << 20)))
     total = 0
     for uri in files:
         p = urlparse(uri)
@@ -61,12 +63,31 @@ def _scan_split_estimate(df: DataFrame) -> int | None:
             size = os.path.getsize(p.path or uri)
         except OSError:
             return None
-        # each file contributes ceil(size/maxPartitionBytes) splits of
-        # cost min(size, maxPartitionBytes)+openCost; Spark then packs
-        # splits into partitions of maxPartitionBytes total cost
-        n_splits = max(1, math.ceil(size / max_bytes))
-        total += size + n_splits * open_cost
-    return max(1, math.ceil(total / max_bytes))
+        total += size + open_cost
+    # Spark's own split sizing (FilePartition.maxSplitBytes): the split
+    # size LOWERS toward bytes-per-core when the scan is smaller than
+    # cores × maxPartitionBytes — omitting that term undercounts
+    # partitions and would trigger needless repartition shuffles on
+    # mid-size scans
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    bytes_per_core = total // max(parallelism, 1)
+    max_split = min(max_bytes, max(open_cost, bytes_per_core))
+    return max(1, math.ceil(total / max(max_split, 1)))
+
+
+_UNITS = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+          "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+          "t": 1 << 40, "tb": 1 << 40}
+
+
+def _parse_bytes(v) -> int:
+    """Spark byte-size conf values: plain ints or unit-suffixed
+    strings like '128m' / '128MB' (spark-defaults.conf format)."""
+    s = str(v).strip().lower()
+    for suffix, mult in sorted(_UNITS.items(), key=lambda kv: -len(kv[0])):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
 
 
 def widen_partitions(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

@@ -69,20 +69,45 @@ def salted_join(
         # with e.g. int literals against a string key column matches
         # nothing, silently restoring the original skew while still
         # paying the replication cost (ADVICE r01)
+        import datetime
+        import decimal
+
+        def family(dtype: str) -> str:
+            if dtype in ("tinyint", "smallint", "int", "bigint",
+                         "float", "double") or dtype.startswith("decimal"):
+                return "numeric"
+            if dtype in ("date", "timestamp", "timestamp_ntz"):
+                return dtype
+            return dtype
+
         l_dtype = dict(left.dtypes)[left_keys[0]]
         r_dtype = dict(right.dtypes)[right_keys[0]]
-        if l_dtype != r_dtype:
+        if family(l_dtype) != family(r_dtype):
+            # same FAMILY suffices (int vs bigint widens safely); only
+            # cross-family joins (string vs numeric) are rejected
             raise TypeError(
                 f"salted_join hot_keys: left key {left_keys[0]!r} is "
                 f"{l_dtype} but right key {right_keys[0]!r} is {r_dtype}")
-        _num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
-        base = "bigint" if l_dtype in _num else l_dtype
+        _literal_ok = {
+            "numeric": lambda k: isinstance(
+                k, (int, float, decimal.Decimal)) and not isinstance(k, bool),
+            "string": lambda k: isinstance(k, str),
+            "boolean": lambda k: isinstance(k, bool),
+            "date": lambda k: isinstance(k, datetime.date)
+            and not isinstance(k, datetime.datetime),
+            "timestamp": lambda k: isinstance(k, datetime.datetime),
+            "timestamp_ntz": lambda k: isinstance(k, datetime.datetime),
+        }
+        fam = family(l_dtype)
+        check = _literal_ok.get(fam)
+        if check is None:
+            # no validated mapping for this dtype: refuse loudly rather
+            # than risk the silent no-salt degradation (ADVICE r01)
+            raise TypeError(
+                f"salted_join hot_keys: unsupported key dtype {l_dtype}; "
+                "supported families: " + ", ".join(sorted(_literal_ok)))
         for k in hot_keys:
-            py_ok = (isinstance(k, (int, float)) and not isinstance(k, bool)
-                     if base == "bigint" or l_dtype in _num
-                     else isinstance(k, str) if l_dtype == "string"
-                     else True)
-            if not py_ok:
+            if not check(k):
                 raise TypeError(
                     f"salted_join hot_keys: literal {k!r} "
                     f"({type(k).__name__}) does not match key column "

@@ -389,8 +389,14 @@ def levenshtein_pairs(
         F.col(id_col).alias("id"),
         normalize_text(F.col(text_col)).alias("txt"),
     ))
-    sh = norm.select(
-        "id", word_shingles(F.col("txt"), shingle_k).alias("sh"),
+    # candidates shingle the RAW text — identical to dedup_minhash and
+    # to the oracle's shared _lsh_cand_ctes (normalized text would drop
+    # the empty edge tokens raw tokenization keeps on edge-whitespace
+    # docs, silently diverging the candidate sets); normalization is
+    # only for the edit-distance comparison below
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).filter(F.size("sh") > 0)
     rows = num_hashes // bands
     sig = (sh.select("id", shingle_hashes(F.col("sh")).alias("hh"))

@@ -191,8 +191,12 @@ def resize_images(media: DataFrame, width: int, height: int,
     """
     imgs = media.filter(F.col("kind") == "image")
     if fake:
-        return (imgs.withColumn("width", F.lit(width))
-                .withColumn("height", F.lit(height)))
+        # same RESIZED_SCHEMA projection as the real path — callers
+        # must see one schema regardless of codec availability
+        return imgs.select(
+            "media_id",
+            F.lit(width).alias("width"), F.lit(height).alias("height"),
+            "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io

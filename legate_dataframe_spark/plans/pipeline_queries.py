@@ -1162,12 +1162,27 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (agg.writeStream.outputMode("update").foreachBatch(sink)
          .option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
-    finished = q.awaitTermination(300)
-    if q.exception() is not None:
-        raise q.exception()
-    if not finished:
-        q.stop()
-        raise TimeoutError("events_stream_tumbling: drain exceeded 300s")
+    try:
+        finished = q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError("events_stream_tumbling: drain exceeded 300s")
+    finally:
+        # the checkpoint is one-shot state (fresh dirs per call, never
+        # resumed) — delete it so repeated invocations in a long driver
+        # session don't accumulate /tmp state; outdir must outlive the
+        # call since the returned frame reads it
+        import shutil
+
+        shutil.rmtree(ck, ignore_errors=True)
+    import glob as _glob
+
+    if not _glob.glob(f"{outdir}/*.parquet"):
+        # zero input rows ⇒ foreachBatch wrote nothing: match the batch
+        # twin's empty result instead of failing schema inference
+        return spark.createDataFrame([], agg.schema)
     upd = spark.read.parquet(outdir)
     last = _W.partitionBy("window_start", "event_type").orderBy(
         F.desc("batch_id"))

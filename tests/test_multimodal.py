@@ -88,3 +88,11 @@ def test_resize_images_metadata(media):
     out = resize_images(media, 16, 16).collect()
     assert {r["media_id"] for r in out} == {1, 2}
     assert all(r["width"] == 16 and r["height"] == 16 for r in out)
+
+
+def test_resize_images_same_schema_both_modes(media):
+    """fake and real resize paths must expose one schema
+    (RESIZED_SCHEMA) — callers can't depend on codec availability."""
+    fake_cols = resize_images(media, 8, 8, fake=True).columns
+    real_cols = resize_images(media, 8, 8, fake=False).columns
+    assert fake_cols == real_cols == ["media_id", "width", "height", "payload"]

@@ -420,3 +420,14 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert [r.doc_id for r in out][:2] == [1, 2]  # tf saturation + dl norm
     assert 3 not in {r.doc_id for r in out}
     assert all(r.bm25 > 0 for r in out)
+
+
+def test_parse_bytes_spark_conf_formats():
+    from legate_dataframe_spark.core.partitioning import _parse_bytes
+
+    assert _parse_bytes(134217728) == 128 << 20
+    assert _parse_bytes("134217728") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("4g") == 4 << 30
+    assert _parse_bytes(" 512k ") == 512 << 10

@@ -101,3 +101,22 @@ def test_salted_join_hot_keys_numeric_literals_cast(spark):
                                   "k: int, d: string")
     out = salted_join(left, right, ["k"], hot_keys=[1], salt=4)
     assert out.count() == 51  # identical to the unsalted join
+
+
+def test_salted_join_accepts_widening_numeric_keys(spark):
+    """int vs bigint keys are the same numeric family — must not be
+    rejected (Spark widens them safely)."""
+    left = spark.createDataFrame([(1, "x")] * 20, "k: int, v: string")
+    right = spark.createDataFrame([(1, "d")], "k: long, d: string")
+    assert salted_join(left, right, ["k"], hot_keys=[1], salt=4).count() == 20
+
+
+def test_salted_join_unsupported_hot_key_dtype_raises(spark):
+    """Array/struct keys have no validated literal mapping — loud
+    refusal beats silent no-salt."""
+    import pytest as _pytest
+
+    left = spark.createDataFrame([([1], 1)], "k: array<int>, v: int")
+    right = spark.createDataFrame([([1], 2)], "k: array<int>, w: int")
+    with _pytest.raises(TypeError, match="unsupported key dtype"):
+        salted_join(left, right, ["k"], hot_keys=[[1]])

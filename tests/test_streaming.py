@@ -103,3 +103,27 @@ def test_events_stream_tumbling_matches_batch(spark, sf_dir):
     want = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
             for r in events_tumbling(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_events_stream_tumbling_empty_source(spark, tmp_path):
+    """Zero input rows must yield an empty frame (matching the batch
+    twin), not a schema-inference failure on the empty sink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = tmp_path / "events.parquet"
+    pa_schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    pq_.write_table(pa.table({f.name: [] for f in pa_schema},
+                             schema=pa_schema), src)
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        events_stream_tumbling,
+    )
+
+    out = events_stream_tumbling(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["window_start", "event_type", "n_events",
+                           "sum_value"]
