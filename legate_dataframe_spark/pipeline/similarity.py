@@ -309,7 +309,10 @@ def pq_train(
     is a broadcast join of the exploded subvector frame against the
     m×k codebook rows; means shuffle m×k×(dim/m) scalar rows — never
     the corpus.  Seeds = subvectors of the k lowest-id vectors
-    (deterministic, no RNG — reproducible in any engine).
+    (deterministic, no RNG — reproducible in any engine; the registry
+    oracle encodes this as ``WHERE vec_id < k``, equivalent only on
+    the testdata's dense-from-0 ids — same convention as the r01
+    kmeans oracle).
     """
     sub = _subvectors(widen_partitions(corpus), m, dim, id_col, vec_col)
     cen = _subvectors(corpus.orderBy(id_col).limit(k), m, dim,
