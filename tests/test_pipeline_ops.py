@@ -431,3 +431,27 @@ def test_parse_bytes_spark_conf_formats():
     assert _parse_bytes("128MB") == 128 << 20
     assert _parse_bytes("4g") == 4 << 30
     assert _parse_bytes(" 512k ") == 512 << 10
+
+
+def test_widen_partitions_plan_only_decisions(spark, tmp_path):
+    """The plan-only split estimate must no-op on already-wide inputs
+    (identity — no repartition, no RDD materialization) and widen
+    narrow ones."""
+    from legate_dataframe_spark.core.partitioning import (
+        _scan_split_estimate,
+        widen_partitions,
+    )
+
+    wide_dir = str(tmp_path / "wide")
+    n_files = spark.sparkContext.defaultParallelism + 8
+    spark.range(0, 10000, numPartitions=n_files).write.parquet(wide_dir)
+    wide = spark.read.parquet(wide_dir)
+    assert _scan_split_estimate(wide) >= spark.sparkContext.defaultParallelism
+    assert widen_partitions(wide) is wide  # no-op, same object
+
+    narrow_dir = str(tmp_path / "narrow")
+    spark.range(0, 1000, numPartitions=1).write.parquet(narrow_dir)
+    narrow = spark.read.parquet(narrow_dir)
+    widened = widen_partitions(narrow)
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
