@@ -349,7 +349,8 @@ SELECT CASE WHEN bucket < 900000 THEN 'train'
             WHEN bucket < 950000 THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens
 FROM b GROUP BY 1
 """
 
@@ -423,7 +424,8 @@ losers AS (
   WHERE node <> component
 )
 SELECT count(*) AS n_docs,
-       sum(len(string_split_regex(trim(text), '\\s+'))) AS total_tokens,
+       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         AS total_tokens,
        round(avg(quality), 4) AS avg_quality
 FROM filtered
 WHERE doc_id NOT IN (SELECT node FROM losers)
