@@ -38,14 +38,19 @@ def _scan_split_estimate(df: DataFrame) -> int | None:
     # a shuffle between the scan and this frame resets the partition
     # count (shuffle.partitions / AQE), so the file-split math no longer
     # describes it; the analyzed plan is already computed at DataFrame
-    # creation, so this string check stays plan-only
+    # creation, so this string check stays plan-only.  WHITELIST of
+    # known-narrow nodes, not a blacklist of wide ones: a blacklist
+    # missed FlatMapGroupsInPandas (applyInPandas shuffles to
+    # shuffle.partitions) and would miss any future wide node the same
+    # way (ADVICE r02) — anything unrecognized falls back to the exact
+    # probe, which is merely slower, never wrong
     plan = df._jdf.queryExecution().analyzed().toString()
-    # false positives (a column named "Join") just fall back to the
-    # exact probe — harmless
-    if any(node in plan for node in (
-            "Aggregate", "Join", "Deduplicate", "Window",
-            "Sort", "Repartition", "Intersect", "Except", "GlobalLimit")):
-        return None
+    narrow = ("Project", "Filter", "Generate", "SubqueryAlias",
+              "Relation", "LogicalRelation", "View", "Alias")
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-").split("[", 1)[0].split(" ", 1)[0]
+        if node and node not in narrow:
+            return None
     conf = df.sparkSession.conf
     max_bytes = _parse_bytes(
         conf.get("spark.sql.files.maxPartitionBytes", str(128 << 20)))

@@ -106,12 +106,23 @@ def salted_join(
             raise TypeError(
                 f"salted_join hot_keys: unsupported key dtype {l_dtype}; "
                 "supported families: " + ", ".join(sorted(_literal_ok)))
+        integral = l_dtype in ("tinyint", "smallint", "int", "bigint")
         for k in hot_keys:
             if not check(k):
                 raise TypeError(
                     f"salted_join hot_keys: literal {k!r} "
                     f"({type(k).__name__}) does not match key column "
                     f"{left_keys[0]!r} of type {l_dtype}")
+            # a fractional literal against an integral key would pass the
+            # family check and then cast-truncate (1.5 → 1), silently
+            # salting an unintended key — the same silent-mismatch class
+            # the guard exists for (ADVICE r02)
+            if (integral and isinstance(k, (float, decimal.Decimal))
+                    and not float(k).is_integer()):
+                raise TypeError(
+                    f"salted_join hot_keys: fractional literal {k!r} "
+                    f"would truncate when cast to integral key column "
+                    f"{left_keys[0]!r} ({l_dtype})")
         # cast literals to the key column's exact type so comparison
         # never falls back to a lossy implicit coercion
         hot = F.array(*[F.lit(k).cast(l_dtype) for k in hot_keys])

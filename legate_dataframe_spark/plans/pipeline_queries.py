@@ -1114,7 +1114,9 @@ FROM events GROUP BY 1, 2
 """
 
 
-def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream_tumbling(spark: SparkSession, sf_dir: str,
+                           _max_files_per_trigger: int | None = None,
+                           ) -> DataFrame:
     """Tumbling-window agg through a REAL Structured Streaming run.
 
     Executes readStream(events) → watermark → windowed agg →
@@ -1132,12 +1134,21 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     a serving store.  Reconstruction is a window-function DataFrame op;
     nothing is collected to the driver.
 
-    Scale: watermark bounds state (closed windows evict); the sink
-    receives only changed aggregate rows per batch, never raw events.
+    Scale: the sink receives only changed aggregate rows per batch,
+    never raw events.  NO watermark: this is a *bounded* availableNow
+    drain, so state is bounded by the run anyway, and a watermark would
+    silently DROP events that arrive in a later micro-batch more than
+    the delay behind the observed max (ADVICE r02: any multi-batch
+    split — maxFilesPerTrigger, many-file layouts — diverged from the
+    batch oracle).  An unbounded 24/7 deployment of this query should
+    re-add ``withWatermark`` to evict closed windows, accepting the
+    documented late-data drop.
     """
     import tempfile
 
     from pyspark.sql import Window as _W
+
+    from legate_dataframe_spark.core.caching import tracked_tempdir
 
     # load_table pins session tz UTC and yields the LTZ-normalized
     # schema; declaring it on readStream reads the same files with
@@ -1146,15 +1157,23 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # glob, not bare path: the file source requires a directory
     # basePath, and `events.parquet` may be a single file (testdata) or
     # a directory of parts (production layout) — the glob serves both
-    stream = (spark.readStream.schema(schema)
-              .parquet(f"{sf_dir}/events.parquet*"))
-    agg = (stream.withWatermark("ts", "1 hour")
+    reader = spark.readStream.schema(schema)
+    if _max_files_per_trigger is not None:
+        # test hook: force a multi-batch drain to exercise the
+        # late-arrival path the watermark used to break
+        reader = reader.option("maxFilesPerTrigger", _max_files_per_trigger)
+    stream = reader.parquet(f"{sf_dir}/events.parquet*")
+    agg = (stream
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.round(F.sum("value"), 2).alias("sum_value"))
            .select(F.col("w.start").alias("window_start"), "event_type",
                    "n_events", "sum_value"))
-    outdir = tempfile.mkdtemp(prefix="ldf_stream_tumbling_out_")
+    # outdir must outlive this call (the returned frame lazily reads
+    # it) but is garbage once the result is consumed: tracked_tempdir
+    # removes it at the next release_caches() / interpreter exit
+    # (ADVICE r02: repeated bench invocations accumulated sink dirs)
+    outdir = tracked_tempdir(tempfile.mkdtemp(prefix="ldf_stream_tumbling_out_"))
     ck = tempfile.mkdtemp(prefix="ldf_stream_tumbling_ck_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

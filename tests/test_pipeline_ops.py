@@ -455,3 +455,30 @@ def test_widen_partitions_plan_only_decisions(spark, tmp_path):
     widened = widen_partitions(narrow)
     assert widened is not narrow
     assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_scan_split_estimate_falls_back_on_wide_nodes(spark, tmp_path):
+    """Frames whose lineage contains ANY non-narrow node — including
+    FlatMapGroupsInPandas, which the old blacklist missed (ADVICE r02)
+    — must return None so widen_partitions uses the exact probe."""
+    import pandas as pd
+
+    from legate_dataframe_spark.core.partitioning import _scan_split_estimate
+
+    d = str(tmp_path / "t")
+    spark.range(0, 100, numPartitions=1).write.parquet(d)
+    df = spark.read.parquet(d)
+
+    # narrow lineage: estimable
+    assert _scan_split_estimate(df.select("id").filter("id > 1")) is not None
+
+    # applyInPandas shuffles to shuffle.partitions: must NOT be
+    # estimated from file-split math
+    grouped = (df.withColumn("g", df.id % 3).groupBy("g")
+               .applyInPandas(lambda p: p, schema="id long, g long"))
+    assert _scan_split_estimate(grouped) is None
+
+    # other wide nodes still fall back too
+    assert _scan_split_estimate(df.groupBy("id").count()) is None
+    assert _scan_split_estimate(df.orderBy("id")) is None
+    assert _scan_split_estimate(df.repartition(4)) is None

@@ -127,3 +127,47 @@ def test_events_stream_tumbling_empty_source(spark, tmp_path):
     assert out.count() == 0
     assert out.columns == ["window_start", "event_type", "n_events",
                            "sum_value"]
+
+
+def test_events_stream_tumbling_multibatch_late_data(spark, tmp_path):
+    """A multi-batch drain where a LATER micro-batch carries events far
+    older than the first batch's max timestamp must still match the
+    batch aggregate (ADVICE r02: a 1h watermark silently dropped such
+    rows whenever the file source split the drain)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+
+    def _tbl(rows):
+        return pa.table(
+            {"event_id": pa.array([r[0] for r in rows], pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[2] for r in rows], pa.int64()),
+             "event_type": pa.array([r[3] for r in rows], pa.string()),
+             "value": pa.array([r[4] for r in rows], pa.float64()),
+             "props": pa.array([r[5] for r in rows], pa.string())})
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    late = t0 - datetime.timedelta(hours=6)   # >1h behind file A's max
+    # file A: recent events; file B: late stragglers for an OLD window
+    pq_.write_table(_tbl([(1, t0, 1, "click", 1.0, "{}"),
+                          (2, t0, 2, "click", 2.0, "{}")]), src / "a.parquet")
+    pq_.write_table(_tbl([(3, late, 3, "click", 4.0, "{}"),
+                          (4, t0, 4, "view", 8.0, "{}")]), src / "b.parquet")
+
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        events_stream_tumbling,
+        events_tumbling,
+    )
+
+    got = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+           for r in events_stream_tumbling(
+               spark, str(tmp_path), _max_files_per_trigger=1).collect()}
+    want = {(r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in events_tumbling(spark, str(tmp_path)).collect()}
+    assert got == want
+    assert len(got) == 3  # late window present, not dropped
