@@ -49,6 +49,10 @@ EXTRA = [
     "pq_adc_search",
     "byte_stats_arrow",
     "events_stream_tumbling",
+    # round-3 additions
+    "ivfpq_search",
+    "multimodal_real_decode",
+    "user_event_gaps",
 ]
 
 

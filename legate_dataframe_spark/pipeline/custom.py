@@ -122,12 +122,19 @@ def user_event_gaps(events: DataFrame) -> DataFrame:
 
     def gaps(pdf: pd.DataFrame) -> pd.DataFrame:
         ts = pdf["ts"].sort_values()
-        deltas = ts.diff().dropna().dt.total_seconds()
+        # integer-µs arithmetic end-to-end: library medians interpolate
+        # even-count midpoints in floats, whose last-ulp/rounding
+        # behavior is engine-specific (a 0.5 µs midpoint is a genuine
+        # round-half tie at 6 decimals).  Floor-to-µs midpoint then one
+        # exact /1e6 (µs ≪ 2^53) is bit-identical everywhere.
+        d = sorted(ts.diff().dropna() // pd.Timedelta(1, "us"))
+        n = len(d)
+        med_us = (int(d[(n - 1) // 2]) + int(d[n // 2])) // 2 if n else None
         return pd.DataFrame({
             "user_id": [pdf["user_id"].iloc[0]],
             "n_events": [len(pdf)],
-            "median_gap_s": [float(deltas.median()) if len(deltas) else None],
-            "max_gap_s": [float(deltas.max()) if len(deltas) else None],
+            "median_gap_s": [med_us / 1e6 if n else None],
+            "max_gap_s": [int(d[-1]) / 1e6 if n else None],
         })
 
     return grouped_task(events.select("user_id", "ts"), ["user_id"],

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from legate_dataframe_spark.core.caching import release_caches
 from legate_dataframe_spark.plans import pipeline_queries as pq
 from legate_dataframe_spark.plans import relational as r
+from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -22,13 +23,29 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name → (spark_fn, oracle_sql | None).  None ⇒ rows-only check.
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
-# (r01 checked exactly the first 50 entries).  Queries that have NOT yet
-# received a driver-verified CORRECTNESS row are listed FIRST so they get
-# checked this round; the 50 queries proven green in CORRECTNESS_r01.json are
-# rotated to the back (their in-repo sf0.001 oracle-parity tests guard
+# (r01/r02 each checked exactly the first ~50 entries).  Queries that have
+# NOT yet received a driver-verified CORRECTNESS row are listed FIRST so they
+# get checked this round; queries proven green in CORRECTNESS_r01/r02.json
+# are rotated to the back (their in-repo sf0.001 oracle-parity tests guard
 # against regressions meanwhile).
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- driver-unverified as of r01: front-loaded -------------------------
+    # ---- round-3 new or previously-red: front-loaded -----------------------
+    # r02 red rows (oracle HUGEINT cast bug, fixed): must re-verify
+    "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
+    "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
+    # previously rows-only; now emits (exact values, bounded-error booleans)
+    "approx_sketches": (r.approx_sketches, r.APPROX_SKETCHES_SQL),
+    # sink/source roundtrips — §2.1's last driver-verification holes
+    "parquet_roundtrip": (rt.parquet_roundtrip, rt.PARQUET_ROUNDTRIP_SQL),
+    "csv_roundtrip": (rt.csv_roundtrip, rt.CSV_ROUNDTRIP_SQL),
+    "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),
+    "arrow_roundtrip": (rt.arrow_roundtrip, rt.ARROW_ROUNDTRIP_SQL),
+    # grouped-task (applyInPandas) surface
+    "user_event_gaps": (pq.user_event_gaps_q, pq.USER_EVENT_GAPS_SQL),
+    # REAL stdlib decode (WAV/BMP) — fake=False branch, driver-verified
+    "multimodal_real_decode": (pq.multimodal_real_decode,
+                               pq.MULTIMODAL_REAL_DECODE_SQL),
+    # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
     "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
@@ -37,7 +54,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
     "dedup_levenshtein": (pq.dedup_levenshtein, pq.DEDUP_LEVENSHTEIN_SQL),
     "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
-    "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
     # similarity search
     "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
     "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
@@ -54,7 +70,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lang_id": (pq.lang_id, pq.LANG_ID_SQL),
     "doc_fingerprint": (pq.doc_fingerprint, pq.DOC_FINGERPRINT_SQL),
     "quality_scores": (pq.quality_scores, pq.QUALITY_SCORES_SQL),
-    "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "doc_chunks": (pq.doc_chunks, pq.DOC_CHUNKS_SQL),
     "repetition_signals": (pq.repetition_signals_q, pq.REPETITION_SIGNALS_SQL),
     "decontaminate_overlap": (pq.decontaminate_overlap, pq.DECONTAMINATE_SQL),
@@ -86,9 +101,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "minmax_by": (r.minmax_by, r.MINMAX_BY_SQL),
     "sequence_agg": (r.sequence_agg, r.SEQUENCE_AGG_SQL),
     "contains_column": (r.contains_column_q, r.CONTAINS_COLUMN_SQL),
-    # approximate sketches (HLL / t-digest) — engine-specific values,
-    # rows-only check by design
-    "approx_sketches": (r.approx_sketches, None),
     # ---- driver-verified green in CORRECTNESS_r01.json: rotated back -------
     # relational core (reference parity, SURVEY §2)
     "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),

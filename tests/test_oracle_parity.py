@@ -23,14 +23,7 @@ def test_query_matches_oracle(spark, con, sf_dir, name):
 
 
 def test_all_queries_have_oracles():
-    missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops may legitimately omit oracles; keep the
-    # list explicit and small.
-    rows_only_by_design = {
-        # HLL / t-digest estimates are implementation-defined — DuckDB's
-        # approx aggregates use different sketches, so values can't
-        # hash-match; the driver records the weaker rows-only check.
-        "approx_sketches",
-    }
-    assert missing == rows_only_by_design, \
-        f"queries without oracle: {missing - rows_only_by_design}"
+    # every registered query is oracle-checkable — including
+    # approx_sketches, which since r03 emits (exact values,
+    # bounded-error booleans) instead of raw sketch estimates.
+    assert set(QUERIES) - set(ORACLES) == set()
