@@ -77,3 +77,39 @@ def stratified_sample(
     w = _W.partitionBy(*strata_cols).orderBy(order, id_col)
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k).drop("__rk"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quotas: dict[str, int],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture sampling: draw a per-stratum QUOTA of rows (e.g.
+    rebalance a web corpus to a target lang/domain mixture), exact-k
+    and engine-stable like :func:`stratified_sample` but with a
+    different k per stratum.
+
+    ``quotas`` maps stratum value → row budget; strata absent from the
+    map contribute nothing (the "drop this domain" case).  Rows rank
+    within their stratum by md5(id), so the drawn subset is stable
+    under re-runs, appends, and repartitioning — the property a
+    data-mixture ablation needs to be reproducible.
+
+    Scale: one window shuffle keyed by the stratum column; the quota
+    map rides the plan as a literal CASE (it is mixture-spec-sized,
+    not data-sized).
+    """
+    from pyspark.sql import Window as _W
+
+    quota = F.lit(None).cast("long")
+    expr = None
+    for val, k in quotas.items():
+        cond = F.col(stratum_col) == F.lit(val)
+        expr = F.when(cond, F.lit(k)) if expr is None else \
+            expr.when(cond, F.lit(k))
+    quota = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    order = F.md5(F.col(id_col).cast("string"))
+    w = _W.partitionBy(stratum_col).orderBy(order, id_col)
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= quota).drop("__rk"))

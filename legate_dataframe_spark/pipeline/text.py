@@ -256,6 +256,83 @@ def unigram_logprob(
                     .alias("nll")))
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram conditional NLL under the corpus's own
+    bigram distribution: avg over positions i≥2 of
+    −ln P(tok_i | tok_{i−1}) with P(w2|w1) = c(w1,w2)/c(w1,·).
+
+    The conditioning upgrade over :func:`unigram_logprob` — templated
+    spam with plausible vocabulary but scrambled order scores high
+    (unigram NLL can't see order at all).  Documents with fewer than 2
+    tokens have no bigrams and are excluded.
+
+    Shape at scale: one explode to (doc, w1, w2), one count shuffle per
+    n-gram order (bigram table, then its w1 marginal — both keyed by
+    token, uniform), join back to the exploded corpus (AQE broadcasts
+    the count tables when small), one per-doc re-aggregation.  Same
+    skeleton as unigram; no windows, no driver traffic.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    big = (docs
+           .select(F.col(id_col),
+                   F.posexplode(F.zip_with(
+                       F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                       F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))))
+           .select(id_col, F.col("col.w1").alias("w1"),
+                   F.col("col.w2").alias("w2")))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # marginal from the bigram table, not a fresh token count: c(w1,·)
+    # must count only positions that HAVE a successor or P doesn't
+    # normalize per context
+    mc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (big.join(bc, ["w1", "w2"]).join(mc, "w1")
+            .groupBy(id_col)
+            .agg(F.round(-F.avg(F.log(F.col("c2") / F.col("c1"))), 6)
+                 .alias("bigram_nll")))
+
+
+def duplicated_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated n-gram fraction — the RefinedWeb /
+    Gopher-style "dup_ngram_frac" filter signal at corpus granularity.
+
+    For each document: of its distinct word n-grams, what fraction also
+    appear in at least one OTHER document?  High fraction = boilerplate
+    / template / mirrored content even when the full text isn't an
+    exact duplicate.
+
+    Shape at scale: explode per-doc DISTINCT n-grams (dedup before the
+    shuffle so a doc repeating one phrase contributes one row), count
+    distinct docs per n-gram keyed by the n-gram digest (uniform md5
+    key, no hot shingles), join back, per-doc re-aggregate.  Two
+    shuffles total, both on uniform keys; nothing all-pairs.
+    """
+    from legate_dataframe_spark.pipeline.dedup import word_shingles
+
+    sh = (docs.select(F.col(id_col),
+                      F.explode(F.array_distinct(
+                          word_shingles(F.col(text_col), n))).alias("g"))
+          .select(id_col, F.md5(F.col("g")).alias("gd")))
+    counts = sh.groupBy("gd").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (sh.join(counts, "gd")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+                 .alias("dup_ngrams"))
+            .select(id_col, "n_ngrams", "dup_ngrams",
+                    F.round(F.col("dup_ngrams") / F.col("n_ngrams"), 6)
+                    .alias("dup_frac")))
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

@@ -1449,3 +1449,295 @@ JOIN events b
  AND b.ts <= a.ts + INTERVAL 5 MINUTE
 GROUP BY 1
 """
+
+
+# --------------------------------------------- round-3 pipeline operators
+def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram conditional NLL (pipeline/text.py
+    bigram_logprob) — the order-aware upgrade of unigram_logprob."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bigram_logprob(d)
+
+
+BIGRAM_FLUENCY_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+  FROM tok WHERE len(t) >= 2),
+b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM big),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+mc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1)
+SELECT doc_id, round(-avg(ln(c2 / c1)), 6) AS bigram_nll
+FROM b2 JOIN bc USING (w1, w2) JOIN mc USING (w1)
+GROUP BY doc_id
+"""
+
+
+def ngram_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-gram fraction (pipeline/text.py
+    duplicated_ngrams) — the RefinedWeb-style boilerplate signal."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.duplicated_ngrams(d, n=8)
+
+
+NGRAM_DUP_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, md5(g) AS gd
+  FROM (SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(t) - 6),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                        t[i+6] || ' ' || t[i+7]))) AS g
+        FROM (SELECT doc_id,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents)
+        WHERE len(t) >= 8)),
+c AS (SELECT gd, count(*) AS ndocs FROM sh GROUP BY gd)
+SELECT doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_ngrams,
+       round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac
+FROM sh JOIN c USING (gd)
+GROUP BY doc_id
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pipeline/redact.py): the corpus has no natural PII, so
+    deterministic synthetic email/phone/IP tokens are appended to a
+    doc_id-selected subset IN the query (same expression in the
+    oracle), then redacted and counted.  Output hashes the redacted
+    text so the driver compares full redaction output, not a prefix."""
+    from legate_dataframe_spark.pipeline.redact import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" contact user"), did.cast("string"),
+                            F.lit("@example.com")))
+            .otherwise(F.lit("")),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" call 555-010-"),
+                            F.lpad((did % 10000).cast("string"), 4, "0")))
+            .otherwise(F.lit("")),
+            F.when(did % 13 == 0,
+                   F.concat(F.lit(" from 10.0."),
+                            (did % 256).cast("string"), F.lit("."),
+                            (did % 100).cast("string")))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(aug)
+    return out.select("doc_id", F.md5("text_redacted").alias("red_hash"),
+                      "n_email", "n_phone", "n_ipv4")
+
+
+PII_REDACTION_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')) AS red_hash,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+FROM aug
+"""
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents at or above the corpus's 80th-percentile quality
+    score.  The threshold is a 1-row exact-percentile aggregate that
+    broadcasts into the filter — no global sort, no single-partition
+    window; at 100 TB the corpus streams through one narrow filter."""
+    d = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(d).select("doc_id", "quality")
+    q = tracked_persist(q)  # scored once: feeds the percentile AND the filter
+    thr = q.agg(F.expr("percentile(quality, 0.8)").alias("thr"))
+    return (q.crossJoin(F.broadcast(thr))
+            .filter(F.col("quality") >= F.col("thr"))
+            .select("doc_id", "quality"))
+
+
+QUALITY_FILTER_SQL = r"""
+WITH q AS (
+  SELECT doc_id,
+         round(CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END
+           + least(len(list_intersect(string_split_regex(trim(lower(text)), '\s+'),
+                   ['the','a','and','of','to','in','is','for','on','it'])) / 5.0,
+                   1.0) * 0.3
+           + len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+             / len(string_split_regex(trim(lower(text)), '\s+')) * 0.3,
+           6) AS quality
+  FROM documents),
+thr AS (SELECT quantile_cont(CAST(quality AS DOUBLE), 0.8) AS thr FROM q)
+SELECT doc_id, quality FROM q, thr WHERE quality >= thr
+"""
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the numeric field out of the
+    events JSON props column (JVM get_json_object — no Python) and
+    aggregate per event_type.  Narrow map + one small-key shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k")))
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour aggregates via a RANGE window frame on
+    microsecond epochs (event-time, not row counts — the frame contains
+    however many events fell in the trailing hour).  One shuffle keyed
+    by user_id; frames never cross users, so 100 TB parallelism is the
+    user-id cardinality."""
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (_W.partitionBy("user_id").orderBy(us.alias("us"))
+         .rangeBetween(-3_600_000_000, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"))
+
+
+ROLLING_RANGE_SQL = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 4) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling (pipeline/sampling.py mixture_sample):
+    per-language row quotas — the data-mixture rebalancing draw."""
+    from legate_dataframe_spark.pipeline.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (mixture_sample(d, "lang",
+                           {"en": 30, "es": 20, "de": 10, "fr": 5})
+            .select("doc_id", "lang"))
+
+
+MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rk
+  FROM documents)
+WHERE rk <= CASE lang WHEN 'en' THEN 30 WHEN 'es' THEN 20
+                      WHEN 'de' THEN 10 WHEN 'fr' THEN 5 ELSE 0 END
+"""
+
+
+def stream_dedup_drain(spark: SparkSession, sf_dir: str,
+                       _max_files_per_trigger: int | None = None,
+                       ) -> DataFrame:
+    """Streaming exact dedup through a REAL Structured Streaming run
+    (streaming/dedupe.py): readStream(documents) → content digest →
+    dropDuplicates → foreachBatch parquet sink, availableNow drain.
+
+    The dedup key is (source, digest) and the output is per-source
+    distinct-content COUNTS, so the result is independent of which
+    arrival the state store happens to keep — arrival order inside a
+    micro-batch is partition-parallel and not deterministic.
+
+    NO watermark: bounded drain, state bounded by the run (same
+    reasoning as events_stream_tumbling).  A 24/7 deployment would use
+    dropDuplicatesWithinWatermark (streaming/dedupe.py) to bound state
+    to the re-crawl horizon.  dropDuplicates emits each key's first
+    arrival exactly once across ALL micro-batches (state persists), so
+    appending every batch's output yields the full dedup set — the
+    _max_files_per_trigger test hook forces a multi-batch drain to
+    prove cross-batch suppression.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from legate_dataframe_spark.core.caching import tracked_tempdir
+    from legate_dataframe_spark.streaming.dedupe import content_key
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    reader = spark.readStream.schema(schema)
+    if _max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", _max_files_per_trigger)
+    stream = reader.parquet(f"{sf_dir}/documents.parquet*")
+    uniq = (stream
+            .withColumn("digest", content_key("text"))
+            .select("source", "digest")
+            .dropDuplicates(["source", "digest"]))
+    outdir = tracked_tempdir(tempfile.mkdtemp(prefix="ldf_stream_dedup_out_"))
+    ck = tempfile.mkdtemp(prefix="ldf_stream_dedup_ck_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(outdir)
+
+    q = (uniq.writeStream.outputMode("append").foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    try:
+        finished = q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError("stream_dedup_drain: drain exceeded 300s")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    if not _glob.glob(f"{outdir}/*.parquet"):
+        return spark.createDataFrame(
+            [], "source: string, n_unique: long")
+    return (spark.read.parquet(outdir)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_unique")))
+
+
+STREAM_DEDUP_SQL = r"""
+SELECT source,
+       count(DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')))
+           AS n_unique
+FROM documents GROUP BY source
+"""

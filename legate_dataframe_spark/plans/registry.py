@@ -45,6 +45,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # REAL stdlib decode (WAV/BMP) — fake=False branch, driver-verified
     "multimodal_real_decode": (pq.multimodal_real_decode,
                                pq.MULTIMODAL_REAL_DECODE_SQL),
+    # round-3 pipeline operators (new)
+    "bigram_fluency": (pq.bigram_fluency, pq.BIGRAM_FLUENCY_SQL),
+    "ngram_dup_counts": (pq.ngram_dup_counts, pq.NGRAM_DUP_SQL),
+    "pii_redaction": (pq.pii_redaction, pq.PII_REDACTION_SQL),
+    "quality_filter": (pq.quality_filter, pq.QUALITY_FILTER_SQL),
+    "json_extract_props": (pq.json_extract_props, pq.JSON_EXTRACT_SQL),
+    "rolling_range_window": (pq.rolling_range_window, pq.ROLLING_RANGE_SQL),
+    "mixture_sample": (pq.mixture_sample_q, pq.MIXTURE_SAMPLE_SQL),
+    "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
