@@ -53,6 +53,15 @@ EXTRA = [
     "ivfpq_search",
     "multimodal_real_decode",
     "user_event_gaps",
+    "bigram_fluency",
+    "ngram_dup_counts",
+    "pii_redaction",
+    "quality_filter",
+    "rolling_range_window",
+    "stream_dedup_drain",
+    "stream_user_stats",
+    "pmi_collocations",
+    "vocab_coverage",
 ]
 
 

@@ -285,7 +285,15 @@ def bigram_logprob(
                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))))
            .select(id_col, F.col("col.w1").alias("w1"),
                    F.col("col.w2").alias("w2")))
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    from legate_dataframe_spark.core.caching import tracked_persist
+
+    # the bigram-count table is consumed twice (marginal + join): persist
+    # so its count shuffle runs once — it is vocabulary²-bounded, far
+    # smaller than the corpus (the exploded `big` frame is corpus-sized
+    # and deliberately NOT persisted: recomputing a narrow scan+explode
+    # beats spilling it at 100 TB)
+    bc = tracked_persist(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
     # marginal from the bigram table, not a fresh token count: c(w1,·)
     # must count only positions that HAVE a successor or P doesn't
     # normalize per context
@@ -331,6 +339,86 @@ def duplicated_ngrams(
             .select(id_col, "n_ngrams", "dup_ngrams",
                     F.round(F.col("dup_ngrams") / F.col("n_ngrams"), 6)
                     .alias("dup_frac")))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    topk: int = 25,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information:
+    PMI(w1,w2) = ln( c(w1,w2)·T / (c(w1,·)·c(·,w2)) ) over the corpus
+    bigram table — the classic phrase-mining signal (a tokenizer /
+    phrase-vocabulary induction building block).
+
+    ``min_count`` suppresses the low-frequency pairs whose PMI is
+    spuriously high (the standard correction).  Marginals are taken
+    from the bigram table itself so the distribution normalizes.
+
+    Scale: one bigram count shuffle; both marginals re-aggregate the
+    (vocabulary²-bounded) count table; T is a broadcast 1-row
+    aggregate; final top-k plans as TakeOrderedAndProject.
+    """
+    from legate_dataframe_spark.core.caching import tracked_persist
+
+    toks = tokens(F.lower(F.col(text_col)))
+    big = (docs
+           .select(F.explode(F.zip_with(
+               F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+               F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+               lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+               .alias("b"))
+           .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
+    bc = tracked_persist(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
+    lm = bc.groupBy("w1").agg(F.sum("c2").alias("cl"))
+    rm = bc.groupBy("w2").agg(F.sum("c2").alias("cr"))
+    tot = bc.agg(F.sum("c2").alias("t"))
+    pmi = F.round(F.log(F.col("c2").cast("double") * F.col("t")
+                        / (F.col("cl") * F.col("cr"))), 6)
+    return (bc.filter(F.col("c2") >= min_count)
+            .join(lm, "w1").join(rm, "w2")
+            .crossJoin(F.broadcast(tot))
+            .select("w1", "w2", "c2", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(topk))
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary — the tokenizer-coverage
+    diagnostic (high OOV = text the downstream tokenizer will shred
+    into bytes).
+
+    Ties at the vocabulary boundary break by (count desc, token) so
+    the induced vocabulary is deterministic in any engine.
+
+    Scale: token-count shuffle → TakeOrderedAndProject top-N (the
+    vocabulary is vocab_size rows, rides broadcast-side) → one
+    per-doc re-aggregation of the exploded corpus.
+    """
+    toks = (docs.select(F.col(id_col),
+                        F.explode(tokens(F.lower(F.col(text_col))))
+                        .alias("tok"))
+            .filter(F.length("tok") > 0))
+    vocab = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), "tok").limit(vocab_size)
+             .select("tok", F.lit(1).alias("__in_vocab")))
+    return (toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0))
+                 .alias("oov_tokens"))
+            .select(id_col, "n_tokens", "oov_tokens",
+                    F.round(F.col("oov_tokens") / F.col("n_tokens"), 6)
+                    .alias("oov_rate")))
 
 
 def bm25_topk(

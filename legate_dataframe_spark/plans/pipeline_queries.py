@@ -1741,3 +1741,130 @@ SELECT source,
            AS n_unique
 FROM documents GROUP BY source
 """
+
+
+def stream_user_stats_drain(spark: SparkSession, sf_dir: str,
+                            _max_files_per_trigger: int | None = None,
+                            ) -> DataFrame:
+    """Custom stateful streaming operator under the driver gate: the
+    applyInPandasWithState running per-user stats (streaming/
+    stateful.py) executed as a REAL stream — readStream(events) →
+    per-key state fold → foreachBatch parquet sink, availableNow drain,
+    last-update-wins reconstruction (same pattern as
+    events_stream_tumbling).
+
+    After draining every micro-batch, each user's LAST emitted row is
+    its complete running total, so the reconstruction equals the batch
+    groupBy — the differential tests/test_streaming.py proves, here
+    hash-checked against DuckDB by the driver.  Floats round at 4
+    decimals on output; state arithmetic is vectorized pandas per
+    key-batch, never per row.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as _W
+
+    from legate_dataframe_spark.core.caching import tracked_tempdir
+    from legate_dataframe_spark.streaming.stateful import running_user_stats
+
+    schema = load_table(spark, sf_dir, "events").schema
+    reader = spark.readStream.schema(schema)
+    if _max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", _max_files_per_trigger)
+    stream = reader.parquet(f"{sf_dir}/events.parquet*")
+    stats = running_user_stats(stream)
+    outdir = tracked_tempdir(tempfile.mkdtemp(prefix="ldf_stream_ustats_out_"))
+    ck = tempfile.mkdtemp(prefix="ldf_stream_ustats_ck_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(outdir))
+
+    q = (stats.writeStream.outputMode("update").foreachBatch(sink)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    try:
+        finished = q.awaitTermination(300)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError("stream_user_stats_drain: drain exceeded 300s")
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    if not _glob.glob(f"{outdir}/*.parquet"):
+        return spark.createDataFrame(
+            [], "user_id: long, n_events: long, total_value: double, "
+                "max_value: double")
+    upd = spark.read.parquet(outdir)
+    last = _W.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (upd.withColumn("__rn", F.row_number().over(last))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "n_events",
+                    F.round("total_value", 4).alias("total_value"),
+                    F.round("max_value", 4).alias("max_value")))
+
+
+STREAM_USER_STATS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent-word collocations by PMI (pipeline/text.py
+    pmi_collocations) — phrase mining over the corpus bigram table."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pmi_collocations(d, topk=25, min_count=5)
+
+
+PMI_COLLOCATIONS_SQL = r"""
+WITH tok AS (
+  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> {'w1': t[i], 'w2': t[i+1]})) AS b
+  FROM tok WHERE len(t) >= 2),
+b2 AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM big),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
+lm AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cl FROM bc GROUP BY w1),
+rm AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cr FROM bc GROUP BY w2),
+tot AS (SELECT CAST(sum(c2) AS BIGINT) AS t FROM bc)
+SELECT w1, w2, c2,
+       round(ln(CAST(c2 AS DOUBLE) * t / (cl * cr)), 6) AS pmi
+FROM bc JOIN lm USING (w1) JOIN rm USING (w2), tot
+WHERE c2 >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 25
+"""
+
+
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OOV rate vs the corpus top-1000 token vocabulary
+    (pipeline/text.py vocab_coverage)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.vocab_coverage(d, vocab_size=1000)
+
+
+VOCAB_COVERAGE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+tok2 AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM tok2 GROUP BY tok
+    ORDER BY c DESC, tok LIMIT 1000)),
+j AS (
+  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok2 t LEFT JOIN vocab v ON t.tok = v.tok)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       round(sum(oov) / count(*), 6) AS oov_rate
+FROM j GROUP BY doc_id
+"""

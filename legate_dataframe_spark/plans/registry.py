@@ -54,6 +54,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rolling_range_window": (pq.rolling_range_window, pq.ROLLING_RANGE_SQL),
     "mixture_sample": (pq.mixture_sample_q, pq.MIXTURE_SAMPLE_SQL),
     "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
+    "stream_user_stats": (pq.stream_user_stats_drain, pq.STREAM_USER_STATS_SQL),
+    "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
+    "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),

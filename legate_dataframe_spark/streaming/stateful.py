@@ -29,49 +29,62 @@ USER_STATS_SCHEMA = (
 _STATE_SCHEMA = "n long, total double, mx double"
 
 
-def _update_user_stats(
-    key: tuple[Any, ...],
-    pdfs: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold each micro-batch into (count, sum, max) running state and
-    emit the updated totals for this key."""
-    if state.hasTimedOut:
-        # idle key: emit the final state one last time and evict it.
-        n, total, mx = state.get
-        state.remove()
+def _make_update_user_stats(evict_after_ms: int | None):
+    def _update_user_stats(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold each micro-batch into (count, sum, max) running state
+        and emit the updated totals for this key."""
+        if state.hasTimedOut:
+            # idle key: emit the final state one last time and evict it.
+            n, total, mx = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "total_value": [total], "max_value": [mx]})
+            return
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        if evict_after_ms is not None:
+            state.setTimeoutDuration(evict_after_ms)
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "total_value": [total], "max_value": [mx]})
-        return
-    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        if len(pdf):
-            mx = max(mx, float(pdf["value"].max()))
-    state.update((n, total, mx))
-    state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                        "total_value": [total], "max_value": [mx]})
+
+    return _update_user_stats
 
 
 def running_user_stats(events: DataFrame,
                        user_col: str = "user_id",
-                       value_col: str = "value") -> DataFrame:
+                       value_col: str = "value",
+                       evict_after_ms: int | None = None) -> DataFrame:
     """Per-user running (count, sum, max) maintained as explicit state.
 
     Works on a streaming DataFrame (``spark.readStream``); each
     micro-batch emits the updated totals for the users it touched.
     The batch-mode equivalent is a plain groupBy aggregation — used as
     the differential oracle in tests/test_streaming.py.
+
+    ``evict_after_ms`` turns on ProcessingTimeTimeout state eviction —
+    the 24/7 deployment setting (unbounded per-key state is the 100 TB
+    killer).  Leave it ``None`` for BOUNDED availableNow drains: with a
+    processing-time timeout registered, Spark keeps scheduling
+    timeout-evaluation micro-batches after the data is exhausted, so an
+    availableNow query never terminates (observed: 100+ empty epochs).
     """
     sel = events.select(user_col, value_col)
     return sel.groupBy(user_col).applyInPandasWithState(
-        _update_user_stats,
+        _make_update_user_stats(evict_after_ms),
         outputStructType=USER_STATS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(GroupStateTimeout.NoTimeout if evict_after_ms is None
+                     else GroupStateTimeout.ProcessingTimeTimeout),
     )
 
 

@@ -144,6 +144,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "ivfpq_search",          # coarse quantizer: corpus × broadcast centroids
         "unigram_logprob",       # vs 1-row corpus-total aggregate
         "bm25_search",           # vs 1-row (N, avgdl) stats aggregate
+        "quality_filter",        # vs 1-row percentile-threshold aggregate
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

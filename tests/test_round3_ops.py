@@ -113,3 +113,37 @@ def test_stream_dedup_drain_multibatch_suppression(spark, tmp_path):
            for r in stream_dedup_drain(
                spark, str(tmp_path), _max_files_per_trigger=1).collect()}
     assert got == {"s1": 3, "s2": 1}
+
+
+def test_stream_user_stats_multibatch_accumulates(spark, tmp_path):
+    """The applyInPandasWithState drain must fold state ACROSS
+    micro-batches: a user seen in both files ends at its combined
+    totals, and last-update-wins reconstruction picks those."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import datetime
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+
+    def _tbl(rows):
+        t0 = datetime.datetime(2024, 1, 1)
+        return pa.table(
+            {"event_id": pa.array([r[0] for r in rows], pa.int64()),
+             "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+             "user_id": pa.array([r[1] for r in rows], pa.int64()),
+             "event_type": pa.array(["click"] * len(rows), pa.string()),
+             "value": pa.array([r[2] for r in rows], pa.float64()),
+             "props": pa.array(["{}"] * len(rows), pa.string())})
+
+    pq_.write_table(_tbl([(1, 1, 2.0), (2, 2, 3.0)]), src / "a.parquet")
+    pq_.write_table(_tbl([(3, 1, 5.0), (4, 3, 7.0)]), src / "b.parquet")
+
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        stream_user_stats_drain,
+    )
+
+    got = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+           for r in stream_user_stats_drain(
+               spark, str(tmp_path), _max_files_per_trigger=1).collect()}
+    assert got == {1: (2, 7.0, 5.0), 2: (1, 3.0, 3.0), 3: (1, 7.0, 7.0)}

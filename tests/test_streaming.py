@@ -77,7 +77,11 @@ def test_stateful_user_stats_matches_batch(spark, events_dir):
     q = (running_user_stats(stream).writeStream.format("memory")
          .queryName("stateful_mem").outputMode("update")
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    # must TERMINATE, not just drain: with a ProcessingTimeTimeout
+    # registered, Spark schedules timeout-evaluation micro-batches
+    # forever and availableNow never finishes (the NoTimeout default
+    # exists precisely for bounded drains)
+    assert q.awaitTermination(120), "availableNow drain did not terminate"
     # update mode appends one row per key per micro-batch: the LAST row
     # per user is the final state.
     got = spark.sql("""
