@@ -27,12 +27,20 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str] | None = None,
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right row with ts ≤ left ts, per key.
 
     Unmatched left rows keep nulls (LEFT semantics).  Right payload
     columns are packed into one struct so all filled values come from
     the SAME matched row.
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"15 MINUTES"``) bounds
+    how stale a match may be: a matched right row older than
+    ``left_ts − tolerance`` is masked back to null — the pandas
+    ``merge_asof(tolerance=...)`` semantics.  Implemented as a
+    post-fill mask, so the plan shape (one shuffle + one sort) is
+    unchanged.
     """
     if right_payload is None:
         right_payload = [c for c in right.columns
@@ -53,6 +61,10 @@ def asof_join(
     w = (W.partitionBy(*on).orderBy(F.col(left_ts), F.col("__side"))
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     filled = u.withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+    if tolerance is not None:
+        fresh = (F.col("__m.__ts")
+                 >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}"))
+        filled = filled.withColumn("__m", F.when(fresh, F.col("__m")))
     out = filled.filter(F.col("__side") == 1).drop("__side", "__p")
     out = out.withColumn(f"{left_ts}{suffix}", F.col(f"__m.__ts"))
     for c in right_payload:

@@ -42,6 +42,45 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def rp_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix (Achlioptas-style
+    sign projection): sign(j,i) from the md5 parity of ``"rp:j:i"`` —
+    reproducible in any engine/language, so the DuckDB oracle embeds
+    the SAME matrix as SQL literals."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"rp:{j}:{i}".encode())
+                      .hexdigest()[:8], 16) % 2 == 0 else -1
+             for i in range(in_dim)]
+            for j in range(out_dim)]
+
+
+def project_embeddings(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss compression: project ``in_dim`` vectors to
+    ``out_dim`` via a fixed ±1 sign matrix — pairwise cosines are
+    approximately preserved at a 4× (64→16) storage/compute saving, the
+    standard pre-filter in front of an exact re-rank.
+
+    Each output component rounds at 6 decimals so both engines hold
+    bit-identical projected vectors (summation order differs between
+    Spark's sequential fold and DuckDB's list_sum; rounding absorbs
+    the ~1e-14 divergence).  Pure narrow map — no shuffle, no Python.
+    """
+    signs = rp_signs(in_dim, out_dim)
+    v = _to_double(F.col(vec_col))
+    comps = [
+        F.round(dot(v, F.array(*[F.lit(float(s)) for s in row])), 6)
+        for row in signs
+    ]
+    return df.withColumn(out_col, F.array(*comps))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1868,3 +1868,87 @@ SELECT doc_id, count(*) AS n_tokens,
        round(sum(oov) / count(*), 6) AS oov_rate
 FROM j GROUP BY doc_id
 """
+
+
+def stream_etl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental checkpointed file ETL under the driver gate
+    (streaming/etl.py): drain events through a stateless
+    filter/project transform into an exactly-once parquet sink
+    (``_spark_metadata`` transaction log), read the sink back, and
+    aggregate — the cron-style ingest loop a 100 TB pipeline runs.
+
+    The oracle applies the same transform+aggregate to the raw table:
+    equality proves the sink holds exactly the transformed rows (no
+    drops, no duplicates)."""
+    import shutil
+    import tempfile
+
+    from legate_dataframe_spark.core.caching import tracked_tempdir
+    from legate_dataframe_spark.streaming.etl import incremental_etl
+
+    dst = tracked_tempdir(tempfile.mkdtemp(prefix="ldf_etl_ingest_out_"))
+    ck = tempfile.mkdtemp(prefix="ldf_etl_ingest_ck_")
+
+    def transform(df: DataFrame) -> DataFrame:
+        return (df.filter(F.col("value") > 1)
+                .select("event_id", "event_type",
+                        (F.col("value") * 2).alias("v2")))
+
+    try:
+        incremental_etl(spark, f"{sf_dir}/events.parquet*", dst, ck,
+                        transform)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return (spark.read.parquet(dst)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("v2"), 4).alias("sum_v2")))
+
+
+STREAM_ETL_INGEST_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value * 2), 4) AS sum_v2
+FROM events WHERE value > 1 GROUP BY event_type
+"""
+
+
+def ann_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection ANN (pipeline/similarity.py
+    project_embeddings): compress 64-d embeddings to 16-d via a fixed
+    ±1 JL sign matrix, then brute-force cosine top-5 in the projected
+    space — the cheap pre-filter stage of a project→re-rank pipeline.
+    Corpus stays partitioned; only the (|Q|·16)-value query side
+    broadcasts."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p = similarity.project_embeddings(e, in_dim=64, out_dim=16)
+    corpus = p.select("vec_id", F.col("proj").alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(corpus, queries, k=5) \
+        .select("q_id", "c_id", "cos_sim", "rank")
+
+
+def _rp_sql_matrix(in_dim: int = 64, out_dim: int = 16) -> str:
+    rows = similarity.rp_signs(in_dim, out_dim)
+    return "[" + ", ".join(
+        "[" + ", ".join(f"{s}.0" for s in row) + "]" for row in rows) + "]"
+
+
+ANN_PROJECTED_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+proj AS (
+  SELECT vec_id,
+         list_transform({_rp_sql_matrix()},
+             s -> round(list_sum(list_transform(range(1, 65),
+                                                i -> v[i] * s[i])), 6)) AS p
+  FROM emb),
+sims AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         round(list_cosine_similarity(c.p, q.p), 6) AS cos_sim
+  FROM proj c
+  JOIN proj q ON q.vec_id % 50 = 0 AND c.vec_id != q.vec_id)
+SELECT q_id, c_id, cos_sim, rank FROM (
+  SELECT q_id, c_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, c_id) AS rank
+  FROM sims) WHERE rank <= 5
+"""

@@ -55,6 +55,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mixture_sample": (pq.mixture_sample_q, pq.MIXTURE_SAMPLE_SQL),
     "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
     "stream_user_stats": (pq.stream_user_stats_drain, pq.STREAM_USER_STATS_SQL),
+    "stream_etl_ingest": (pq.stream_etl_ingest, pq.STREAM_ETL_INGEST_SQL),
+    "asof_tolerance": (r.asof_tolerance, r.ASOF_TOLERANCE_SQL),
+    "ann_projected": (pq.ann_projected, pq.ANN_PROJECTED_SQL),
     "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
     "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------

@@ -954,6 +954,35 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
 """
 
 
+def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof tolerance
+    semantics): views older than 15 minutes before the purchase are
+    masked back to null.  Same one-shuffle merge-asof plan."""
+    from legate_dataframe_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase") \
+                 .select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", "ts", F.col("event_id").alias("view_event_id"))
+    out = asof_join(purchases, views, on=["user_id"], left_ts="ts",
+                    right_ts="ts", right_payload=["view_event_id"],
+                    tolerance="15 MINUTES")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("ts_right").alias("view_ts"), "view_event_id")
+
+
+ASOF_TOLERANCE_SQL = """
+SELECT p.event_id, p.user_id, p.ts,
+       CASE WHEN v.ts >= p.ts - INTERVAL 15 MINUTE THEN v.ts END AS view_ts,
+       CASE WHEN v.ts >= p.ts - INTERVAL 15 MINUTE THEN v.event_id END
+           AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # q04-shaped — order priority checking via EXISTS (left-semi join with a
 # cross-table predicate).  The testdata lineitem has no commit/receipt

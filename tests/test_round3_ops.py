@@ -147,3 +147,35 @@ def test_stream_user_stats_multibatch_accumulates(spark, tmp_path):
            for r in stream_user_stats_drain(
                spark, str(tmp_path), _max_files_per_trigger=1).collect()}
     assert got == {1: (2, 7.0, 5.0), 2: (1, 3.0, 3.0), 3: (1, 7.0, 7.0)}
+
+
+def test_asof_join_tolerance_masks_stale(spark):
+    import datetime
+
+    from legate_dataframe_spark.operators.asof import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+
+    def m(mins):
+        return t0 + datetime.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, 10, m(0)), (2, 10, m(60)), (3, 20, m(5))],
+        "event_id: long, user_id: long, ts: timestamp")
+    right = spark.createDataFrame(
+        [(10, m(-5), 100), (10, m(30), 101)],
+        "user_id: long, ts: timestamp, payload: long")
+    got = {r["event_id"]: r["payload"]
+           for r in asof_join(left, right, on=["user_id"], left_ts="ts",
+                              right_ts="ts", right_payload=["payload"],
+                              tolerance="15 MINUTES").collect()}
+    # event 1: match at -5min (within 15) → 100
+    # event 2: latest right at +30 is 30min stale → masked to null
+    # event 3: user 20 has no right rows → null
+    assert got == {1: 100, 2: None, 3: None}
+
+    unbounded = {r["event_id"]: r["payload"]
+                 for r in asof_join(left, right, on=["user_id"],
+                                    left_ts="ts", right_ts="ts",
+                                    right_payload=["payload"]).collect()}
+    assert unbounded == {1: 100, 2: 101, 3: None}
