@@ -145,6 +145,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "unigram_logprob",       # vs 1-row corpus-total aggregate
         "bm25_search",           # vs 1-row (N, avgdl) stats aggregate
         "quality_filter",        # vs 1-row percentile-threshold aggregate
+        "ann_projected",         # corpus × broadcast projected query vectors
+        "pmi_collocations",      # vs 1-row total-bigram-count aggregate
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
