@@ -139,3 +139,28 @@ def user_event_gaps(events: DataFrame) -> DataFrame:
 
     return grouped_task(events.select("user_id", "ts"), ["user_id"],
                         gaps, GAP_SCHEMA)
+
+
+def cogrouped_task(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str],
+    fn: Callable[[tuple, pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """Run ``fn`` once per key across TWO tables
+    (``FlatMapCoGroupsInPandas``): both sides shuffle by their keys and
+    the task receives the key plus each side's group as a pandas frame
+    (either may be empty — full-outer key semantics).
+
+    The two-table generalization of :func:`grouped_task` — the shape
+    for enrich/reconcile logic that needs BOTH sides' rows in one
+    imperative scope (the SQL layer would need a full-outer join plus
+    per-side windows).  Scale contract is the same: one shuffle per
+    side keyed by the group key; a single key-group must fit one
+    task's memory.
+    """
+    return (left.groupBy(*list(left_keys))
+            .cogroup(right.groupBy(*list(right_keys)))
+            .applyInPandas(fn, schema))

@@ -1952,3 +1952,80 @@ SELECT q_id, c_id, cos_sim, rank FROM (
                             ORDER BY cos_sim DESC, c_id) AS rank
   FROM sims) WHERE rank <= 5
 """
+
+
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-value totals spread across one
+    column per event type.  The value list is EXPLICIT — omitting it
+    makes Spark run a blocking distinct scan to discover columns, and
+    pins the output schema to the data (schema drift at 100 TB).
+    One shuffle; each cell is a conditional partial aggregate."""
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    e = load_table(spark, sf_dir, "events")
+    out = (e.groupBy("user_id")
+           .pivot("event_type", kinds)
+           .agg(F.round(F.sum("value"), 4)))
+    return out.select("user_id", *[F.col(k).alias(f"v_{k}") for k in kinds])
+
+
+PIVOT_EVENT_VALUES_SQL = """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 4) AS v_click,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS v_view,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
+           AS v_purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 4)
+           AS v_signup,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 4) AS v_error
+FROM events GROUP BY user_id
+"""
+
+
+def cogroup_user_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped custom task (pipeline/custom.py cogrouped_task /
+    FlatMapCoGroupsInPandas): reconcile each user's event activity with
+    their order history in ONE pandas scope — full-outer key semantics,
+    either side may be empty.  Oracle: full-outer join of the two
+    per-key aggregates."""
+    import pandas as pd
+
+    from legate_dataframe_spark.pipeline.custom import cogrouped_task
+
+    e = (load_table(spark, sf_dir, "events")
+         .select("user_id", "value"))
+    o = (load_table(spark, sf_dir, "orders")
+         .select(F.col("o_custkey").alias("user_id"),
+                 F.col("o_totalprice").alias("total")))
+
+    def reconcile(key: tuple, ev: pd.DataFrame,
+                  od: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [len(ev)],
+            "sum_value": [round(float(ev["value"].sum()), 4)],
+            "n_orders": [len(od)],
+            "sum_total": [round(float(od["total"].sum()), 4)],
+        })
+
+    return cogrouped_task(
+        e, o, ["user_id"], ["user_id"], reconcile,
+        "user_id long, n_events long, sum_value double, "
+        "n_orders long, sum_total double")
+
+
+COGROUP_USER_ORDERS_SQL = """
+WITH ev AS (
+  SELECT user_id, count(*) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY user_id),
+od AS (
+  SELECT o_custkey AS user_id, count(*) AS n_orders,
+         round(sum(o_totalprice), 4) AS sum_total
+  FROM orders GROUP BY o_custkey)
+SELECT coalesce(ev.user_id, od.user_id) AS user_id,
+       coalesce(ev.n_events, 0) AS n_events,
+       coalesce(ev.sum_value, 0.0) AS sum_value,
+       coalesce(od.n_orders, 0) AS n_orders,
+       coalesce(od.sum_total, 0.0) AS sum_total
+FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
+"""

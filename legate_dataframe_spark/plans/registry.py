@@ -58,6 +58,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_etl_ingest": (pq.stream_etl_ingest, pq.STREAM_ETL_INGEST_SQL),
     "asof_tolerance": (r.asof_tolerance, r.ASOF_TOLERANCE_SQL),
     "ann_projected": (pq.ann_projected, pq.ANN_PROJECTED_SQL),
+    "pivot_event_values": (pq.pivot_event_values, pq.PIVOT_EVENT_VALUES_SQL),
+    "cogroup_user_orders": (pq.cogroup_user_orders,
+                            pq.COGROUP_USER_ORDERS_SQL),
     "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
     "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
