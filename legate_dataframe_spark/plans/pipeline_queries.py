@@ -2029,3 +2029,51 @@ SELECT coalesce(ev.user_id, od.user_id) AS user_id,
        coalesce(od.sum_total, 0.0) AS sum_total
 FROM ev FULL OUTER JOIN od ON ev.user_id = od.user_id
 """
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who clicked, then viewed AFTER their first
+    click, then purchased AFTER that first view — the conversion-path
+    primitive product analytics runs on event streams.
+
+    Stage frames are user-level aggregates (one row per user), so each
+    stage is a keyed equi-join against a frame far smaller than the
+    event stream; events shuffle once per stage filter, keyed by
+    user_id."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type",
+                                                   "ts")
+    c = (e.filter(F.col("event_type") == "click")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    v = (e.filter(F.col("event_type") == "view")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (c.agg(F.count(F.lit(1)).alias("n_click"))
+            .crossJoin(F.broadcast(v.agg(F.count(F.lit(1))
+                                         .alias("n_view_after"))))
+            .crossJoin(F.broadcast(p.agg(F.count(F.lit(1))
+                                         .alias("n_purchase_after")))))
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH c AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'click' GROUP BY user_id),
+v AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts > c.t1
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t2
+  GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM v) AS n_view_after,
+       (SELECT count(*) FROM p) AS n_purchase_after
+"""

@@ -61,6 +61,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pivot_event_values": (pq.pivot_event_values, pq.PIVOT_EVENT_VALUES_SQL),
     "cogroup_user_orders": (pq.cogroup_user_orders,
                             pq.COGROUP_USER_ORDERS_SQL),
+    "unpivot_metrics": (r.unpivot_metrics, r.UNPIVOT_METRICS_SQL),
+    "window_lag_lead": (r.window_lag_lead, r.WINDOW_LAG_LEAD_SQL),
+    "funnel_conversion": (pq.funnel_conversion, pq.FUNNEL_CONVERSION_SQL),
     "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
     "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------

@@ -1821,3 +1821,59 @@ SELECT l_returnflag,
        true AS median_in_bound
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+# --------------------------------------------------------------------------
+# unpivot / melt — wide→long normalization (DataFrame.unpivot; the
+# inverse of pivot_event_values).  The column list is static, so the
+# plan is a narrow Expand node: no shuffle, output = 4 rows per input.
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (l.select("l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax")
+            .unpivot(["l_orderkey", "l_linenumber"],
+                     ["l_quantity", "l_extendedprice", "l_discount",
+                      "l_tax"],
+                     "metric", "val")
+            .select("l_orderkey", "l_linenumber", "metric",
+                    F.round("val", 4).alias("val")))
+
+
+UNPIVOT_METRICS_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       round(l_quantity, 4) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       round(l_extendedprice, 4) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       round(l_discount, 4) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 4) FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# lag/lead/ntile — the offset-window family (beyond-reference; the
+# reference has no window functions at all, SURVEY §2.5).  Full
+# (ts, event_id) tiebreak makes every offset deterministic.
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.ntile(4).over(w).cast("long").alias("quartile"))
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       round(lag(value) OVER w, 4) AS prev_value,
+       round(lead(value) OVER w, 4) AS next_value,
+       ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

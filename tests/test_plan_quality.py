@@ -147,6 +147,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "quality_filter",        # vs 1-row percentile-threshold aggregate
         "ann_projected",         # corpus × broadcast projected query vectors
         "pmi_collocations",      # vs 1-row total-bigram-count aggregate
+        "funnel_conversion",     # three 1-row stage-count aggregates
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
