@@ -2077,3 +2077,81 @@ SELECT (SELECT count(*) FROM c) AS n_click,
        (SELECT count(*) FROM v) AS n_view_after,
        (SELECT count(*) FROM p) AS n_purchase_after
 """
+
+
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert without a table format: apply a batch of
+    per-customer "updates" (their order totals) onto the customer
+    dimension — matched rows get refreshed attributes, unmatched update
+    keys become inserts, untouched rows pass through.  Emulated as a
+    full-outer join + coalesce, the portable shape of warehouse
+    MERGE/upsert maintenance.
+
+    One equi-join shuffle keyed by the customer key; both sides are
+    dimension-sized (the event-scale aggregation happened upstream).
+    Columns ship as typed values, NOT a string digest — engines render
+    doubles differently (Java flips to scientific notation past 1e7),
+    so string-serialized floats are not oracle-comparable."""
+    c = (load_table(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name", F.round("c_acctbal", 2)
+                 .alias("c_acctbal")))
+    upd = (load_table(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("spend")))
+    m = c.join(upd, c.c_custkey == upd.o_custkey, "full_outer")
+    return m.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.coalesce("c_name", F.lit("<new>")).alias("name"),
+        F.coalesce("c_acctbal", F.lit(0.0)).alias("acctbal"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"))
+
+
+MERGE_UPSERT_SQL = """
+WITH upd AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey)
+SELECT coalesce(c.c_custkey, u.o_custkey) AS custkey,
+       coalesce(c.c_name, '<new>') AS name,
+       coalesce(round(c.c_acctbal, 2), 0.0) AS acctbal,
+       coalesce(u.n_orders, 0) AS n_orders,
+       coalesce(u.spend, 0.0) AS spend
+FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.o_custkey
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of user behavior: P(next event type |
+    current event type), from consecutive events per user in time
+    order — the sequence-model summary funnels and session analyses
+    build on.  One window shuffle keyed by user_id, then a 25-cell
+    aggregate."""
+    from pyspark.sql import Window as _W
+
+    e = load_table(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (e.select(F.col("event_type").alias("cur"),
+                      F.lead("event_type").over(w).alias("nxt"))
+             .filter(F.col("nxt").isNotNull()))
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return (counts.join(totals, "cur")
+            .select("cur", "nxt", "n",
+                    F.round(F.col("n") / F.col("tot"), 6).alias("p")))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+counts AS (
+  SELECT cur, nxt, count(*) AS n FROM pairs
+  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+totals AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY cur)
+SELECT cur, nxt, n, round(n / tot, 6) AS p
+FROM counts JOIN totals USING (cur)
+"""

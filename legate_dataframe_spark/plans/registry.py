@@ -64,6 +64,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unpivot_metrics": (r.unpivot_metrics, r.UNPIVOT_METRICS_SQL),
     "window_lag_lead": (r.window_lag_lead, r.WINDOW_LAG_LEAD_SQL),
     "funnel_conversion": (pq.funnel_conversion, pq.FUNNEL_CONVERSION_SQL),
+    "merge_upsert": (pq.merge_upsert_customers, pq.MERGE_UPSERT_SQL),
+    "event_transitions": (pq.event_transitions, pq.EVENT_TRANSITIONS_SQL),
     "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
     "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
