@@ -144,7 +144,10 @@ def main() -> None:
     # intrinsic cost.  SPARK_GRAFT_BENCH_RUNS overrides for long scale
     # probes (10× data × best-of-3 × a growing extras list won't fit a
     # bounded window at runs=3).
-    nruns = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    try:
+        nruns = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    except ValueError as e:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_RUNS must be an integer: {e}")
     times: dict[str, float] = {}
     for name in HEADLINE:
         times[name] = round(min(run(name) for _ in range(nruns)), 3)

@@ -19,37 +19,18 @@ an early release can never break a consumer, only slow it.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
-_TEMPDIRS: list[str] = []
 
-
-def tracked_tempdir(path: str) -> str:
-    """Register a temp directory that must outlive the query that made
-    it (e.g. a streaming sink the returned frame lazily reads) but is
-    garbage once that result has been consumed.  ``release_caches()``
-    — which entry points call *between* queries, after the previous
-    result was materialized — removes it; an atexit hook covers the
-    last query of a session (ADVICE r02: bench.py's 3× repeats leaked
-    one sink dir per repeat)."""
-    _TEMPDIRS.append(path)
-    return path
-
-
-def _purge_tempdirs() -> int:
-    n = 0
-    while _TEMPDIRS:
-        shutil.rmtree(_TEMPDIRS.pop(), ignore_errors=True)
-        n += 1
-    return n
-
-
-atexit.register(_purge_tempdirs)
+# NOTE: an earlier revision also tracked streaming-sink temp dirs here
+# (tracked_tempdir), deleting them at the NEXT query's release_caches().
+# That deferred-delete contract was unsound: a caller building several
+# registry queries before collecting had its first result's sink dir
+# deleted out from under the still-lazy frame (review r03).  Streaming
+# and roundtrip queries now materialize their read-backs eagerly
+# (localCheckpoint) and delete their own dirs before returning.
 
 
 def tracked_persist(
@@ -76,5 +57,4 @@ def release_caches() -> int:
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
-    n += _purge_tempdirs()
     return n

@@ -102,7 +102,6 @@ def mixture_sample(
     """
     from pyspark.sql import Window as _W
 
-    quota = F.lit(None).cast("long")
     expr = None
     for val, k in quotas.items():
         cond = F.col(stratum_col) == F.lit(val)

@@ -256,6 +256,17 @@ def unigram_logprob(
                     .alias("nll")))
 
 
+def _bigram_pairs(toks: Column) -> Column:
+    """Array of adjacent-token pair structs (w1, w2) — the slice/
+    zip_with shape (NOT indexed transform: Catalyst re-evaluates the
+    split per element inside lambdas, see word_shingles).  Shared by
+    bigram_logprob and pmi_collocations so the pair construction can't
+    drift between them."""
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                      lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+
+
 def bigram_logprob(
     docs: DataFrame,
     text_col: str = "text",
@@ -278,11 +289,7 @@ def bigram_logprob(
     """
     toks = tokens(F.lower(F.col(text_col)))
     big = (docs
-           .select(F.col(id_col),
-                   F.posexplode(F.zip_with(
-                       F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                       F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))))
+           .select(F.col(id_col), F.posexplode(_bigram_pairs(toks)))
            .select(id_col, F.col("col.w1").alias("w1"),
                    F.col("col.w2").alias("w2")))
     from legate_dataframe_spark.core.caching import tracked_persist
@@ -364,12 +371,7 @@ def pmi_collocations(
     from legate_dataframe_spark.core.caching import tracked_persist
 
     toks = tokens(F.lower(F.col(text_col)))
-    big = (docs
-           .select(F.explode(F.zip_with(
-               F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-               F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-               lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-               .alias("b"))
+    big = (docs.select(F.explode(_bigram_pairs(toks)).alias("b"))
            .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")))
     bc = tracked_persist(
         big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))

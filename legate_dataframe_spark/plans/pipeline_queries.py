@@ -1212,6 +1212,64 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _drain_available_now(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    empty_schema: str,
+    with_batch_id: bool = False,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Shared bounded-drain harness for the streaming driver queries:
+    foreachBatch parquet sink + ``trigger(availableNow=True)``, then the
+    sink read back EAGERLY (``localCheckpoint``) so both temp dirs are
+    deleted before returning — the caller's frame has no lazy
+    dependency on /tmp state.  (Review r03: the registry's
+    release_caches preamble, or any later cleanup, used to delete a
+    sink dir a prior query's still-lazy result was reading from; the
+    four hand-rolled copies of this block also drifted fix-by-fix.)
+
+    ``with_batch_id`` stamps each micro-batch's rows for
+    last-update-wins reconstruction (update-mode aggregates).
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    outdir = tempfile.mkdtemp(prefix=f"{prefix}_out_")
+    ck = tempfile.mkdtemp(prefix=f"{prefix}_ck_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df
+        if with_batch_id:
+            b = b.withColumn("batch_id", F.lit(batch_id))
+        b.write.mode("append").parquet(outdir)
+
+    try:
+        q = (stream_df.writeStream.outputMode(output_mode)
+             .foreachBatch(sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        try:
+            finished = q.awaitTermination(timeout_s)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError(
+                    f"{prefix}: drain exceeded {timeout_s}s")
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+        if not _glob.glob(f"{outdir}/*.parquet"):
+            # zero input rows ⇒ foreachBatch wrote nothing: empty frame
+            # instead of failing schema inference
+            return spark.createDataFrame([], empty_schema)
+        return spark.read.parquet(outdir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 def events_stream_tumbling(spark: SparkSession, sf_dir: str,
                            _max_files_per_trigger: int | None = None,
                            ) -> DataFrame:
@@ -1242,11 +1300,7 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str,
     re-add ``withWatermark`` to evict closed windows, accepting the
     documented late-data drop.
     """
-    import tempfile
-
     from pyspark.sql import Window as _W
-
-    from legate_dataframe_spark.core.caching import tracked_tempdir
 
     # load_table pins session tz UTC and yields the LTZ-normalized
     # schema; declaring it on readStream reads the same files with
@@ -1267,42 +1321,10 @@ def events_stream_tumbling(spark: SparkSession, sf_dir: str,
                 F.round(F.sum("value"), 2).alias("sum_value"))
            .select(F.col("w.start").alias("window_start"), "event_type",
                    "n_events", "sum_value"))
-    # outdir must outlive this call (the returned frame lazily reads
-    # it) but is garbage once the result is consumed: tracked_tempdir
-    # removes it at the next release_caches() / interpreter exit
-    # (ADVICE r02: repeated bench invocations accumulated sink dirs)
-    outdir = tracked_tempdir(tempfile.mkdtemp(prefix="ldf_stream_tumbling_out_"))
-    ck = tempfile.mkdtemp(prefix="ldf_stream_tumbling_ck_")
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(outdir))
-
-    q = (agg.writeStream.outputMode("update").foreachBatch(sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    try:
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            q.stop()
-            raise TimeoutError("events_stream_tumbling: drain exceeded 300s")
-    finally:
-        # the checkpoint is one-shot state (fresh dirs per call, never
-        # resumed) — delete it so repeated invocations in a long driver
-        # session don't accumulate /tmp state; outdir must outlive the
-        # call since the returned frame reads it
-        import shutil
-
-        shutil.rmtree(ck, ignore_errors=True)
-    import glob as _glob
-
-    if not _glob.glob(f"{outdir}/*.parquet"):
-        # zero input rows ⇒ foreachBatch wrote nothing: match the batch
-        # twin's empty result instead of failing schema inference
-        return spark.createDataFrame([], agg.schema)
-    upd = spark.read.parquet(outdir)
+    upd = _drain_available_now(
+        spark, agg, "ldf_stream_tumbling", "update",
+        "window_start: timestamp, event_type: string, n_events: long, "
+        "sum_value: double, batch_id: long", with_batch_id=True)
     last = _W.partitionBy("window_start", "event_type").orderBy(
         F.desc("batch_id"))
     return (upd.withColumn("__rn", F.row_number().over(last))
@@ -1583,17 +1605,21 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "quality"))
 
 
-QUALITY_FILTER_SQL = r"""
-WITH q AS (
-  SELECT doc_id,
-         round(CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END
-           + least(len(list_intersect(string_split_regex(trim(lower(text)), '\s+'),
-                   ['the','a','and','of','to','in','is','for','on','it'])) / 5.0,
-                   1.0) * 0.3
-           + len(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
-             / len(string_split_regex(trim(lower(text)), '\s+')) * 0.3,
-           6) AS quality
+QUALITY_FILTER_SQL = rf"""
+WITH qtoks AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS qt
   FROM documents),
+q AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN length(text) BETWEEN 50 AND 20000
+                 THEN 0.4 ELSE 0.0 END)
+           + least(len(list_intersect(list_distinct(qt), {_sw('en')})) / 5.0,
+                   1.0) * 0.3
+           + (CASE WHEN len(qt) > 0
+                   THEN len(list_distinct(qt)) / CAST(len(qt) AS DOUBLE)
+                   ELSE 0.0 END) * 0.3, 6) AS quality
+  FROM qtoks),
 thr AS (SELECT quantile_cont(CAST(quality AS DOUBLE), 0.8) AS thr FROM q)
 SELECT doc_id, quality FROM q, thr WHERE quality >= thr
 """
@@ -1693,11 +1719,6 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str,
     _max_files_per_trigger test hook forces a multi-batch drain to
     prove cross-batch suppression.
     """
-    import glob as _glob
-    import shutil
-    import tempfile
-
-    from legate_dataframe_spark.core.caching import tracked_tempdir
     from legate_dataframe_spark.streaming.dedupe import content_key
 
     schema = load_table(spark, sf_dir, "documents").schema
@@ -1709,29 +1730,10 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str,
             .withColumn("digest", content_key("text"))
             .select("source", "digest")
             .dropDuplicates(["source", "digest"]))
-    outdir = tracked_tempdir(tempfile.mkdtemp(prefix="ldf_stream_dedup_out_"))
-    ck = tempfile.mkdtemp(prefix="ldf_stream_dedup_ck_")
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(outdir)
-
-    q = (uniq.writeStream.outputMode("append").foreachBatch(sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    try:
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            q.stop()
-            raise TimeoutError("stream_dedup_drain: drain exceeded 300s")
-    finally:
-        shutil.rmtree(ck, ignore_errors=True)
-    if not _glob.glob(f"{outdir}/*.parquet"):
-        return spark.createDataFrame(
-            [], "source: string, n_unique: long")
-    return (spark.read.parquet(outdir)
-            .groupBy("source")
+    drained = _drain_available_now(
+        spark, uniq, "ldf_stream_dedup", "append",
+        "source: string, digest: string")
+    return (drained.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_unique")))
 
 
@@ -1760,13 +1762,8 @@ def stream_user_stats_drain(spark: SparkSession, sf_dir: str,
     decimals on output; state arithmetic is vectorized pandas per
     key-batch, never per row.
     """
-    import glob as _glob
-    import shutil
-    import tempfile
-
     from pyspark.sql import Window as _W
 
-    from legate_dataframe_spark.core.caching import tracked_tempdir
     from legate_dataframe_spark.streaming.stateful import running_user_stats
 
     schema = load_table(spark, sf_dir, "events").schema
@@ -1775,30 +1772,10 @@ def stream_user_stats_drain(spark: SparkSession, sf_dir: str,
         reader = reader.option("maxFilesPerTrigger", _max_files_per_trigger)
     stream = reader.parquet(f"{sf_dir}/events.parquet*")
     stats = running_user_stats(stream)
-    outdir = tracked_tempdir(tempfile.mkdtemp(prefix="ldf_stream_ustats_out_"))
-    ck = tempfile.mkdtemp(prefix="ldf_stream_ustats_ck_")
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (batch_df.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(outdir))
-
-    q = (stats.writeStream.outputMode("update").foreachBatch(sink)
-         .option("checkpointLocation", ck)
-         .trigger(availableNow=True).start())
-    try:
-        finished = q.awaitTermination(300)
-        if q.exception() is not None:
-            raise q.exception()
-        if not finished:
-            q.stop()
-            raise TimeoutError("stream_user_stats_drain: drain exceeded 300s")
-    finally:
-        shutil.rmtree(ck, ignore_errors=True)
-    if not _glob.glob(f"{outdir}/*.parquet"):
-        return spark.createDataFrame(
-            [], "user_id: long, n_events: long, total_value: double, "
-                "max_value: double")
-    upd = spark.read.parquet(outdir)
+    upd = _drain_available_now(
+        spark, stats, "ldf_stream_ustats", "update",
+        "user_id: long, n_events: long, total_value: double, "
+        "max_value: double, batch_id: long", with_batch_id=True)
     last = _W.partitionBy("user_id").orderBy(F.desc("batch_id"))
     return (upd.withColumn("__rn", F.row_number().over(last))
             .filter(F.col("__rn") == 1)
@@ -1883,10 +1860,9 @@ def stream_etl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from legate_dataframe_spark.core.caching import tracked_tempdir
     from legate_dataframe_spark.streaming.etl import incremental_etl
 
-    dst = tracked_tempdir(tempfile.mkdtemp(prefix="ldf_etl_ingest_out_"))
+    dst = tempfile.mkdtemp(prefix="ldf_etl_ingest_out_")
     ck = tempfile.mkdtemp(prefix="ldf_etl_ingest_ck_")
 
     def transform(df: DataFrame) -> DataFrame:
@@ -1897,12 +1873,18 @@ def stream_etl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         incremental_etl(spark, f"{sf_dir}/events.parquet*", dst, ck,
                         transform)
+        # eager read-back (localCheckpoint) so both temp dirs can be
+        # deleted before returning — the caller's frame must not
+        # lazily depend on /tmp state (same rationale as
+        # _drain_available_now)
+        return (spark.read.parquet(dst)
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("v2"), 4).alias("sum_v2"))
+                .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(ck, ignore_errors=True)
-    return (spark.read.parquet(dst)
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("v2"), 4).alias("sum_v2")))
+        shutil.rmtree(dst, ignore_errors=True)
 
 
 STREAM_ETL_INGEST_SQL = """

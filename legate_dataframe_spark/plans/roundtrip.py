@@ -16,23 +16,35 @@ per partition — the reference's part.<rank> layout); nothing rides the
 driver except ``arrow_roundtrip``, which gathers a 25-row dimension
 table by design (``to_arrow`` IS the gather verb, table.hpp:323-336 —
 its contract is "small result to client", same as the reference's
-blocking gather).  Temp dirs are registered with ``tracked_tempdir`` so
-the session purges them after each query.
+blocking gather).  Each roundtrip materializes its read-back
+aggregate eagerly (``localCheckpoint``) and deletes its temp dir before
+returning, so no lazy /tmp dependency escapes the call (review r03: a
+later query's cleanup used to delete a dir a prior lazy result still
+read from).
 """
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from legate_dataframe_spark.core.caching import tracked_tempdir
 from legate_dataframe_spark.plans.relational import load_table
 
 
 def _tmp(prefix: str) -> str:
-    return tracked_tempdir(tempfile.mkdtemp(prefix=prefix))
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def _finish(df: DataFrame, tmpdir: str) -> DataFrame:
+    """Eagerly materialize the (small) roundtrip aggregate and delete
+    the roundtrip directory — the returned frame carries its data in
+    Spark block storage, not as a lazy scan of /tmp."""
+    out = df.localCheckpoint(eager=True)
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    return out
 
 
 # ------------------------------------------------------------- parquet
@@ -57,11 +69,12 @@ def parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out,
         columns=["o_orderpriority", "o_orderkey", "o_totalprice",
                  "o_orderdate"])
-    return (back.groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-                 F.min("o_orderkey").alias("min_key"),
-                 F.max("o_orderdate").alias("max_date")))
+    return _finish(
+        back.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+             F.min("o_orderkey").alias("min_key"),
+             F.max("o_orderdate").alias("max_date")), out)
 
 
 PARQUET_ROUNDTRIP_SQL = """
@@ -94,11 +107,12 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         usecols=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment",
                  "c_name"],
         delimiter="|")
-    return (back.groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("n_cust"),
-                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
-                 F.sum(F.length("c_name")).alias("name_chars"),
-                 F.countDistinct("c_nationkey").alias("n_nations")))
+    return _finish(
+        back.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+             F.sum(F.length("c_name")).alias("name_chars"),
+             F.countDistinct("c_nationkey").alias("n_nations")), out)
 
 
 CSV_ROUNDTRIP_SQL = """
@@ -130,11 +144,12 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, out,
         schema=("event_id long, user_id long, event_type string, "
                 "value double, ts timestamp"))
-    return (back.groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("sum_value"),
-                 F.max("ts").alias("max_ts"),
-                 F.countDistinct("user_id").alias("n_users")))
+    return _finish(
+        back.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.max("ts").alias("max_ts"),
+             F.countDistinct("user_id").alias("n_users")), out)
 
 
 JSON_ROUNDTRIP_SQL = """

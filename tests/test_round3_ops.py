@@ -179,3 +179,17 @@ def test_asof_join_tolerance_masks_stale(spark):
                                     left_ts="ts", right_ts="ts",
                                     right_payload=["payload"]).collect()}
     assert unbounded == {1: 100, 2: 101, 3: None}
+
+
+def test_streaming_results_survive_later_query_construction(spark, sf_dir):
+    """Review r03: constructing a SECOND registry query used to delete
+    the sink dir a prior streaming query's still-lazy result read from
+    (release_caches preamble + tracked tempdirs).  Drain results are
+    now eagerly materialized, so build-several-then-collect works."""
+    from legate_dataframe_spark.plans.registry import QUERIES
+
+    first = QUERIES["stream_dedup_drain"](spark, sf_dir)
+    # constructing another query triggers the release_caches preamble
+    second = QUERIES["dedup_exact"](spark, sf_dir)
+    assert first.count() > 0  # must not raise FileNotFound
+    assert second.count() > 0
