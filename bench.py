@@ -62,6 +62,7 @@ EXTRA = [
     "stream_user_stats",
     "pmi_collocations",
     "vocab_coverage",
+    "events_stream_sliding",
 ]
 
 

@@ -2137,3 +2137,32 @@ totals AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY cur)
 SELECT cur, nxt, n, round(n / tot, 6) AS p
 FROM counts JOIN totals USING (cur)
 """
+
+
+def events_stream_sliding(spark: SparkSession, sf_dir: str,
+                          _max_files_per_trigger: int | None = None,
+                          ) -> DataFrame:
+    """Sliding-window agg through a REAL Structured Streaming drain —
+    the overlapping-window sibling of events_stream_tumbling (each
+    event lands in window/slide buckets, so update-mode emits
+    per-batch deltas for SEVERAL windows per event).  Same bounded
+    availableNow + last-update-wins harness."""
+    from pyspark.sql import Window as _W
+
+    schema = load_table(spark, sf_dir, "events").schema
+    reader = spark.readStream.schema(schema)
+    if _max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", _max_files_per_trigger)
+    stream = reader.parquet(f"{sf_dir}/events.parquet*")
+    agg = stream_windows.sliding_window_agg(stream)
+    upd = _drain_available_now(
+        spark, agg, "ldf_stream_sliding", "update",
+        "window_start: timestamp, event_type: string, n_events: long, "
+        "sum_value: double, batch_id: long", with_batch_id=True)
+    last = _W.partitionBy("window_start", "event_type").orderBy(
+        F.desc("batch_id"))
+    return (upd.withColumn("__rn", F.row_number().over(last))
+            .filter(F.col("__rn") == 1).drop("__rn", "batch_id"))
+
+
+EVENTS_STREAM_SLIDING_SQL = EVENTS_SLIDING_SQL

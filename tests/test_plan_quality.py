@@ -194,3 +194,49 @@ def test_ivfpq_search_single_build_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_unpivot_is_narrow_expand(spark, sf_dir):
+    """unpivot must plan as an Expand over the scan — no shuffle, no
+    join; 4 output rows per input row materialize in the same stage."""
+    plan = plan_of(QUERIES["unpivot_metrics"](spark, sf_dir), "simple")
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+    # column pruning through the unpivot: comment/shipdate not read
+    fplan = plan_of(QUERIES["unpivot_metrics"](spark, sf_dir))
+    read_schema = [ln for ln in fplan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_shipdate" not in read_schema
+
+
+def test_json_extract_prunes_scan(spark, sf_dir):
+    """get_json_object runs JVM-side over a scan that reads ONLY the
+    props + grouping columns."""
+    plan = plan_of(QUERIES["json_extract_props"](spark, sf_dir))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" in read_schema and "event_type" in read_schema
+    for col in ["user_id", "value", "ts"]:
+        assert col not in read_schema, f"{col} should be pruned"
+    assert "BatchEvalPython" not in plan  # no Python in the hot path
+
+
+def test_rolling_range_window_single_shuffle(spark, sf_dir):
+    """The trailing-hour RANGE frame needs exactly one Exchange (hash
+    by user_id) — a second one would mean the window re-partitioned."""
+    plan = plan_of(QUERIES["rolling_range_window"](spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_pivot_no_discovery_scan(spark, sf_dir):
+    """With an explicit value list the pivot is ONE aggregate over one
+    shuffle — no second scan to discover the pivot values."""
+    plan = plan_of(QUERIES["pivot_event_values"](spark, sf_dir), "simple")
+    assert plan.count("FileScan") == 1
+
+
+def test_merge_upsert_no_bnlj(spark, sf_dir):
+    """The MERGE emulation is a keyed full-outer join: SortMergeJoin
+    FullOuter (AQE may leave it unconverted), never a nested loop."""
+    plan = plan_of(QUERIES["merge_upsert"](spark, sf_dir), "simple")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
