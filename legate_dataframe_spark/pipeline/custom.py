@@ -164,3 +164,18 @@ def cogrouped_task(
     return (left.groupBy(*list(left_keys))
             .cogroup(right.groupBy(*list(right_keys)))
             .applyInPandas(fn, schema))
+
+
+def arrow_grouped_task(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable[[pa.Table], pa.Table],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """Run ``fn`` once per key-group over a zero-copy ``pyarrow.Table``
+    (``applyInArrow``) — the grouped twin of :func:`arrow_task`:
+    shuffle by key like :func:`grouped_task`, but hand the group to the
+    kernel as Arrow with no pandas conversion on either side.  The
+    right surface when a per-group kernel already speaks Arrow
+    (tokenizers, sketch libraries, compiled UDFs)."""
+    return df.groupBy(*list(keys)).applyInArrow(fn, schema)

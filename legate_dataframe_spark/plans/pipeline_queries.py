@@ -2166,3 +2166,44 @@ def events_stream_sliding(spark: SparkSession, sf_dir: str,
 
 
 EVENTS_STREAM_SLIDING_SQL = EVENTS_SLIDING_SQL
+
+
+def arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped zero-copy Arrow task (pipeline/custom.py
+    arrow_grouped_task / applyInArrow): per-event-type value stats
+    computed by a kernel that sees the group as a pyarrow.Table —
+    completes the task-surface matrix (partition/grouped ×
+    pandas/arrow × one/two tables) under the driver gate.
+
+    Arithmetic stays in Arrow compute (sum/min/max are exact over
+    float64), rounded at 4 like the other task queries."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from legate_dataframe_spark.pipeline.custom import arrow_grouped_task
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        v = tbl.column("value")
+        return pa.table({
+            "event_type": [tbl.column("event_type")[0].as_py()],
+            "n": [tbl.num_rows],
+            "sum_value": [round(pc.sum(v).as_py(), 4)],
+            "min_value": [round(pc.min(v).as_py(), 4)],
+            "max_value": [round(pc.max(v).as_py(), 4)],
+        })
+
+    return arrow_grouped_task(
+        e, ["event_type"], stats,
+        "event_type string, n long, sum_value double, "
+        "min_value double, max_value double")
+
+
+ARROW_GROUPED_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""

@@ -68,6 +68,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "event_transitions": (pq.event_transitions, pq.EVENT_TRANSITIONS_SQL),
     "events_stream_sliding": (pq.events_stream_sliding,
                               pq.EVENTS_STREAM_SLIDING_SQL),
+    "arrow_grouped_stats": (pq.arrow_grouped_stats,
+                            pq.ARROW_GROUPED_STATS_SQL),
     "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
     "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
