@@ -63,6 +63,12 @@ EXTRA = [
     "pmi_collocations",
     "vocab_coverage",
     "events_stream_sliding",
+    # round-3b additions
+    "semantic_dedup",
+    "sq8_search",
+    "segment_dedup",
+    "tfidf_terms",
+    "char_entropy",
 ]
 
 

@@ -479,3 +479,126 @@ def ivfpq_search(
             .filter(F.col("rank") <= topk)
             .select("q_id", "c_id", "approx_d2",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus, then call a vector a duplicate when some
+    LOWER-id vector in the SAME cluster has cosine ≥ ``threshold``
+    (greedy keep-lowest-id — deterministic, engine-independent).
+    Output: the removed vectors, each with ``dup_of`` = its lowest-id
+    qualifying neighbor (the retained representative it collapses
+    into) and the cosine to it.
+
+    Shape at scale: the defining trick of SemDeDup is that pairwise
+    comparison happens only WITHIN a cluster — assignment is one
+    broadcast-centroid pass (no corpus shuffle, see ``ivf_assign``),
+    and the pair join is an equi-join keyed by centroid_id, never
+    all-pairs.  Work is Σ|cluster|² instead of N²; at 100 TB you raise
+    k so clusters stay bounded (k ≈ N/10k keeps buckets ~10k rows).
+    """
+    # materialize each vector's L2 norm ONCE here — the pair stage
+    # below evaluates Σ|cluster|² comparisons, and recomputing both
+    # norms per pair (what cosine() does) would triple its FLOPs.
+    # dot/(norm_l·norm_r) with reused norms is bit-identical to
+    # cosine(): same operations, same order, just not repeated.
+    emb = embeddings.select(F.col(id_col).alias("id"),
+                            _to_double(F.col(vec_col)).alias("vec"))
+    assigned = tracked_persist(
+        ivf_assign(embeddings, centroids, id_col, vec_col)
+        .select(F.col(id_col).alias("id"), "centroid_id")
+        .join(emb, "id")
+        .withColumn("nrm", l2_norm(F.col("vec"))))
+    l, r = assigned.alias("l"), assigned.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.centroid_id") == F.col("r.centroid_id"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("r.id").alias("dup_id"),
+                F.col("r.centroid_id").alias("centroid_id"),
+                F.col("l.id").alias("keep_id"),
+                F.round(dot(F.col("l.vec"), F.col("r.vec"))
+                        / (F.col("l.nrm") * F.col("r.nrm")), 6)
+                .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    w = W.partitionBy("dup_id").orderBy(F.col("keep_id"))
+    return (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dup_id").alias(id_col), "centroid_id",
+                    F.col("keep_id").alias("dup_of"), "cos_sim"))
+
+
+def sq_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (int8-style) quantization: per-DIMENSION corpus min/max,
+    then code_i = min(255, floor((v_i − mn_i)/(mx_i − mn_i)·256))
+    (floor, not round — identical semantics in every engine; a
+    constant dimension maps to 0).  Returns (id, codes array<int>,
+    original vector).  The per-dim stats table is dim-sized, rides a
+    broadcast; the corpus is one narrow map — this is the 4×
+    compression pass that makes brute-force scans at 100 TB read 25%
+    of the bytes.
+    """
+    expl = widen_partitions(embeddings).select(
+        F.col(id_col),
+        F.posexplode(_to_double(F.col(vec_col))).alias("pos", "val"))
+    # dim-sized (1 row); persist so corpus/query branches both reading
+    # the quantized frame don't re-scan the corpus for the stats
+    stats = tracked_persist(
+        expl.groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .groupBy()
+        .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                 lambda s: s["mn"]).alias("mns"),
+             F.transform(
+                 F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                 lambda s: s["mx"]).alias("mxs")))
+    v = _to_double(F.col(vec_col))
+    code = F.zip_with(
+        v, F.sequence(F.lit(0), F.size(v) - 1),
+        lambda x, i: F.when(
+            F.col("mxs")[i] > F.col("mns")[i],
+            F.least(F.lit(255), F.floor((x - F.col("mns")[i])
+                                        / (F.col("mxs")[i] - F.col("mns")[i])
+                                        * 256))).otherwise(F.lit(0))
+        .cast("int"))
+    return (embeddings.crossJoin(F.broadcast(stats))
+            .select(F.col(id_col), code.alias("codes"), F.col(vec_col)))
+
+
+def sq_topk(
+    quantized: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by symmetric integer dot product over int8-style codes
+    (``sq_quantize`` output vs an equally-quantized query set): score
+    = Σ qcode_i·ccode_i — pure integer arithmetic, bit-exact in any
+    engine, no float rounding anywhere.  Query codes broadcast; the
+    corpus code table is scanned once, never shuffled (ranking is a
+    per-query window over candidate scores only).
+    """
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col("codes").alias("q_codes"))
+    iprod = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("q_codes"),
+                   lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    scored = (quantized.crossJoin(F.broadcast(q))
+              .filter(F.col(id_col) != F.col("q_id"))
+              .select("q_id", F.col(id_col).alias("c_id"),
+                      iprod.alias("iprod")))
+    w = W.partitionBy("q_id").orderBy(F.col("iprod").desc(), F.col("c_id"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

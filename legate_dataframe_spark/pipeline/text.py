@@ -468,3 +468,123 @@ def bm25_topk(
 
     w = _W.orderBy(F.col("bm25").desc(), id_col)  # topk rows only
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def segment_dedup_stats(
+    docs: DataFrame,
+    seg_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cross-document segment dedup, reported as removal
+    stats: split each document into consecutive NON-overlapping
+    ``seg_tokens``-token segments, drop every segment whose exact text
+    also occurs in at least one other document, and report what
+    survives (CCNet dedups at paragraph granularity; the synthetic
+    corpus has no newlines, so fixed token windows stand in for
+    paragraphs).
+
+    Output per doc: ``n_segments``, ``dup_segments`` (segments shared
+    with another doc), ``kept_tokens`` (tokens surviving removal —
+    the short final remainder segment counts its true length).
+
+    Shape at scale: one narrow map builds per-doc segment digests
+    (md5 — uniform shuffle keys, no hot text), one count shuffle keyed
+    by digest with map-side combine, one equi-join back, one per-doc
+    re-aggregate.  Nothing all-pairs, nothing broadcast-sized.
+    """
+    # project the token array ONCE before the per-segment transform —
+    # referencing the split expression inside the lambda would
+    # re-tokenize the document for every segment (O(tokens²/seg))
+    toks = F.col("__toks")
+    base = (docs.select(F.col(id_col),
+                        tokens(F.lower(F.col(text_col))).alias("__toks"))
+            .filter(F.size(toks) > 0))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens))
+            .alias("seg"),
+            F.least(F.size(toks) - i * seg_tokens, F.lit(seg_tokens))
+            .cast("long").alias("seg_len")))
+    seg = (base.select(F.col(id_col), F.explode(segs).alias("s"))
+           .select(id_col, F.md5(F.col("s.seg")).alias("sd"),
+                   F.col("s.seg_len").alias("seg_len")))
+    # duplicated = the same segment text occurs in >1 DISTINCT doc (a
+    # doc repeating its own boilerplate is not cross-doc contamination)
+    counts = (seg.select("sd", id_col).distinct()
+              .groupBy("sd").agg(F.count(F.lit(1)).alias("ndocs")))
+    return (seg.join(counts, "sd")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_segments"),
+                 F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+                 .alias("dup_segments"),
+                 F.sum(F.when(F.col("ndocs") > 1, 0)
+                       .otherwise(F.col("seg_len"))).alias("kept_tokens")))
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    topk: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF (ln-scaled idf
+    = ln(N/df), raw tf).  The document-frequency table aggregates to
+    vocabulary size and broadcasts; the corpus-sized token stream
+    shuffles twice on uniform keys ((doc, term) then doc for the
+    per-doc top-k window).  Scores round at 6 decimals with (score
+    desc, term asc) tie-break so every engine ranks identically.
+    """
+    from legate_dataframe_spark.core.partitioning import widen_partitions
+
+    tok = widen_partitions(docs).select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (tok.select(id_col, "term").distinct()
+           .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = docs.select(F.col(id_col)).distinct() \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .select(id_col, "term",
+                      F.round(F.col("tf")
+                              * F.log(F.col("n_docs") / F.col("df")), 6)
+                      .alias("tfidf")))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= topk)
+            .select(id_col, "term", "tfidf", "rank"))
+
+
+def char_entropy_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-distribution quality signals: Shannon entropy of the
+    per-doc character histogram (low entropy = repetitive / degenerate
+    text), alphabet size, and non-alpha character ratio.
+
+    Shape at scale: the per-char explode looks expensive but the very
+    next groupBy key is (doc, char), so Spark's partial aggregation
+    collapses it map-side to at most |alphabet| rows per doc before
+    anything shuffles — the wire carries histograms, not characters.
+    """
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    ch = (docs.select(F.col(id_col), F.explode(chars).alias("ch"))
+          .groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c")))
+    tot = ch.groupBy(id_col).agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (ch.join(tot, id_col)
+            .groupBy(id_col)
+            .agg(F.round(-F.sum(p * F.log(p)), 6).alias("char_entropy"),
+                 F.count(F.lit(1)).alias("n_unique_chars"),
+                 F.max("n").alias("n_chars_total"),
+                 F.round(F.sum(F.when(~F.col("ch").rlike("^[A-Za-z]$"),
+                                      F.col("c")).otherwise(0))
+                         / F.max("n"), 6).alias("non_alpha_ratio")))

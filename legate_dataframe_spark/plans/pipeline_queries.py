@@ -2207,3 +2207,164 @@ SELECT event_type, count(*) AS n,
        round(max(value), 4) AS max_value
 FROM events GROUP BY event_type
 """
+
+
+# ------------------------------------------------------- round-3b operators
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-blocked semantic dedup —
+    each removed vector with the lowest-id retained representative it
+    collapses into.  Pairwise cosine runs only WITHIN a cluster
+    (equi-join on centroid_id), never all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    return similarity.semantic_dedup(e, cen, threshold=_ND_THRESHOLD)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cen AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.v, cv), 6) DESC, cent_id) AS rn
+    FROM emb e, cen) WHERE rn = 1),
+pairs AS (
+  SELECT r.vec_id AS dup_id, r.cent_id AS centroid_id,
+         l.vec_id AS keep_id,
+         round(list_cosine_similarity(el.v, er.v), 6) AS cos_sim
+  FROM assign l
+  JOIN assign r ON l.cent_id = r.cent_id AND l.vec_id < r.vec_id
+  JOIN emb el ON el.vec_id = l.vec_id
+  JOIN emb er ON er.vec_id = r.vec_id
+  WHERE round(list_cosine_similarity(el.v, er.v), 6) >= {_ND_THRESHOLD})
+SELECT dup_id AS vec_id, centroid_id, keep_id AS dup_of, cos_sim FROM (
+  SELECT dup_id, centroid_id, keep_id, cos_sim,
+         row_number() OVER (PARTITION BY dup_id ORDER BY keep_id) AS rn
+  FROM pairs) WHERE rn = 1
+"""
+
+
+def sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar-quantized brute-force top-k: per-dim corpus
+    min/max → 0..255 codes (floor — engine-exact), symmetric integer
+    dot product, per-query top-5.  Scores are pure BIGINT arithmetic,
+    so the hash compare is bit-exact with no float tolerance at all."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = similarity.sq_quantize(e)
+    q = sq.filter(F.col("vec_id") % 50 == 0).select("vec_id", "codes")
+    return similarity.sq_topk(sq.select("vec_id", "codes"), q, k=5)
+
+
+SQ8_SEARCH_SQL = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+expl AS (SELECT vec_id, unnest(v) AS val,
+                unnest(range(1, len(v) + 1)) AS pos
+         FROM emb),
+st AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM expl GROUP BY pos),
+codes AS (
+  SELECT vec_id, pos,
+         CASE WHEN mx > mn THEN least(255,
+                CAST(floor((val - mn) / (mx - mn) * 256) AS BIGINT))
+              ELSE 0 END AS code
+  FROM expl JOIN st USING (pos)),
+q AS (SELECT vec_id AS q_id, pos, code AS qc
+      FROM codes WHERE vec_id % 50 = 0),
+sc AS (SELECT q_id, c.vec_id AS c_id,
+              CAST(sum(c.code * q.qc) AS BIGINT) AS iprod
+       FROM codes c JOIN q ON c.pos = q.pos AND c.vec_id != q.q_id
+       GROUP BY q_id, c.vec_id)
+SELECT q_id, c_id, iprod, rank FROM (
+  SELECT q_id, c_id, iprod,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY iprod DESC, c_id) AS rank
+  FROM sc) WHERE rank <= 5
+"""
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-doc segment removal stats (pipeline/text.py
+    segment_dedup_stats): 16-token non-overlapping segments, a segment
+    is dropped when its exact text occurs in another document."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.segment_dedup_stats(d, seg_tokens=16)
+
+
+SEGMENT_DEDUP_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents WHERE len(string_split_regex(trim(lower(text)), '\s+')) > 0),
+seg AS (
+  SELECT doc_id, md5(s.seg) AS sd, s.seg_len
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 range(0, CAST(ceil(len(t) / 16.0) AS BIGINT)),
+                 i -> struct_pack(
+                   seg := array_to_string(t[i*16+1 : (i+1)*16], ' '),
+                   seg_len := least(len(t) - i*16, 16)))) AS s
+        FROM tok)),
+c AS (SELECT sd, count(*) AS ndocs
+      FROM (SELECT DISTINCT sd, doc_id FROM seg) GROUP BY sd)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_segments,
+       CAST(sum(CASE WHEN ndocs > 1 THEN 0 ELSE seg_len END) AS BIGINT)
+         AS kept_tokens
+FROM seg JOIN c USING (sd)
+GROUP BY doc_id
+"""
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by TF-IDF (pipeline/text.py
+    tfidf_topk_terms) — df table broadcasts, token stream shuffles on
+    uniform (doc, term) keys."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.tfidf_topk_terms(d, topk=3)
+
+
+TFIDF_TERMS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+sc AS (SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+       FROM tf JOIN df USING (term), nd)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM sc) WHERE rank <= 3
+"""
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-histogram quality signals (pipeline/text.py
+    char_entropy_stats): Shannon entropy, alphabet size, non-alpha
+    ratio — map-side combine collapses the char explode to per-doc
+    histograms before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.char_entropy_stats(d)
+
+
+CHAR_ENTROPY_SQL = r"""
+WITH cx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(text) + 1), i -> text[i])) AS ch
+  FROM documents),
+hc AS (SELECT doc_id, ch, count(*) AS c FROM cx GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM hc GROUP BY doc_id)
+SELECT doc_id,
+       round(-sum((c / n) * ln(c / n)), 6) AS char_entropy,
+       count(*) AS n_unique_chars,
+       CAST(max(n) AS BIGINT) AS n_chars_total,
+       round(sum(CASE WHEN NOT regexp_matches(ch, '^[A-Za-z]$')
+                      THEN c ELSE 0 END) / max(n), 6) AS non_alpha_ratio
+FROM hc JOIN tot USING (doc_id)
+GROUP BY doc_id
+"""

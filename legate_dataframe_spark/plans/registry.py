@@ -72,6 +72,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                             pq.ARROW_GROUPED_STATS_SQL),
     "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
     "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
+    "semantic_dedup": (pq.semantic_dedup_q, pq.SEMANTIC_DEDUP_SQL),
+    "sq8_search": (pq.sq8_search, pq.SQ8_SEARCH_SQL),
+    "segment_dedup": (pq.segment_dedup, pq.SEGMENT_DEDUP_SQL),
+    "tfidf_terms": (pq.tfidf_terms, pq.TFIDF_TERMS_SQL),
+    "char_entropy": (pq.char_entropy, pq.CHAR_ENTROPY_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),

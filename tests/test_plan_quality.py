@@ -148,6 +148,10 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "ann_projected",         # corpus × broadcast projected query vectors
         "pmi_collocations",      # vs 1-row total-bigram-count aggregate
         "funnel_conversion",     # three 1-row stage-count aggregates
+        "sq8_search",            # vs 1-row per-dim min/max stats +
+                                 # broadcast quantized query codes
+        "tfidf_terms",           # vs 1-row corpus-doc-count aggregate
+        "semantic_dedup",        # corpus × broadcast centroids (assign)
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

@@ -1,0 +1,114 @@
+"""Round-3b operators: SemDeDup cluster-blocked semantic dedup,
+int8 scalar quantization, CCNet segment dedup, TF-IDF keywords,
+char-entropy quality signals."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.pipeline import similarity, text
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>")
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    # cluster A: vectors 0,10,11 all parallel → 10 dups of 0, 11 dups
+    # of 0 (lowest qualifying neighbor, not 10); cluster B: 1,12
+    # orthogonal to A, 12 parallel to 1 → dup of 1.
+    e = _emb(spark, [
+        (0, [1.0, 0.0]), (10, [2.0, 0.0]), (11, [3.0, 0.0]),
+        (1, [0.0, 1.0]), (12, [0.0, 5.0]),
+    ])
+    cen = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    got = {r["vec_id"]: (r["dup_of"], r["cos_sim"])
+           for r in similarity.semantic_dedup(e, cen, 0.9).collect()}
+    assert got == {10: (0, 1.0), 11: (0, 1.0), 12: (1, 1.0)}
+
+
+def test_semantic_dedup_cross_cluster_pair_not_compared(spark):
+    # 5 and 6 are near-identical (cos ≈ 0.980) but straddle the
+    # boundary between opposite centroids, so they land in DIFFERENT
+    # clusters and are never compared — the documented recall boundary
+    # of cluster-blocking (what bounds the work to Σ|cluster|²).
+    e = _emb(spark, [(0, [0.0, 1.0]), (1, [0.0, -1.0]),
+                     (5, [1.0, 0.1]), (6, [1.0, -0.1])])
+    cen = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    got = similarity.semantic_dedup(e, cen, 0.95).collect()
+    assert got == []
+
+
+def test_sq_quantize_codes(spark):
+    # dim0 spans [0,4] → codes floor(v/4*256) capped 255; dim1 is
+    # constant → code 0 everywhere.
+    e = _emb(spark, [(0, [0.0, 7.0]), (1, [1.0, 7.0]), (2, [4.0, 7.0])])
+    got = {r["vec_id"]: r["codes"]
+           for r in similarity.sq_quantize(e).collect()}
+    assert got == {0: [0, 0], 1: [64, 0], 2: [255, 0]}
+
+
+def test_sq_topk_integer_dot(spark):
+    e = _emb(spark, [(0, [1.0, 0.0]), (1, [1.0, 0.25]),
+                     (2, [0.0, 1.0]), (3, [0.5, 0.5])])
+    sq = similarity.sq_quantize(e)
+    q = sq.filter(F.col("vec_id") == 0).select("vec_id", "codes")
+    got = [(r["c_id"], r["iprod"], r["rank"])
+           for r in similarity.sq_topk(sq.select("vec_id", "codes"), q, k=2)
+           .orderBy("rank").collect()]
+    # codes: 0→[255,0], 1→[255,64], 2→[0,255], 3→[128,128]
+    assert got == [(1, 255 * 255, 1), (3, 255 * 128, 2)]
+
+
+def test_segment_dedup_removes_cross_doc_segments(spark):
+    # 2-token segments: doc1 = [a b][c d], doc2 = [a b][x y],
+    # doc3 = [z] (short remainder, unique).  "a b" is cross-doc dup.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "z")],
+        "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["n_segments"], r["dup_segments"],
+                         r["kept_tokens"])
+           for r in text.segment_dedup_stats(df, seg_tokens=2).collect()}
+    assert got == {1: (2, 1, 2), 2: (2, 1, 2), 3: (1, 0, 1)}
+
+
+def test_segment_dedup_within_doc_repeat_not_dup(spark):
+    # doc repeats its own segment; no other doc shares it → kept
+    df = spark.createDataFrame([(1, "p q p q"), (2, "r s")],
+                               "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["dup_segments"], r["kept_tokens"])
+           for r in text.segment_dedup_stats(df, seg_tokens=2).collect()}
+    assert got == {1: (0, 4), 2: (0, 2)}
+
+
+def test_tfidf_topk_terms(spark):
+    # "rare" appears only in doc1 → tfidf = 1·ln(2/1); shared term
+    # "common" has idf ln(2/2)=0.
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common common")],
+        "doc_id: long, text: string")
+    rows = text.tfidf_topk_terms(df, topk=2).collect()
+    got = {(r["doc_id"], r["term"]): (r["tfidf"], r["rank"]) for r in rows}
+    assert got[(1, "rare")] == (round(math.log(2), 6), 1)
+    assert got[(1, "common")] == (0.0, 2)
+    assert got[(2, "common")] == (0.0, 1)
+    assert len(rows) == 3
+
+
+def test_char_entropy_stats(spark):
+    # "aabb" → p(a)=p(b)=0.5 → entropy ln 2; "aaaa" → entropy 0;
+    # "a b" → 3 chars, one non-alpha (space)
+    df = spark.createDataFrame([(1, "aabb"), (2, "aaaa"), (3, "a b")],
+                               "doc_id: long, text: string")
+    got = {r["doc_id"]: r for r in text.char_entropy_stats(df).collect()}
+    assert got[1]["char_entropy"] == round(math.log(2), 6)
+    assert (got[1]["n_unique_chars"], got[1]["n_chars_total"]) == (2, 4)
+    assert got[1]["non_alpha_ratio"] == 0.0
+    assert got[2]["char_entropy"] == 0.0
+    assert got[3]["n_chars_total"] == 3
+    assert got[3]["non_alpha_ratio"] == round(1 / 3, 6)
