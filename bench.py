@@ -69,6 +69,9 @@ EXTRA = [
     "segment_dedup",
     "tfidf_terms",
     "char_entropy",
+    "lang_mismatch",
+    "zipf_fit",
+    "source_rollup",
 ]
 
 

@@ -2368,3 +2368,135 @@ SELECT doc_id,
 FROM hc JOIN tot USING (doc_id)
 GROUP BY doc_id
 """
+
+
+def lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content QC: confusion matrix of the declared
+    ``lang`` column against the stopword-vote prediction
+    (pipeline/text.py lang_id) — the standard check that a corpus's
+    language tags can be trusted before per-language sampling.  One
+    narrow map + one (declared, predicted) count shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (text.lang_id(d)
+            .groupBy(F.col("lang").alias("lang_declared"),
+                     F.col("lang_pred"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("is_match",
+                        F.col("lang_declared") == F.col("lang_pred")))
+
+
+LANG_MISMATCH_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, lang,
+         len(list_intersect(toks, {_sw('en')})) AS h_en,
+         len(list_intersect(toks, {_sw('es')})) AS h_es,
+         len(list_intersect(toks, {_sw('de')})) AS h_de,
+         len(list_intersect(toks, {_sw('fr')})) AS h_fr
+  FROM t),
+p AS (
+  SELECT doc_id, lang AS lang_declared,
+         CASE WHEN greatest(h_en, h_es, h_de, h_fr) <= 0 THEN 'und'
+              WHEN h_en = greatest(h_en, h_es, h_de, h_fr) THEN 'en'
+              WHEN h_es = greatest(h_en, h_es, h_de, h_fr) THEN 'es'
+              WHEN h_de = greatest(h_en, h_es, h_de, h_fr) THEN 'de'
+              WHEN h_fr = greatest(h_en, h_es, h_de, h_fr) THEN 'fr'
+         END AS lang_pred
+  FROM h)
+SELECT lang_declared, lang_pred, count(*) AS n_docs,
+       lang_declared = lang_pred AS is_match
+FROM p GROUP BY lang_declared, lang_pred
+"""
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health check: OLS fit of ln(freq) ~ ln(rank) over the
+    token frequency table (natural corpora follow Zipf slope ≈ −1;
+    a far-off slope flags templated/duplicated text).  The frequency
+    table is vocabulary-sized — everything after the one token-count
+    shuffle is tiny; slope/intercept computed from explicit avg
+    moments so any engine reproduces the same doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    from legate_dataframe_spark.core.partitioning import widen_partitions
+
+    from pyspark.sql import Window
+
+    tok = widen_partitions(d).select(
+        F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    # global window is safe here: it ranks the vocabulary-sized
+    # frequency table, not the corpus
+    ranked = freq.select(
+        F.row_number().over(
+            Window.orderBy(F.col("f").desc(), F.col("tok"))).alias("r"),
+        "f")
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("f").cast("double"))
+    return (ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("f").alias("n_tokens"),
+        F.avg(x).alias("_mx"), F.avg(y).alias("_my"),
+        F.avg(x * y).alias("_mxy"), F.avg(x * x).alias("_mxx"))
+        .select(
+            "n_types", "n_tokens",
+            F.round((F.col("_mxy") - F.col("_mx") * F.col("_my"))
+                    / (F.col("_mxx") - F.col("_mx") * F.col("_mx")), 6)
+            .alias("zipf_slope"),
+            F.round(F.col("_my")
+                    - (F.col("_mxy") - F.col("_mx") * F.col("_my"))
+                    / (F.col("_mxx") - F.col("_mx") * F.col("_mx"))
+                    * F.col("_mx"), 6).alias("zipf_intercept")))
+
+
+ZIPF_FIT_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY f DESC, tok) AS r, f FROM freq),
+m AS (
+  SELECT count(*) AS n_types, CAST(sum(f) AS BIGINT) AS n_tokens,
+         avg(ln(r)) AS mx, avg(ln(f)) AS my,
+         avg(ln(r) * ln(f)) AS mxy, avg(ln(r) * ln(r)) AS mxx
+  FROM ranked)
+SELECT n_types, n_tokens,
+       round((mxy - mx * my) / (mxx - mx * mx), 6) AS zipf_slope,
+       round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6)
+         AS zipf_intercept
+FROM m
+"""
+
+
+def source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report: doc count, exact-duplicate docs
+    (docs minus distinct text digests), token volume, mean doc length
+    — the roll-up a pipeline dashboard shows per crawl/feed.  One
+    narrow digest map, one (source) agg shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.md5(F.col("text")).alias("td"),
+        text.token_count(F.col("text")).alias("ntok"),
+        F.length("text").cast("long").alias("nchr"))
+    return (base.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.count(F.lit(1)) - F.countDistinct("td"))
+                 .alias("exact_dup_docs"),
+                 F.sum("ntok").alias("total_tokens"),
+                 F.round(F.avg("nchr"), 6).alias("mean_chars")))
+
+
+SOURCE_ROLLUP_SQL = r"""
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+         AS exact_dup_docs,
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens,
+       round(avg(len(text)), 6) AS mean_chars
+FROM documents GROUP BY source
+"""

@@ -77,6 +77,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "segment_dedup": (pq.segment_dedup, pq.SEGMENT_DEDUP_SQL),
     "tfidf_terms": (pq.tfidf_terms, pq.TFIDF_TERMS_SQL),
     "char_entropy": (pq.char_entropy, pq.CHAR_ENTROPY_SQL),
+    "lang_mismatch": (pq.lang_mismatch, pq.LANG_MISMATCH_SQL),
+    "zipf_fit": (pq.zipf_fit, pq.ZIPF_FIT_SQL),
+    "source_rollup": (pq.source_rollup, pq.SOURCE_ROLLUP_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),

@@ -112,3 +112,67 @@ def test_char_entropy_stats(spark):
     assert got[2]["char_entropy"] == 0.0
     assert got[3]["n_chars_total"] == 3
     assert got[3]["non_alpha_ratio"] == round(1 / 3, 6)
+
+
+def test_lang_mismatch_confusion(spark):
+    from legate_dataframe_spark.plans.pipeline_queries import lang_mismatch
+    import legate_dataframe_spark.plans.relational as r
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog", "en"),   # predicted en, declared en
+         (2, "el que la de y", "en"),        # predicted es, declared en
+         (3, "xyzzy plugh", "de")],          # no stopwords → und
+        "doc_id: long, text: string, lang: string")
+    orig = r.load_table
+    try:
+        r.load_table = lambda spark, sf, name: df
+        import legate_dataframe_spark.plans.pipeline_queries as pq
+        pq.load_table = r.load_table
+        got = {(x["lang_declared"], x["lang_pred"]):
+               (x["n_docs"], x["is_match"])
+               for x in lang_mismatch(spark, "unused").collect()}
+    finally:
+        r.load_table = orig
+        import legate_dataframe_spark.plans.pipeline_queries as pq
+        pq.load_table = orig
+    assert got == {("en", "en"): (1, True),
+                   ("en", "es"): (1, False),
+                   ("de", "und"): (1, False)}
+
+
+def test_zipf_fit_exact_two_point(spark):
+    import math
+
+    import legate_dataframe_spark.plans.pipeline_queries as pq
+
+    # freqs: a×4, b×2 → points (ln1, ln4), (ln2, ln2): slope = -1,
+    # intercept = ln 4 (exact two-point line)
+    df = spark.createDataFrame([(1, "a a a a b b")],
+                               "doc_id: long, text: string")
+    orig = pq.load_table
+    try:
+        pq.load_table = lambda spark, sf, name: df
+        row = pq.zipf_fit(spark, "unused").collect()[0]
+    finally:
+        pq.load_table = orig
+    assert (row["n_types"], row["n_tokens"]) == (2, 6)
+    assert row["zipf_slope"] == -1.0
+    assert row["zipf_intercept"] == round(math.log(4), 6)
+
+
+def test_source_rollup_dups_and_tokens(spark):
+    import legate_dataframe_spark.plans.pipeline_queries as pq
+
+    df = spark.createDataFrame(
+        [(1, "a b", "web"), (2, "a b", "web"), (3, "c", "web"),
+         (4, "d e f", "book")],
+        "doc_id: long, text: string, source: string")
+    orig = pq.load_table
+    try:
+        pq.load_table = lambda spark, sf, name: df
+        got = {r["source"]: (r["n_docs"], r["exact_dup_docs"],
+                             r["total_tokens"])
+               for r in pq.source_rollup(spark, "unused").collect()}
+    finally:
+        pq.load_table = orig
+    assert got == {"web": (3, 1, 5), "book": (1, 0, 3)}
