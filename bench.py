@@ -72,6 +72,8 @@ EXTRA = [
     "lang_mismatch",
     "zipf_fit",
     "source_rollup",
+    "weighted_sample",
+    "psi_drift",
 ]
 
 

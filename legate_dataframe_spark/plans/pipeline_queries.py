@@ -2500,3 +2500,112 @@ SELECT source,
        round(avg(len(text)), 6) AS mean_chars
 FROM documents GROUP BY source
 """
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality (DoReMi-style reweighting made
+    deterministic): keep a doc with probability = its quality score,
+    decided by comparing an md5-derived per-doc uniform u ∈ [0, 2³²)
+    against quality·2³² — no RNG state, identical keep-set on any
+    engine, any partitioning, any run.  Pure narrow map."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(d)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    return (scored.withColumn("u", u)
+            .filter(F.col("u") < F.col("quality") * F.lit(4294967296.0))
+            .select("doc_id", "quality", "u"))
+
+
+WEIGHTED_SAMPLE_SQL = rf"""
+WITH qtoks AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') AS qt
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN length(text) BETWEEN 50 AND 20000
+                 THEN 0.4 ELSE 0.0 END)
+           + least(len(list_intersect(list_distinct(qt), {_sw('en')})) / 5.0,
+                   1.0) * 0.3
+           + (CASE WHEN len(qt) > 0
+                   THEN len(list_distinct(qt)) / CAST(len(qt) AS DOUBLE)
+                   ELSE 0.0 END) * 0.3, 6) AS quality
+  FROM qtoks)
+SELECT doc_id, quality,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS UBIGINT)::BIGINT AS u
+FROM scored
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS UBIGINT) < quality * 4294967296.0
+"""
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: per event_type, PSI
+    between the month-start (day ≤ 15) and month-end value
+    distributions over 10 equal-width bins (edges from the global
+    min/max — a 1-row broadcast).  PSI = Σ (pa−pb)·ln(pa/pb) with
+    proportions clamped at 1e-6 (the standard empty-bin guard).
+    After the one (type, bin) count shuffle everything is
+    bins×types-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value",
+        F.when(F.dayofmonth("ts") <= 15, F.lit("a")).otherwise(F.lit("b"))
+        .alias("period"))
+    stats = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    binned = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type", "period",
+        F.when(F.col("mx") > F.col("mn"),
+               F.least(F.lit(9),
+                       F.floor((F.col("value") - F.col("mn"))
+                               / (F.col("mx") - F.col("mn")) * 10)))
+        .otherwise(F.lit(0)).alias("bin"))
+    counts = (binned.groupBy("event_type", "bin")
+              .agg(F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+                   .alias("ca"),
+                   F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+                   .alias("cb")))
+    tot = counts.groupBy("event_type").agg(F.sum("ca").alias("ta"),
+                                           F.sum("cb").alias("tb"))
+    pa = F.greatest(F.col("ca") / F.col("ta"), F.lit(1e-6))
+    pb = F.greatest(F.col("cb") / F.col("tb"), F.lit(1e-6))
+    return (counts.join(tot, "event_type")
+            .groupBy("event_type")
+            .agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"),
+                 F.sum("ca").alias("n_first_half"),
+                 F.sum("cb").alias("n_second_half")))
+
+
+PSI_DRIFT_SQL = r"""
+WITH ev AS (
+  SELECT event_type, value,
+         CASE WHEN day(ts) <= 15 THEN 'a' ELSE 'b' END AS period
+  FROM events),
+st AS (SELECT min(value) AS mn, max(value) AS mx FROM ev),
+b AS (
+  SELECT event_type, period,
+         CASE WHEN mx > mn
+              THEN least(9, CAST(floor((value - mn) / (mx - mn) * 10)
+                                 AS BIGINT))
+              ELSE 0 END AS bin
+  FROM ev, st),
+c AS (
+  SELECT event_type, bin,
+         CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM b GROUP BY event_type, bin),
+t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS ta,
+             CAST(sum(cb) AS BIGINT) AS tb
+      FROM c GROUP BY event_type)
+SELECT event_type,
+       round(sum((greatest(ca / CAST(ta AS DOUBLE), 1e-6)
+                  - greatest(cb / CAST(tb AS DOUBLE), 1e-6))
+                 * ln(greatest(ca / CAST(ta AS DOUBLE), 1e-6)
+                      / greatest(cb / CAST(tb AS DOUBLE), 1e-6))), 6)
+         AS psi,
+       CAST(sum(ca) AS BIGINT) AS n_first_half,
+       CAST(sum(cb) AS BIGINT) AS n_second_half
+FROM c JOIN t USING (event_type)
+GROUP BY event_type
+"""

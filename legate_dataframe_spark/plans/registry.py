@@ -80,6 +80,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lang_mismatch": (pq.lang_mismatch, pq.LANG_MISMATCH_SQL),
     "zipf_fit": (pq.zipf_fit, pq.ZIPF_FIT_SQL),
     "source_rollup": (pq.source_rollup, pq.SOURCE_ROLLUP_SQL),
+    "weighted_sample": (pq.weighted_sample, pq.WEIGHTED_SAMPLE_SQL),
+    "psi_drift": (pq.psi_drift, pq.PSI_DRIFT_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),

@@ -176,3 +176,82 @@ def test_source_rollup_dups_and_tokens(spark):
     finally:
         pq.load_table = orig
     assert got == {"web": (3, 1, 5), "book": (1, 0, 3)}
+
+
+def test_weighted_sample_matches_exact_python_replay(spark):
+    import hashlib
+
+    import legate_dataframe_spark.plans.pipeline_queries as pq
+
+    # keep-set must equal an exact Python replay of the rule: u(doc) =
+    # first 8 md5 hex digits of str(doc_id); keep iff u < quality·2³².
+    # good text: quality = 0.4 (length) + 0.3 (stopwords) + 0.3·(10/60
+    # diversity) = 0.75;  "x": 0 + 0 + 0.3·(1/1) = 0.3.
+    good = ("the and of to a in is that it for " * 6).strip()
+    rows = [(i, good if i % 2 == 0 else "x", "en") for i in range(40)]
+    expected = []
+    for i, _t, _l in rows:
+        q = 0.75 if i % 2 == 0 else 0.3
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        if u < q * 4294967296.0:
+            expected.append(i)
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    orig = pq.load_table
+    try:
+        pq.load_table = lambda spark, sf, name: df
+        got = sorted(r["doc_id"]
+                     for r in pq.weighted_sample(spark, "u").collect())
+        again = sorted(r["doc_id"]
+                       for r in pq.weighted_sample(spark, "u").collect())
+    finally:
+        pq.load_table = orig
+    assert got == sorted(expected) and got == again and len(got) > 0
+
+
+def test_psi_drift_identical_halves_zero(spark):
+    import datetime as dt
+
+    import legate_dataframe_spark.plans.pipeline_queries as pq
+
+    # same value distribution in both halves → PSI = 0
+    rows = []
+    eid = 0
+    for day in (5, 20):
+        for v in (0.0, 1.0, 2.0, 3.0):
+            rows.append((eid, dt.datetime(2024, 1, day), 1, "click", v, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, "
+              "event_type: string, value: double, props: string")
+    orig = pq.load_table
+    try:
+        pq.load_table = lambda spark, sf, name: df
+        got = {r["event_type"]: (r["psi"], r["n_first_half"],
+                                 r["n_second_half"])
+               for r in pq.psi_drift(spark, "u").collect()}
+    finally:
+        pq.load_table = orig
+    assert got == {"click": (0.0, 4, 4)}
+
+
+def test_psi_drift_shifted_distribution_positive(spark):
+    import datetime as dt
+
+    import legate_dataframe_spark.plans.pipeline_queries as pq
+
+    rows = []
+    eid = 0
+    for v in (0.0, 0.0, 0.0, 1.0):
+        rows.append((eid, dt.datetime(2024, 1, 3), 1, "buy", v, "{}")); eid += 1
+    for v in (9.0, 9.0, 9.0, 1.0):
+        rows.append((eid, dt.datetime(2024, 1, 25), 1, "buy", v, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, "
+              "event_type: string, value: double, props: string")
+    orig = pq.load_table
+    try:
+        pq.load_table = lambda spark, sf, name: df
+        row = pq.psi_drift(spark, "u").collect()[0]
+    finally:
+        pq.load_table = orig
+    assert row["psi"] > 1.0  # mass moved bins 0→9: large drift
