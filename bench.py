@@ -74,6 +74,7 @@ EXTRA = [
     "source_rollup",
     "weighted_sample",
     "psi_drift",
+    "ivf_sq8_search",
 ]
 
 

@@ -602,3 +602,43 @@ def sq_topk(
     w = W.partitionBy("q_id").orderBy(F.col("iprod").desc(), F.col("c_id"))
     return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k))
+
+
+def ivf_sq_search(
+    corpus_codes: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SQ codes under IVF pruning — the scale path for scalar
+    quantization (plain ``sq_topk`` is a full scan per query, which
+    goes quadratic when the query set grows with the corpus; this
+    probes ``n_probe`` clusters per query, so per-query work is
+    corpus/k_clusters·n_probe int-dot products — exactly the
+    ``ivfpq_search`` shape with int8 codes instead of PQ codes).
+
+    ``corpus_codes`` = (id, centroid_id, codes); ``queries`` = (id,
+    raw vector, codes) — cluster probing ranks on the RAW query
+    vector (broadcast centroids), scoring is the pure-BIGINT code dot
+    product, so the result stays float-tolerance-free.
+    """
+    q_probe = _probe_n(queries, centroids, n_probe, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       F.col("codes").alias("q_codes"))
+    iprod = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("q_codes"),
+                   lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    cand = (corpus_codes
+            .join(q_probe.withColumnRenamed("cent_id", "centroid_id"),
+                  "centroid_id")
+            .join(F.broadcast(q), "q_id")
+            .filter(F.col(id_col) != F.col("q_id"))
+            .select("q_id", F.col(id_col).alias("c_id"),
+                    iprod.alias("iprod")))
+    w = W.partitionBy("q_id").orderBy(F.col("iprod").desc(), F.col("c_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))

@@ -2609,3 +2609,67 @@ SELECT event_type,
 FROM c JOIN t USING (event_type)
 GROUP BY event_type
 """
+
+
+def ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized ANN under IVF pruning (pipeline/similarity.py
+    ivf_sq_search): probe 2 of 8 clusters per query on the raw vector,
+    score candidates by the BIGINT code dot product — the sq8_search
+    scale path (full-scan SQ goes quadratic when |Q| grows with the
+    corpus; pruning caps per-query work at corpus/4)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    sq = similarity.sq_quantize(e)
+    corpus = (similarity.ivf_assign(e, cen)
+              .select("vec_id", "centroid_id")
+              .join(sq.select("vec_id", "codes"), "vec_id"))
+    q = (e.filter(F.col("vec_id") % 50 == 0)
+         .join(sq.select("vec_id", "codes"), "vec_id"))
+    return similarity.ivf_sq_search(corpus, cen, q, k=5, n_probe=2)
+
+
+IVF_SQ8_SEARCH_SQL = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+expl AS (SELECT vec_id, unnest(v) AS val,
+                unnest(range(1, len(v) + 1)) AS pos
+         FROM emb),
+st AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM expl GROUP BY pos),
+codes AS (
+  SELECT vec_id, pos,
+         CASE WHEN mx > mn THEN least(255,
+                CAST(floor((val - mn) / (mx - mn) * 256) AS BIGINT))
+              ELSE 0 END AS code
+  FROM expl JOIN st USING (pos)),
+cen AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.v, cv), 6) DESC,
+             cent_id) AS rn
+    FROM emb e, cen) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+probe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q_id, cent_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             round(list_cosine_similarity(qv, cv), 6) DESC, cent_id) AS rn
+    FROM q, cen) WHERE rn <= 2),
+qc AS (SELECT vec_id AS q_id, pos, code AS qcd
+       FROM codes WHERE vec_id % 50 = 0),
+cand AS (
+  SELECT p.q_id AS q_id, a.vec_id AS c_id,
+         CAST(sum(c.code * qc.qcd) AS BIGINT) AS iprod
+  FROM assign a
+  JOIN probe p ON a.cent_id = p.cent_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN qc ON qc.q_id = p.q_id AND qc.pos = c.pos
+  WHERE a.vec_id != p.q_id
+  GROUP BY p.q_id, a.vec_id)
+SELECT q_id, c_id, iprod, rank FROM (
+  SELECT q_id, c_id, iprod,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY iprod DESC, c_id) AS rank
+  FROM cand) WHERE rank <= 5
+"""

@@ -82,6 +82,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "source_rollup": (pq.source_rollup, pq.SOURCE_ROLLUP_SQL),
     "weighted_sample": (pq.weighted_sample, pq.WEIGHTED_SAMPLE_SQL),
     "psi_drift": (pq.psi_drift, pq.PSI_DRIFT_SQL),
+    "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),

@@ -152,6 +152,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                                  # broadcast quantized query codes
         "tfidf_terms",           # vs 1-row corpus-doc-count aggregate
         "semantic_dedup",        # corpus × broadcast centroids (assign)
+        "ivf_sq8_search",        # corpus × broadcast centroids + 1-row
+                                 # min/max stats (quantizer)
+        "psi_drift",             # vs 1-row global min/max bin edges
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

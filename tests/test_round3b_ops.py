@@ -255,3 +255,27 @@ def test_psi_drift_shifted_distribution_positive(spark):
     finally:
         pq.load_table = orig
     assert row["psi"] > 1.0  # mass moved bins 0→9: large drift
+
+
+def test_ivf_sq_search_prunes_to_probed_clusters(spark):
+    # centroids along axes; 4 corpus vecs split into two clusters.
+    # query ≈ x-axis with n_probe=1 → only cluster-x candidates can
+    # appear even though a cluster-y vector has a larger int dot.
+    e = _emb(spark, [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),          # seeds/centroids
+        (10, [0.9, 0.1]), (11, [0.8, 0.0]),        # cluster x
+        (12, [0.1, 0.9]),                          # cluster y
+    ])
+    cen = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    sq = similarity.sq_quantize(e)
+    corpus = (similarity.ivf_assign(e, cen)
+              .select("vec_id", "centroid_id")
+              .join(sq.select("vec_id", "codes"), "vec_id"))
+    q = (e.filter(F.col("vec_id") == 0)
+         .join(sq.select("vec_id", "codes"), "vec_id"))
+    got = [r["c_id"] for r in
+           similarity.ivf_sq_search(corpus, cen, q, k=5, n_probe=1)
+           .orderBy("rank").collect()]
+    assert set(got) <= {10, 11}  # cluster-y vec 12 pruned away
+    assert len(got) == 2
