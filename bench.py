@@ -75,6 +75,8 @@ EXTRA = [
     "weighted_sample",
     "psi_drift",
     "ivf_sq8_search",
+    "pagerank_users",
+    "window_rank_stats",
 ]
 
 

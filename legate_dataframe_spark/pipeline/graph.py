@@ -1,0 +1,85 @@
+"""Graph analytics over event streams: deterministic edge extraction
+and fixed-iteration PageRank.
+
+Near-dup clustering already does transitive closure via pointer
+jumping (pipeline/components.py); this module adds the weighted-
+influence side: a sparse user-interaction graph built in ONE window
+pass (no all-pairs/cartesian edge construction — co-occurrence
+grouping would be |group|² and is exactly what we avoid), then
+PageRank as k unrolled join+aggregate rounds, each shuffling
+edge-count rows keyed by node id.  With a fixed iteration count and
+per-iteration rounding the result is bit-reproducible, so a SQL
+oracle can unroll the same rounds (same convention as
+similarity.kmeans_refine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def event_succession_edges(
+    events: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sparse directed edges u→v: within each event_type's time-ordered
+    stream, the previous event's user points at the current one
+    (distinct pairs, self-loops dropped).  Linear in events — one
+    window shuffle keyed by event_type — and deterministic because the
+    ordering ties break on event_id."""
+    w = W.partitionBy(type_col).orderBy(F.col(ts_col), F.col(id_col))
+    prev = F.lag(F.col(user_col)).over(w)
+    return (events.select(F.col(user_col).alias("dst"),
+                          prev.alias("src"))
+            .filter(F.col("src").isNotNull()
+                    & (F.col("src") != F.col("dst")))
+            .select("src", "dst").distinct())
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with ``n_iter`` unrolled iterations from a uniform
+    start.  r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/outdeg(u); nodes with no
+    in-edges keep the teleport term.  Dangling mass is NOT
+    redistributed (documented simplification — ranks no longer sum to
+    1 but the fixed-iteration result stays exact and engine-portable).
+    Ranks round at 8 decimals per iteration so any engine reproduces
+    identical values.
+
+    Scale shape: each iteration is one equi-join of the edge list with
+    the node-sized rank table plus one groupBy(dst) — shuffles
+    O(edges) rows keyed by node id, nothing quadratic, no driver-side
+    data.  The edge list is consumed every iteration, so callers
+    should pass a persisted frame when iterating more than twice.
+    """
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    n = nodes.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # uniform start: r0 = 1/N for every node
+    ranks = (nodes.crossJoin(F.broadcast(n))
+             .select("node", "n_nodes",
+                     F.round(1.0 / F.col("n_nodes"), 8).alias("rank")))
+    for _ in range(n_iter):
+        contrib = (edges.join(ranks.select(F.col("node").alias("src"),
+                                           "rank"), "src")
+                   .join(deg, "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                        .alias("inflow")))
+        ranks = (ranks.select("node", "n_nodes")
+                 .join(contrib, "node", "left")
+                 .select("node", "n_nodes",
+                         F.round((1 - damping) / F.col("n_nodes")
+                                 + damping * F.coalesce(F.col("inflow"),
+                                                        F.lit(0.0)), 8)
+                         .alias("rank")))
+    return ranks.select("node", "rank")

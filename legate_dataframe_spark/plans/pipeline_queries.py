@@ -2673,3 +2673,81 @@ SELECT q_id, c_id, iprod, rank FROM (
                             ORDER BY iprod DESC, c_id) AS rank
   FROM cand) WHERE rank <= 5
 """
+
+
+def pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-influence PageRank (pipeline/graph.py): sparse succession
+    edges from the event stream (one window pass — no all-pairs
+    co-occurrence blowup), then 2 unrolled PageRank rounds.  The
+    oracle unrolls the identical rounds in SQL — exact value parity
+    for an iterative graph algorithm, same convention as k-means."""
+    from legate_dataframe_spark.pipeline import graph
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = tracked_persist(graph.event_succession_edges(ev))
+    return graph.pagerank(edges, n_iter=2, damping=0.85)
+
+
+PAGERANK_SQL = """
+WITH ordered AS (
+  SELECT event_type, user_id,
+         lag(user_id) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS prev
+  FROM events),
+edges AS (
+  SELECT DISTINCT prev AS src, user_id AS dst FROM ordered
+  WHERE prev IS NOT NULL AND prev != user_id),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT count(*) AS n_nodes FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, n_nodes, round(1.0 / n_nodes, 8) AS rank
+       FROM nodes, n),
+c1 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inflow
+       FROM edges e
+       JOIN r0 r ON r.node = e.src
+       JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT r0.node, r0.n_nodes,
+              round(0.15 / r0.n_nodes
+                    + 0.85 * coalesce(c1.inflow, 0), 8) AS rank
+       FROM r0 LEFT JOIN c1 USING (node)),
+c2 AS (SELECT e.dst AS node, sum(r.rank / d.outdeg) AS inflow
+       FROM edges e
+       JOIN r1 r ON r.node = e.src
+       JOIN deg d ON d.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT r1.node, r1.n_nodes,
+              round(0.15 / r1.n_nodes
+                    + 0.85 * coalesce(c2.inflow, 0), 8) AS rank
+       FROM r1 LEFT JOIN c2 USING (node))
+SELECT node, rank FROM r2
+"""
+
+
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic rank-function surface: dense_rank / percent_rank /
+    cume_dist per event_type ordered by value ONLY — tie groups share
+    rank stats, exercising peer-group semantics (both engines define
+    percent_rank = (rank−1)/(n−1), cume_dist = |peers ≤ v| / n)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_id", "event_type", "value")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"))
+    return ev.select(
+        "event_id", "event_type",
+        F.round("value", 4).alias("value_r"),
+        F.dense_rank().over(w).cast("long").alias("dr"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+WINDOW_RANK_STATS_SQL = """
+SELECT event_id, event_type,
+       round(value, 4) AS value_r,
+       CAST(dense_rank() OVER w AS BIGINT) AS dr,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value)
+"""

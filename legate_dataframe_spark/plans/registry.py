@@ -83,6 +83,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "weighted_sample": (pq.weighted_sample, pq.WEIGHTED_SAMPLE_SQL),
     "psi_drift": (pq.psi_drift, pq.PSI_DRIFT_SQL),
     "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
+    "pagerank_users": (pq.pagerank_users, pq.PAGERANK_SQL),
+    "window_rank_stats": (pq.window_rank_stats, pq.WINDOW_RANK_STATS_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),

@@ -155,6 +155,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "ivf_sq8_search",        # corpus × broadcast centroids + 1-row
                                  # min/max stats (quantizer)
         "psi_drift",             # vs 1-row global min/max bin edges
+        "pagerank_users",        # vs 1-row node-count aggregate
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
