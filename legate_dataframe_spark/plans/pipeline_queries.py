@@ -2751,3 +2751,48 @@ SELECT event_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY value)
 """
+
+
+def events_stream_session(spark: SparkSession, sf_dir: str,
+                          _max_files_per_trigger: int | None = None,
+                          ) -> DataFrame:
+    """Gap-based sessionization through a REAL Structured Streaming
+    run: readStream(events) → watermark → native ``session_window``
+    aggregate → availableNow drain — the streaming twin of the batch
+    ``sessionize`` query, sharing its oracle.
+
+    Session identity is NOT stable across micro-batches (a later batch
+    can MERGE partial sessions into one with an earlier start), and
+    Spark rejects update mode for streaming session windows for
+    exactly that reason.  This drains in COMPLETE mode: every batch
+    re-emits the full aggregate state, so reconstruction is simply
+    "keep the last batch's snapshot" — correct even when
+    maxFilesPerTrigger splits the drain, because the final snapshot
+    reflects all merges.  Complete mode holds the whole aggregate in
+    state, which is exactly the bounded-drain scenario; a 24/7
+    deployment would use append mode + watermark and accept that
+    still-open sessions emit only after the watermark passes.
+    """
+    schema = load_table(spark, sf_dir, "events").schema
+    reader = spark.readStream.schema(schema)
+    if _max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", _max_files_per_trigger)
+    stream = reader.parquet(f"{sf_dir}/events.parquet*")
+    agg = (stream.withWatermark("ts", "24 hours")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                    "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"))
+           .select("user_id",
+                   F.col("w.start").alias("session_start"),
+                   "n_events", "sum_value"))
+    snap = _drain_available_now(
+        spark, agg, "ldf_stream_session", "complete",
+        "user_id: long, session_start: timestamp, n_events: long, "
+        "sum_value: double, batch_id: long", with_batch_id=True)
+    last = snap.groupBy().agg(F.max("batch_id").alias("batch_id"))
+    return (snap.join(F.broadcast(last), "batch_id")
+            .select("user_id", "session_start", "n_events", "sum_value"))
+
+
+EVENTS_STREAM_SESSION_SQL = SESSIONIZE_SQL

@@ -85,6 +85,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
     "pagerank_users": (pq.pagerank_users, pq.PAGERANK_SQL),
     "window_rank_stats": (pq.window_rank_stats, pq.WINDOW_RANK_STATS_SQL),
+    "events_stream_session": (pq.events_stream_session,
+                              pq.EVENTS_STREAM_SESSION_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),

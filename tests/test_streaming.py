@@ -175,3 +175,50 @@ def test_events_stream_tumbling_multibatch_late_data(spark, tmp_path):
             for r in events_tumbling(spark, str(tmp_path)).collect()}
     assert got == want
     assert len(got) == 3  # late window present, not dropped
+
+
+def test_stream_session_merges_across_batches(spark, tmp_path):
+    """Complete-mode session drain: a later micro-batch bridges two
+    partial sessions from an earlier batch; the final snapshot must
+    show the MERGED session (this is exactly why update mode is
+    rejected for streaming session windows — partial rows would go
+    stale in the sink)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+
+    def _tbl(rows):
+        return pa.table(
+            {"event_id": pa.array([r[0] for r in rows], pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[2] for r in rows], pa.int64()),
+             "event_type": pa.array([r[3] for r in rows], pa.string()),
+             "value": pa.array([r[4] for r in rows], pa.float64()),
+             "props": pa.array([r[5] for r in rows], pa.string())})
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    m = datetime.timedelta(minutes=1)
+    # file A: two events 50 min apart → two sessions in batch 1
+    pq_.write_table(_tbl([(1, t0, 7, "click", 1.0, "{}"),
+                          (2, t0 + 50 * m, 7, "click", 2.0, "{}")]),
+                    src / "a.parquet")
+    # file B: a bridging event 25 min in → batch 2 merges them
+    pq_.write_table(_tbl([(3, t0 + 25 * m, 7, "click", 4.0, "{}")]),
+                    src / "b.parquet")
+
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        events_stream_session,
+        sessionize,
+    )
+
+    got = {(r.user_id, r.session_start): (r.n_events, r.sum_value)
+           for r in events_stream_session(
+               spark, str(tmp_path), _max_files_per_trigger=1).collect()}
+    want = {(r.user_id, r.session_start): (r.n_events, r.sum_value)
+            for r in sessionize(spark, str(tmp_path)).collect()}
+    assert got == want
+    assert got == {(7, t0): (3, 7.0)}  # one merged session, 3 events
