@@ -77,6 +77,7 @@ EXTRA = [
     "ivf_sq8_search",
     "pagerank_users",
     "window_rank_stats",
+    "events_stream_session",
 ]
 
 
