@@ -59,19 +59,23 @@ def pagerank(
     data.  The edge list is consumed every iteration, so callers
     should pass a persisted frame when iterating more than twice.
     """
+    from legate_dataframe_spark.core.caching import tracked_persist
+
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
     n = nodes.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    # bake outdeg into the edge list ONCE — otherwise every iteration's
+    # job re-runs the degree aggregation over the raw edges
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = tracked_persist(edges.join(deg, "src"))
     # uniform start: r0 = 1/N for every node
     ranks = (nodes.crossJoin(F.broadcast(n))
              .select("node", "n_nodes",
                      F.round(1.0 / F.col("n_nodes"), 8).alias("rank")))
     for _ in range(n_iter):
-        contrib = (edges.join(ranks.select(F.col("node").alias("src"),
-                                           "rank"), "src")
-                   .join(deg, "src")
+        contrib = (ed.join(ranks.select(F.col("node").alias("src"),
+                                        "rank"), "src")
                    .groupBy(F.col("dst").alias("node"))
                    .agg(F.sum(F.col("rank") / F.col("outdeg"))
                         .alias("inflow")))
@@ -82,4 +86,10 @@ def pagerank(
                                  + damping * F.coalesce(F.col("inflow"),
                                                         F.lit(0.0)), 8)
                          .alias("rank")))
+        # the new rank frame references the previous one TWICE (carry
+        # path + contribution path), so a lazy chain re-evaluates round
+        # k-1 twice, k-2 four times … 2^k total; checkpointing each
+        # round (node-sized data) makes the recompute linear — same
+        # convention as kmeans_refine / components
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
