@@ -87,6 +87,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_rank_stats": (pq.window_rank_stats, pq.WINDOW_RANK_STATS_SQL),
     "events_stream_session": (pq.events_stream_session,
                               pq.EVENTS_STREAM_SESSION_SQL),
+    "correlated_subquery": (r.correlated_subquery, r.CORRELATED_SUBQUERY_SQL),
+    "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),

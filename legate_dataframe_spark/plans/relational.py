@@ -1877,3 +1877,69 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface: customers
+    above their OWN nation's average balance.  Registers the table as
+    a temp view and goes through ``spark.sql`` so Catalyst's subquery
+    DECORRELATION runs (the rewrite into an aggregate + join — not
+    expressible directly in the DataFrame API).  Balances compare in
+    exact integer cents, and the per-nation average is a ratio of an
+    exact int sum to a count, so the boundary is engine-identical."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT c.c_nationkey, count(*) AS n_above
+        FROM customer c
+        WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) >
+              (SELECT avg(CAST(round(c2.c_acctbal * 100, 0) AS BIGINT))
+               FROM customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+        GROUP BY c.c_nationkey
+    """)
+
+
+CORRELATED_SUBQUERY_SQL = """
+SELECT c.c_nationkey, count(*) AS n_above
+FROM customer c
+WHERE CAST(round(c.c_acctbal * 100, 0) AS BIGINT) >
+      (SELECT avg(CAST(round(c2.c_acctbal * 100, 0) AS BIGINT))
+       FROM customer c2
+       WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c.c_nationkey
+"""
+
+
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS through the SQL surface: brands with a
+    high-quantity lineitem but no returned lineitem.  Catalyst
+    rewrites the pair into a left-semi + left-anti join — the SQL
+    spelling of the join_semi/join_anti operators already covered at
+    the DataFrame level."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql("""
+        SELECT p.p_brand, count(*) AS n_parts
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity > 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey
+                            AND l2.l_returnflag = 'R'
+                            AND l2.l_quantity >= 40)
+        GROUP BY p.p_brand
+    """)
+
+
+EXISTS_SUBQUERY_SQL = """
+SELECT p.p_brand, count(*) AS n_parts
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_partkey = p.p_partkey
+                    AND l2.l_returnflag = 'R'
+                    AND l2.l_quantity >= 40)
+GROUP BY p.p_brand
+"""
