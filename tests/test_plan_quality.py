@@ -248,3 +248,22 @@ def test_merge_upsert_no_bnlj(spark, sf_dir):
     plan = plan_of(QUERIES["merge_upsert"](spark, sf_dir), "simple")
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exists_subquery_decorrelates_to_semi_anti(spark, sf_dir):
+    # the EXISTS/NOT EXISTS pair must become left-semi + left-anti
+    # hash joins — no nested-loop per-row subquery execution survives
+    plan = plan_of(QUERIES["exists_subquery"](spark, sf_dir), "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    # the correlated scalar subquery becomes a per-nation aggregate
+    # joined back on the correlation key
+    plan = plan_of(QUERIES["correlated_subquery"](spark, sf_dir), "simple")
+    assert "HashAggregate" in plan
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
