@@ -26,12 +26,20 @@ def event_succession_edges(
     ts_col: str = "ts",
     id_col: str = "event_id",
 ) -> DataFrame:
-    """Sparse directed edges u→v: within each event_type's time-ordered
-    stream, the previous event's user points at the current one
-    (distinct pairs, self-loops dropped).  Linear in events — one
-    window shuffle keyed by event_type — and deterministic because the
-    ordering ties break on event_id."""
-    w = W.partitionBy(type_col).orderBy(F.col(ts_col), F.col(id_col))
+    """Sparse directed edges u→v: within each (event_type, day)'s
+    time-ordered stream, the previous event's user points at the
+    current one (distinct pairs, self-loops dropped).  Deterministic —
+    ordering ties break on event_id.
+
+    The window partitions on (type, DAY) rather than type alone:
+    event_type is a handful of values, so a type-only window would
+    sort ~1/|types| of the entire corpus in ONE task no matter how
+    many executors exist (review r03); the day bucket makes partition
+    cardinality grow with the data, at the cost of dropping the one
+    cross-midnight edge per (type, day) — immaterial to the graph.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    w = W.partitionBy(type_col, day).orderBy(F.col(ts_col), F.col(id_col))
     prev = F.lag(F.col(user_col)).over(w)
     return (events.select(F.col(user_col).alias("dst"),
                           prev.alias("src"))

@@ -503,17 +503,18 @@ def semantic_dedup(
     all-pairs.  Work is Σ|cluster|² instead of N²; at 100 TB you raise
     k so clusters stay bounded (k ≈ N/10k keeps buckets ~10k rows).
     """
-    # materialize each vector's L2 norm ONCE here — the pair stage
-    # below evaluates Σ|cluster|² comparisons, and recomputing both
-    # norms per pair (what cosine() does) would triple its FLOPs.
-    # dot/(norm_l·norm_r) with reused norms is bit-identical to
-    # cosine(): same operations, same order, just not repeated.
-    emb = embeddings.select(F.col(id_col).alias("id"),
-                            _to_double(F.col(vec_col)).alias("vec"))
+    # single-pass assignment CARRYING the vector (assign_with_payload:
+    # one corpus shuffle; ivf_assign + an id re-join would shuffle the
+    # corpus twice, review r03), plus each vector's L2 norm computed
+    # ONCE — the pair stage below evaluates Σ|cluster|² comparisons,
+    # and recomputing both norms per pair (what cosine() does) would
+    # triple its FLOPs.  dot/(norm_l·norm_r) with reused norms is
+    # bit-identical to cosine(): same operations, just not repeated.
     assigned = tracked_persist(
-        ivf_assign(embeddings, centroids, id_col, vec_col)
-        .select(F.col(id_col).alias("id"), "centroid_id")
-        .join(emb, "id")
+        assign_with_payload(embeddings, centroids, [vec_col],
+                            id_col, vec_col)
+        .select(F.col(id_col).alias("id"), "centroid_id",
+                _to_double(F.col(vec_col)).alias("vec"))
         .withColumn("nrm", l2_norm(F.col("vec"))))
     l, r = assigned.alias("l"), assigned.alias("r")
     pairs = (
@@ -576,6 +577,60 @@ def sq_quantize(
             .select(F.col(id_col), code.alias("codes"), F.col(vec_col)))
 
 
+def int_dot(a: Column, b: Column) -> Column:
+    """BIGINT dot product of two integer-code arrays — the quantized
+    counterpart of ``dot()``; pure int64 arithmetic, bit-exact in any
+    engine (shared by sq_topk and ivf_sq_search so overflow/tie fixes
+    can never diverge between the full-scan and pruned paths)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _per_query_topk(cand: DataFrame, score_col: str, k: int) -> DataFrame:
+    """Deterministic per-query top-k: (score desc, c_id asc) tiebreak."""
+    w = W.partitionBy("q_id").orderBy(F.col(score_col).desc(), F.col("c_id"))
+    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k))
+
+
+def assign_with_payload(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    payload_cols: list[str],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment that CARRIES payload columns to the
+    output in the same pass: argmax over the k centroid scores via a
+    map-side-combined groupBy (max of a (cos, −cent_id) struct — the
+    partial aggregate collapses the ×k scored rows to one per vector
+    BEFORE the shuffle), so the corpus crosses the wire exactly once,
+    payload included.  ``ivf_assign`` + a corpus-sized re-join needs
+    two corpus shuffles for the same result (review r03); tie
+    semantics are identical (rounded cosine desc, centroid id asc).
+    Payload values ride ``F.first`` — deterministic because every
+    scored copy of a vector carries the same payload.
+    """
+    cen = centroids.select(F.col("centroid_id").alias("cent_id"),
+                           F.col(vec_col).alias("cent_vec"))
+    sc = F.struct(
+        F.round(cosine(F.col(vec_col), F.col("cent_vec")), 6).alias("cs"),
+        (-F.col("cent_id")).alias("neg"))
+    scored = (widen_partitions(corpus)
+              .crossJoin(F.broadcast(cen))
+              .select(F.col(id_col), *[F.col(c) for c in payload_cols
+                                       if c != id_col],
+                      sc.alias("sc")))
+    agg = scored.groupBy(id_col).agg(
+        F.max("sc").alias("sc"),
+        *[F.first(c).alias(c) for c in payload_cols if c != id_col])
+    return agg.select(
+        F.col(id_col), (-F.col("sc.neg")).alias("centroid_id"),
+        F.col("sc.cs").alias("cos_sim"),
+        *[F.col(c) for c in payload_cols if c != id_col])
+
+
 def sq_topk(
     quantized: DataFrame,
     queries: DataFrame,
@@ -591,17 +646,12 @@ def sq_topk(
     """
     q = queries.select(F.col(id_col).alias("q_id"),
                        F.col("codes").alias("q_codes"))
-    iprod = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("q_codes"),
-                   lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
     scored = (quantized.crossJoin(F.broadcast(q))
               .filter(F.col(id_col) != F.col("q_id"))
               .select("q_id", F.col(id_col).alias("c_id"),
-                      iprod.alias("iprod")))
-    w = W.partitionBy("q_id").orderBy(F.col("iprod").desc(), F.col("c_id"))
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+                      int_dot(F.col("codes"), F.col("q_codes"))
+                      .alias("iprod")))
+    return _per_query_topk(scored, "iprod", k)
 
 
 def ivf_sq_search(
@@ -628,17 +678,12 @@ def ivf_sq_search(
     q_probe = _probe_n(queries, centroids, n_probe, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("q_id"),
                        F.col("codes").alias("q_codes"))
-    iprod = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("q_codes"),
-                   lambda a, b: (a * b).cast("long")),
-        F.lit(0).cast("long"), lambda acc, v: acc + v)
     cand = (corpus_codes
             .join(q_probe.withColumnRenamed("cent_id", "centroid_id"),
                   "centroid_id")
             .join(F.broadcast(q), "q_id")
             .filter(F.col(id_col) != F.col("q_id"))
             .select("q_id", F.col(id_col).alias("c_id"),
-                    iprod.alias("iprod")))
-    w = W.partitionBy("q_id").orderBy(F.col("iprod").desc(), F.col("c_id"))
-    return (cand.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k))
+                    int_dot(F.col("codes"), F.col("q_codes"))
+                    .alias("iprod")))
+    return _per_query_topk(cand, "iprod", k)

@@ -508,6 +508,11 @@ def segment_dedup_stats(
             .alias("seg"),
             F.least(F.size(toks) - i * seg_tokens, F.lit(seg_tokens))
             .cast("long").alias("seg_len")))
+    # seg feeds both the digest count and the join back, and is
+    # deliberately NOT persisted: recomputing a narrow scan+explode
+    # beats spilling a corpus-sized frame at 100 TB (same stance as
+    # duplicated_ngrams — persist only tiny/quadratically-consumed
+    # frames)
     seg = (base.select(F.col(id_col), F.explode(segs).alias("s"))
            .select(id_col, F.md5(F.col("s.seg")).alias("sd"),
                    F.col("s.seg_len").alias("seg_len")))
@@ -539,6 +544,9 @@ def tfidf_topk_terms(
     """
     from legate_dataframe_spark.core.partitioning import widen_partitions
 
+    # tok is consumed twice (tf and df) and deliberately NOT
+    # persisted — recomputing the narrow explode beats spilling the
+    # corpus-sized token stream (duplicated_ngrams convention)
     tok = widen_partitions(docs).select(
         F.col(id_col),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))

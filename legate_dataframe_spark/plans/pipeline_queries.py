@@ -2621,9 +2621,10 @@ def ivf_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     sq = similarity.sq_quantize(e)
-    corpus = (similarity.ivf_assign(e, cen)
-              .select("vec_id", "centroid_id")
-              .join(sq.select("vec_id", "codes"), "vec_id"))
+    # assignment carries the codes through in the same pass — one
+    # corpus shuffle instead of assign + corpus-sized re-join
+    corpus = (similarity.assign_with_payload(sq, cen, ["codes"])
+              .select("vec_id", "centroid_id", "codes"))
     q = (e.filter(F.col("vec_id") % 50 == 0)
          .join(sq.select("vec_id", "codes"), "vec_id"))
     return similarity.ivf_sq_search(corpus, cen, q, k=5, n_probe=2)
@@ -2691,7 +2692,7 @@ def pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGERANK_SQL = """
 WITH ordered AS (
   SELECT event_type, user_id,
-         lag(user_id) OVER (PARTITION BY event_type
+         lag(user_id) OVER (PARTITION BY event_type, date_trunc('day', ts)
                             ORDER BY ts, event_id) AS prev
   FROM events),
 edges AS (
@@ -2733,7 +2734,11 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events") \
         .select("event_id", "event_type", "value")
-    w = Window.partitionBy("event_type").orderBy(F.col("value"))
+    # explicit NULLS LAST: Spark defaults asc NULLS FIRST, DuckDB
+    # NULLS LAST — a NULL value would silently shift every rank stat
+    # in the partition between engines (review r03, latent)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last())
     return ev.select(
         "event_id", "event_type",
         F.round("value", 4).alias("value_r"),
@@ -2749,7 +2754,7 @@ SELECT event_id, event_type,
        round(percent_rank() OVER w, 6) AS pr,
        round(cume_dist() OVER w, 6) AS cd
 FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY value)
+WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS LAST)
 """
 
 
