@@ -160,9 +160,11 @@ def kmeans_refine(
            .select(F.col(id_col).alias("centroid_id"),
                    _to_double(F.col(vec_col)).alias(vec_col)))
     for _ in range(n_iter):
-        assigned = ivf_assign(corpus, cen, id_col, vec_col)
-        joined = assigned.select(id_col, "centroid_id") \
-            .join(corpus.select(id_col, vec_col), id_col)
+        # assignment carries the vector through in one pass — the old
+        # ivf_assign + id re-join shuffled the corpus twice PER
+        # ITERATION (review r03); tie semantics are identical
+        joined = assign_with_payload(corpus, cen, [vec_col],
+                                     id_col, vec_col)
         expl = joined.select(
             "centroid_id",
             F.posexplode(_to_double(F.col(vec_col))).alias("pos", "val"))

@@ -952,8 +952,9 @@ def ann_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cen = similarity.kmeans_refine(e, k=8, n_iter=2)
     q = e.filter(F.col("vec_id") % 50 == 0)
-    assigned = similarity.ivf_assign(e, cen).select("vec_id", "centroid_id") \
-        .join(e, "vec_id")
+    # single-pass assignment carrying the vector (one corpus shuffle;
+    # the old ivf_assign + id re-join shuffled the corpus twice)
+    assigned = similarity.assign_with_payload(e, cen, ["embedding"])
     return similarity.ivf_search(assigned, cen, q, k=5, n_probe=2)
 
 
@@ -998,8 +999,9 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
     q = e.filter(F.col("vec_id") % 50 == 0)
-    assigned = similarity.ivf_assign(e, cen).select("vec_id", "centroid_id") \
-        .join(e, "vec_id")
+    # single-pass assignment carrying the vector (one corpus shuffle;
+    # the old ivf_assign + id re-join shuffled the corpus twice)
+    assigned = similarity.assign_with_payload(e, cen, ["embedding"])
     return similarity.ivf_search(assigned, cen, q, k=5, n_probe=2)
 
 
