@@ -1253,22 +1253,23 @@ def _drain_available_now(
              .foreachBatch(sink)
              .option("checkpointLocation", ck)
              .trigger(availableNow=True).start())
-        try:
-            finished = q.awaitTermination(timeout_s)
-            if q.exception() is not None:
-                raise q.exception()
-            if not finished:
-                q.stop()
-                raise TimeoutError(
-                    f"{prefix}: drain exceeded {timeout_s}s")
-        finally:
-            shutil.rmtree(ck, ignore_errors=True)
+        finished = q.awaitTermination(timeout_s)
+        if q.exception() is not None:
+            raise q.exception()
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"{prefix}: drain exceeded {timeout_s}s")
         if not _glob.glob(f"{outdir}/*.parquet"):
             # zero input rows ⇒ foreachBatch wrote nothing: empty frame
             # instead of failing schema inference
             return spark.createDataFrame([], empty_schema)
         return spark.read.parquet(outdir).localCheckpoint(eager=True)
     finally:
+        # BOTH dirs in the one finally: if .start() itself throws
+        # (e.g. an unsupported output mode), an inner ck-only cleanup
+        # never runs and the checkpoint dir leaks (observed r03)
+        shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(outdir, ignore_errors=True)
 
 
