@@ -25,6 +25,15 @@ REPRESENTATIVE = [
     "dedup_levenshtein",     # LSH candidates + thresholded edit distance
     "pq_adc_search",         # trained codebooks + code-table join
     "byte_stats_arrow",      # mapInArrow partition task
+    # round-3b additions
+    "semantic_dedup",        # cluster-blocked pair stage + argmax assign
+    "segment_dedup",         # cross-doc digest counts + reassembly
+    "tfidf_terms",           # two-shuffle keyword extraction + top-k
+    "weighted_sample",       # md5-threshold sampling (must not depend
+                             # on layout by construction)
+    "pagerank_users",        # iterative graph rounds w/ checkpoints
+    "psi_drift",             # broadcast bin edges + two-level aggs
+    "ivf_sq8_search",        # payload-carrying assignment + pruned scan
 ]
 
 
