@@ -2804,3 +2804,100 @@ def events_stream_session(spark: SparkSession, sf_dir: str,
 
 
 EVENTS_STREAM_SESSION_SQL = SESSIONIZE_SQL
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair contamination audit: for every ordered pair of
+    sources, how many distinct 8-gram shingles they share — the
+    matrix view of ``decontaminate_overlap`` (which checks one corpus
+    against one benchmark).  Per-source DISTINCT shingle digests
+    first (dedup before the shuffle), then a digest-keyed self-join;
+    output is |sources|² rows.  Never all-pairs on documents."""
+    from legate_dataframe_spark.pipeline.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (d.select("source",
+                   F.explode(F.array_distinct(
+                       word_shingles(F.lower(F.col("text")), 8))).alias("g"))
+          .select("source", F.md5("g").alias("gd"))
+          .distinct())
+    l, r = sh.alias("l"), sh.alias("r")
+    return (l.join(r, (F.col("l.gd") == F.col("r.gd"))
+                   & (F.col("l.source") < F.col("r.source")))
+            .groupBy(F.col("l.source").alias("source_a"),
+                     F.col("r.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("shared_shingles")))
+
+
+CROSS_SOURCE_OVERLAP_SQL = r"""
+WITH sh AS (
+  SELECT DISTINCT source, md5(g) AS gd
+  FROM (SELECT source,
+               unnest(list_distinct(list_transform(
+                 range(1, len(t) - 6),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+                      t[i+6] || ' ' || t[i+7]))) AS g
+        FROM (SELECT source,
+                     string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents)
+        WHERE len(t) >= 8))
+SELECT l.source AS source_a, r.source AS source_b,
+       count(*) AS shared_shingles
+FROM sh l JOIN sh r ON l.gd = r.gd AND l.source < r.source
+GROUP BY l.source, r.source
+"""
+
+
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality audit over the labeled embedding table:
+    assign every vector to its nearest seed centroid, then per
+    cluster report size, majority label, and purity (majority
+    fraction) — the standard eyeball check that an index's coarse
+    clusters respect semantic labels.  One single-pass assignment
+    (broadcast centroids), two tiny aggregations."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    assigned = similarity.assign_with_payload(e, cen, ["label"])
+    counts = (assigned.groupBy("centroid_id", "label")
+              .agg(F.count(F.lit(1)).alias("c")))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("centroid_id").orderBy(F.col("c").desc(),
+                                              F.col("label"))
+    top = counts.withColumn("rn", F.row_number().over(w)) \
+                .filter(F.col("rn") == 1) \
+                .select("centroid_id", F.col("label").alias("majority_label"),
+                        F.col("c").alias("majority_n"))
+    size = counts.groupBy("centroid_id").agg(F.sum("c").alias("n_vecs"))
+    return (size.join(top, "centroid_id")
+            .select("centroid_id", "n_vecs", "majority_label",
+                    F.round(F.col("majority_n") / F.col("n_vecs"), 6)
+                    .alias("purity")))
+
+
+CLUSTER_LABEL_PURITY_SQL = """
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+cen AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, label, cent_id FROM (
+    SELECT e.vec_id, e.label, cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.v, cv), 6) DESC, cent_id) AS rn
+    FROM emb e, cen) WHERE rn = 1),
+c AS (SELECT cent_id AS centroid_id, label, count(*) AS c
+      FROM assign GROUP BY cent_id, label),
+top AS (
+  SELECT centroid_id, label AS majority_label, c AS majority_n FROM (
+    SELECT centroid_id, label, c,
+           row_number() OVER (PARTITION BY centroid_id
+                              ORDER BY c DESC, label) AS rn
+    FROM c) WHERE rn = 1),
+size_ AS (SELECT centroid_id, CAST(sum(c) AS BIGINT) AS n_vecs
+          FROM c GROUP BY centroid_id)
+SELECT centroid_id, n_vecs, majority_label,
+       round(majority_n / CAST(n_vecs AS DOUBLE), 6) AS purity
+FROM size_ JOIN top USING (centroid_id)
+"""

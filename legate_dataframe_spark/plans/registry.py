@@ -89,6 +89,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                               pq.EVENTS_STREAM_SESSION_SQL),
     "correlated_subquery": (r.correlated_subquery, r.CORRELATED_SUBQUERY_SQL),
     "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
+    "cross_source_overlap": (pq.cross_source_overlap,
+                             pq.CROSS_SOURCE_OVERLAP_SQL),
+    "cluster_label_purity": (pq.cluster_label_purity,
+                             pq.CLUSTER_LABEL_PURITY_SQL),
     # ---- driver-verified green in CORRECTNESS_r02.json: rotated back -------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
