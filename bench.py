@@ -78,6 +78,10 @@ EXTRA = [
     "pagerank_users",
     "window_rank_stats",
     "events_stream_session",
+    "correlated_subquery",
+    "exists_subquery",
+    "cross_source_overlap",
+    "cluster_label_purity",
 ]
 
 

@@ -28,6 +28,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # get checked this round; queries proven green in CORRECTNESS_r01/r02.json
 # are rotated to the back (their in-repo sf0.001 oracle-parity tests guard
 # against regressions meanwhile).
+#
+# r03 note: the front block is AT the ~50-entry budget (50 unverified
+# entries).  Round 4 MUST rotate every r03-green entry to the back before
+# adding new queries, exactly as was done after r01 and r02.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-3 new or previously-red: front-loaded -----------------------
     # r02 red rows (oracle HUGEINT cast bug, fixed): must re-verify
