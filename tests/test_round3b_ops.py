@@ -324,3 +324,22 @@ def test_pagerank_matches_python_replay(spark):
     # structural sanity: 2 has two in-edges and outranks 3 (one, from
     # a split source)
     assert got[2] > got[3]
+
+
+def test_assign_with_payload_matches_ivf_assign_ties(spark):
+    # tie case: vector equidistant from two centroids must pick the
+    # LOWEST centroid id — the exact ivf_assign window semantics the
+    # single-pass argmax replaced (cos desc, cent_id asc)
+    e = _emb(spark, [
+        (3, [1.0, 1.0]),              # cos = 0.707107 to BOTH centroids
+        (4, [1.0, 0.0]), (5, [0.0, 1.0]),
+    ])
+    cen = _emb(spark, [(10, [2.0, 0.0]), (11, [0.0, 2.0])]).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    got = {r["vec_id"]: (r["centroid_id"], r["cos_sim"])
+           for r in similarity.assign_with_payload(
+               e, cen, ["embedding"]).collect()}
+    want = {r["vec_id"]: (r["centroid_id"], r["cos_sim"])
+            for r in similarity.ivf_assign(e, cen).collect()}
+    assert got == want
+    assert got[3][0] == 10  # tie broken toward the lower centroid id
