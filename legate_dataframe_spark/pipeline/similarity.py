@@ -613,6 +613,12 @@ def assign_with_payload(
     semantics are identical (rounded cosine desc, centroid id asc).
     Payload values ride ``F.first`` — deterministic because every
     scored copy of a vector carries the same payload.
+
+    CONTRACT: ``id_col`` must be unique in ``corpus`` (the vector-id
+    invariant every table in this engine maintains).  Duplicate ids
+    would collapse to ONE arbitrarily-chosen payload here, where the
+    old assign-then-rejoin shape preserved every row — if a caller
+    ever feeds duplicate ids, dedupe first (review r03).
     """
     cen = centroids.select(F.col("centroid_id").alias("cent_id"),
                            F.col(vec_col).alias("cent_vec"))

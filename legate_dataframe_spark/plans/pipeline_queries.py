@@ -2807,18 +2807,20 @@ EVENTS_STREAM_SESSION_SQL = SESSIONIZE_SQL
 
 
 def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Source-pair contamination audit: for every ordered pair of
-    sources, how many distinct 8-gram shingles they share — the
-    matrix view of ``decontaminate_overlap`` (which checks one corpus
-    against one benchmark).  Per-source DISTINCT shingle digests
-    first (dedup before the shuffle), then a digest-keyed self-join;
-    output is |sources|² rows.  Never all-pairs on documents."""
+    """Source-pair contamination audit: for each UNORDERED pair of
+    sources sharing at least one 8-gram shingle, how many distinct
+    shingles they share — the matrix view of ``decontaminate_overlap``
+    (which checks one corpus against one benchmark).  Per-source
+    DISTINCT shingle digests first (dedup before the shuffle), then a
+    digest-keyed self-join; output is the upper triangle,
+    ≤ C(|sources|, 2) rows — an absent pair means zero overlap.
+    Never all-pairs on documents."""
     from legate_dataframe_spark.pipeline.dedup import word_shingles
 
     d = load_table(spark, sf_dir, "documents")
     sh = (d.select("source",
                    F.explode(F.array_distinct(
-                       word_shingles(F.lower(F.col("text")), 8))).alias("g"))
+                       word_shingles(F.col("text"), 8))).alias("g"))
           .select("source", F.md5("g").alias("gd"))
           .distinct())
     l, r = sh.alias("l"), sh.alias("r")
