@@ -40,7 +40,11 @@ def redact_pii(
     in PII_PATTERNS order.
     """
     t = F.col(text_col)
-    counts = [F.regexp_count(t, F.lit(pat)).alias(f"n_{name.lower()}")
+    # long, not Spark's int32 default: keeps the output schema identical
+    # to the BIGINT the oracle's len() produces (schema-width parity
+    # convention, plans/relational.py:11-13)
+    counts = [F.regexp_count(t, F.lit(pat)).cast("long")
+              .alias(f"n_{name.lower()}")
               for name, pat in PII_PATTERNS]
     red = t
     for name, pat in PII_PATTERNS:
