@@ -484,3 +484,115 @@ def cross_corpus_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter-pruned decontamination: the 100 TB refinement of
+# cross_corpus_overlap.  At production scale the training side's
+# exploded shingle frame is corpus-sized, and even an equi-join against
+# a broadcast bench side still SHUFFLES nothing but must still
+# hash-probe every training shingle row through the join operator.  A
+# Bloom bitmap over the (tiny) benchmark digest set costs a few KB
+# broadcast and eliminates the non-overlapping ~99.99% of training
+# shingles with a few JVM bit ops BEFORE the join, so the join input
+# collapses from corpus-sized to overlap-sized.  False positives only
+# waste a probe (the exact digest join still decides membership);
+# false negatives are impossible, so the final answer is EXACT and the
+# DuckDB oracle is the same overlap SQL as the unpruned operator.
+
+def bloom_bitmap(
+    digs: DataFrame,
+    dig_col: str = "dig",
+    m_bits: int = 1 << 18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """1-row frame with an ``array<long>`` Bloom bitmap (``m_bits`` bits
+    as ``m_bits/64`` words) over a digest column.  Built fully
+    distributed: positions are bit-OR-combined per 64-bit word in a
+    groupBy, then packed into the array in a single 1-row aggregate —
+    the only driver-adjacent object is the bitmap itself, which is the
+    point (it must broadcast).
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    m_words = m_bits // 64
+    pos = digs.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(dig_col), F.lit(i)), F.lit(m_bits)).alias("p")
+        for i in range(n_hashes)])).alias("p"))
+    words = pos.select(
+        F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+        F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"))
+    packed = (words.groupBy("w").agg(F.bit_or("b").alias("bits"))
+              .groupBy().agg(F.map_from_entries(F.collect_list(
+                  F.struct(F.col("w"), F.col("bits")))).alias("m")))
+    return packed.select(F.transform(
+        F.sequence(F.lit(0), F.lit(m_words - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i),
+                             F.lit(0).cast("long"))).alias("bloom"))
+
+
+def _bloom_position_cols(dig: Column, m_bits: int, n_hashes: int) -> list:
+    """The ``n_hashes`` bit positions of ``dig`` as named columns
+    ``__p0..`` (precomputed so the membership filter is a plain SQL
+    expression over them)."""
+    return [F.pmod(F.xxhash64(dig, F.lit(i)), F.lit(m_bits)).alias(f"__p{i}")
+            for i in range(n_hashes)]
+
+
+def _bloom_hits_sql(n_hashes: int) -> str:
+    """SQL predicate: every ``__p{i}`` bit is set in the joined
+    ``bloom`` array<long> column (1-based element_at)."""
+    return " AND ".join(
+        f"(shiftright(element_at(bloom, CAST(__p{i} DIV 64 AS INT) + 1), "
+        f"CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        for i in range(n_hashes))
+
+
+def bloom_cross_corpus_overlap(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_shared: int = 2,
+    max_shingle_df: int | None = None,
+    m_bits: int = 1 << 18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Exact decontamination (same contract/output as
+    ``cross_corpus_overlap``) with a broadcast Bloom prefilter on the
+    training side's shingle digests.  Plan shape: train scan → narrow
+    shingle/digest map → 1-row broadcast bitmap check (BNLJ against a
+    single-row side) → digest equi-join with the bench side → one
+    group-count shuffle of only the overlapping rows.
+    """
+    def digests(df: DataFrame, out_id: str) -> DataFrame:
+        sh = F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        return (df.select(F.col(id_col).alias(out_id), sh.alias("sh"))
+                .filter(F.size("sh") > 0)
+                .select(out_id, F.explode("sh").alias("s"))
+                .select(out_id, F.md5("s").alias("dig")))
+
+    b = digests(bench, "bench_id")
+    if max_shingle_df is not None:
+        from pyspark.sql import Window as _W
+
+        b = (b.withColumn("__df", F.size(F.collect_set("bench_id").over(
+                _W.partitionBy("dig"))))
+             .filter(F.col("__df") <= max_shingle_df).drop("__df"))
+    # consumed twice (bitmap build + exact join) — materialize once
+    b = tracked_persist(b)
+    bitmap = bloom_bitmap(b, m_bits=m_bits, n_hashes=n_hashes)
+
+    t = digests(widen_partitions(train), "train_id")
+    pruned = (t.select("train_id", "dig",
+                       *_bloom_position_cols(F.col("dig"), m_bits, n_hashes))
+              .join(F.broadcast(bitmap))
+              .filter(F.expr(_bloom_hits_sql(n_hashes)))
+              .select("train_id", "dig"))
+    return (
+        pruned.join(b, "dig")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

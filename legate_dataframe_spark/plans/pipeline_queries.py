@@ -2903,3 +2903,69 @@ SELECT centroid_id, n_vecs, majority_label,
        round(majority_n / CAST(n_vecs AS DOUBLE), 6) AS purity
 FROM size_ JOIN top USING (centroid_id)
 """
+
+
+# --------------------------------------------------------------------------
+# round-3 tail additions (registered BEHIND the driver's 50-entry
+# prefix; rotate forward in round 4 per plans/registry.py discipline)
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a broadcast Bloom prefilter
+    (pipeline/dedup.py bloom_cross_corpus_overlap): identical contract
+    and output to decontaminate_overlap — the bitmap only prunes
+    training shingles before the exact digest join, so the oracle is
+    the same overlap SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    return dedup.bloom_cross_corpus_overlap(train, bench, shingle_k=5,
+                                            min_shared=2)
+
+
+BLOOM_DECONTAMINATE_SQL = DECONTAMINATE_SQL
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user triangle counts over the undirected succession graph
+    (pipeline/graph.py triangle_counts) — degree-oriented wedge
+    enumeration, each triangle found exactly once."""
+    from legate_dataframe_spark.pipeline import graph
+
+    ev = load_table(spark, sf_dir, "events")
+    return graph.triangle_counts(graph.event_succession_edges(ev))
+
+
+TRIANGLE_COUNT_SQL = """
+WITH ordered AS (
+  SELECT event_type, user_id,
+         lag(user_id) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS prev
+  FROM events),
+edges AS (
+  SELECT DISTINCT prev AS src, user_id AS dst FROM ordered
+  WHERE prev IS NOT NULL AND prev != user_id),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+        GROUP BY n),
+orient AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+              THEN und.a ELSE und.b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+              THEN und.b ELSE und.a END AS v
+  FROM und
+  JOIN deg da ON da.n = und.a
+  JOIN deg db ON db.n = und.b),
+tri AS (
+  SELECT e1.u, e1.v AS v1, e2.v AS v2
+  FROM orient e1
+  JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT node, count(*) AS n_triangles
+FROM (SELECT u AS node FROM tri
+      UNION ALL SELECT v1 FROM tri
+      UNION ALL SELECT v2 FROM tri)
+GROUP BY node
+"""

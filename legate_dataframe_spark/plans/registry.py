@@ -205,6 +205,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
     "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
+    # ---- round-3 tail (added after the front block filled): never
+    # driver-checked yet — MUST rotate into the r04 front block --------------
+    "bloom_decontaminate": (pq.bloom_decontaminate,
+                            pq.BLOOM_DECONTAMINATE_SQL),
+    "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
+    "scd2_intervals": (r.scd2_intervals, r.SCD2_INTERVALS_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

@@ -1943,3 +1943,48 @@ WHERE EXISTS (SELECT 1 FROM lineitem l
                     AND l2.l_quantity >= 40)
 GROUP BY p.p_brand
 """
+
+
+# --------------------------------------------------------------------------
+# SCD type-2 dimension build — turn a user's purchase-value event
+# stream into validity intervals [valid_from, valid_to) with change
+# collapsing, the standard snapshot/dimension-history shape a training
+# pipeline uses to join "the value AS OF the example's timestamp".
+# Two windows over the SAME (user_id)/(ts, event_id) partitioning —
+# Catalyst reuses one sort+shuffle for both; no join, no driver data.
+# Change detection compares integer cents (round-trip-stable in any
+# engine) rather than raw doubles, so the oracle collapses identically.
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    chg = (e.filter(F.col("event_type") == "purchase")
+           .select("user_id", "event_id", "ts", cents.alias("val_cents"))
+           .withColumn("__prev", F.lag("val_cents").over(w))
+           .filter(F.col("__prev").isNull()
+                   | (F.col("__prev") != F.col("val_cents")))
+           .drop("__prev"))
+    return (chg.withColumn("valid_to", F.lead("ts").over(w))
+            .select("user_id", "val_cents",
+                    F.col("ts").alias("valid_from"), "valid_to",
+                    F.col("valid_to").isNull().alias("is_current")))
+
+
+SCD2_INTERVALS_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS val_cents
+  FROM events WHERE event_type = 'purchase'),
+chg AS (
+  SELECT user_id, event_id, ts, val_cents
+  FROM (SELECT *, lag(val_cents) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM p)
+  WHERE prev IS NULL OR prev != val_cents)
+SELECT user_id, val_cents, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           IS NULL AS is_current
+FROM chg
+"""

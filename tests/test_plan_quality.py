@@ -157,6 +157,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "psi_drift",             # vs 1-row global min/max bin edges
         "pagerank_users",        # vs 1-row node-count aggregate
         "cluster_label_purity",  # corpus × broadcast centroids (assign)
+        "bloom_decontaminate",   # vs 1-row broadcast Bloom bitmap
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

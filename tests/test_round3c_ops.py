@@ -1,0 +1,64 @@
+"""Unit tests for the round-3 tail operators: Bloom-pruned
+decontamination, degree-oriented triangle counting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.pipeline.dedup import (
+    _bloom_hits_sql,
+    _bloom_position_cols,
+    bloom_bitmap,
+)
+from legate_dataframe_spark.pipeline.graph import triangle_counts
+
+
+def test_bloom_no_false_negatives(spark):
+    # every inserted digest must pass the membership test (the exactness
+    # argument for bloom_cross_corpus_overlap rests on this)
+    digs = spark.range(0, 500).select(F.md5(F.col("id").cast("string"))
+                                      .alias("dig"))
+    bm = bloom_bitmap(digs, m_bits=1 << 12, n_hashes=3)
+    probed = (digs.select("dig", *_bloom_position_cols(F.col("dig"),
+                                                       1 << 12, 3))
+              .join(F.broadcast(bm))
+              .filter(F.expr(_bloom_hits_sql(3))))
+    assert probed.count() == 500
+
+
+def test_bloom_prunes_non_members(spark):
+    # disjoint probe set: a 2^14-bit filter holding 100 keys should
+    # reject the vast majority of 1000 non-members (fp rate ~(k*n/m)^k)
+    members = spark.range(0, 100).select(
+        F.md5(F.col("id").cast("string")).alias("dig"))
+    probes = spark.range(10_000, 11_000).select(
+        F.md5(F.col("id").cast("string")).alias("dig"))
+    bm = bloom_bitmap(members, m_bits=1 << 14, n_hashes=3)
+    hits = (probes.select("dig", *_bloom_position_cols(F.col("dig"),
+                                                       1 << 14, 3))
+            .join(F.broadcast(bm))
+            .filter(F.expr(_bloom_hits_sql(3)))
+            .count())
+    assert hits < 50  # << 1000; generous bound keeps the test stable
+
+
+def test_triangle_counts_handcrafted(spark):
+    # graph: triangle {1,2,3}, triangle {2,3,4} (sharing edge 2-3),
+    # plus a dangling edge 4-5.  Expect: 1→1, 2→2, 3→2, 4→1.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4), (4, 3), (4, 5)],
+        ["src", "dst"])
+    got = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(edges).collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangle_counts_direction_and_dup_invariant(spark):
+    # duplicate and reversed edges must not change the count
+    base = [(1, 2), (2, 3), (3, 1)]
+    noisy = base + [(2, 1), (3, 2), (1, 3), (1, 2), (1, 2)]
+    e1 = spark.createDataFrame(base, ["src", "dst"])
+    e2 = spark.createDataFrame(noisy, ["src", "dst"])
+    c1 = sorted(map(tuple, triangle_counts(e1).collect()))
+    c2 = sorted(map(tuple, triangle_counts(e2).collect()))
+    assert c1 == c2 == [(1, 1), (2, 1), (3, 1)]
