@@ -82,6 +82,10 @@ EXTRA = [
     "exists_subquery",
     "cross_source_overlap",
     "cluster_label_purity",
+    # round-3 tail
+    "bloom_decontaminate",
+    "triangle_count",
+    "scd2_intervals",
 ]
 
 

