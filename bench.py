@@ -86,6 +86,7 @@ EXTRA = [
     "bloom_decontaminate",
     "triangle_count",
     "scd2_intervals",
+    "heavy_hitter_tokens",
 ]
 
 

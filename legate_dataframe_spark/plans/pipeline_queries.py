@@ -2969,3 +2969,31 @@ FROM (SELECT u AS node FROM tri
       UNION ALL SELECT v2 FROM tri)
 GROUP BY node
 """
+
+
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (pipeline/frequency.py
+    heavy_hitters): tokens with ≥0.2% share, found via per-partition
+    Misra–Gries summaries (bounded-memory arrow_task) + exact recount
+    of the candidate superset.  The sketch only bounds memory/shuffle;
+    the answer is exact, so the oracle is a plain count/HAVING."""
+    from legate_dataframe_spark.pipeline import frequency
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (d.select(F.explode(text.tokens(F.lower(F.col("text"))))
+                     .alias("item"))
+            .filter(F.col("item") != ""))
+    return frequency.heavy_hitters(toks, "item", min_share=0.002)
+
+
+HEAVY_HITTER_TOKENS_SQL = r"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+  FROM documents),
+t AS (SELECT item FROM tok WHERE item != ''),
+n AS (SELECT count(*) AS total FROM t)
+SELECT item, count(*) AS n_occurrences
+FROM t, n
+GROUP BY item, total
+HAVING count(*) >= total * 0.002
+"""

@@ -211,6 +211,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                             pq.BLOOM_DECONTAMINATE_SQL),
     "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
     "scd2_intervals": (r.scd2_intervals, r.SCD2_INTERVALS_SQL),
+    "heavy_hitter_tokens": (pq.heavy_hitter_tokens,
+                            pq.HEAVY_HITTER_TOKENS_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

@@ -158,6 +158,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "pagerank_users",        # vs 1-row node-count aggregate
         "cluster_label_purity",  # corpus × broadcast centroids (assign)
         "bloom_decontaminate",   # vs 1-row broadcast Bloom bitmap
+        "heavy_hitter_tokens",   # vs 1-row total-token-count aggregate
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

@@ -62,3 +62,40 @@ def test_triangle_counts_direction_and_dup_invariant(spark):
     c1 = sorted(map(tuple, triangle_counts(e1).collect()))
     c2 = sorted(map(tuple, triangle_counts(e2).collect()))
     assert c1 == c2 == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_heavy_hitters_exact_vs_naive(spark):
+    # skewed stream split across many partitions: sketch+recount must
+    # equal the naive exact groupBy answer
+    import pyspark.sql.functions as SF
+
+    from legate_dataframe_spark.pipeline.frequency import heavy_hitters
+
+    # item i appears ~ 2000/(i+1) times (Zipf-ish), shuffled over 16
+    # partitions; min_share 0.05 of ~7000 rows
+    items = (spark.range(0, 2000)
+             .select(SF.floor(2000 / (SF.col("id") + 1)).alias("reps"),
+                     SF.col("id"))
+             .filter(SF.col("id") < 40)
+             .select(SF.explode(SF.sequence(SF.lit(1), SF.col("reps")))
+                     .alias("_"), SF.concat(SF.lit("tok"), SF.col("id"))
+                     .alias("item"))
+             .repartition(16))
+    got = {(r["item"], r["n_occurrences"])
+           for r in heavy_hitters(items, "item", min_share=0.05,
+                                  n_counters=8).collect()}
+    total = items.count()
+    exact = {(r["item"], r["n"])
+             for r in items.groupBy("item").agg(SF.count("*").alias("n"))
+             .filter(SF.col("n") >= total * 0.05).collect()}
+    assert got == exact and got
+
+
+def test_heavy_hitters_all_below_threshold(spark):
+    from legate_dataframe_spark.pipeline.frequency import heavy_hitters
+
+    # uniform items, share 1/100 each, threshold 5% → empty result
+    items = (spark.range(0, 1000)
+             .select((F.col("id") % 100).cast("string").alias("item"))
+             .repartition(8))
+    assert heavy_hitters(items, "item", min_share=0.05).count() == 0
