@@ -87,6 +87,7 @@ EXTRA = [
     "triangle_count",
     "scd2_intervals",
     "heavy_hitter_tokens",
+    "bpe_merges",
 ]
 
 

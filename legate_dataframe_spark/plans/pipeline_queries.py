@@ -2997,3 +2997,49 @@ FROM t, n
 GROUP BY item, total
 HAVING count(*) >= total * 0.002
 """
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (pipeline/bpe.py): 8 merge
+    rules learned from the documents word histogram.  One corpus-sized
+    shuffle (the histogram); every round after is vocab-sized with the
+    winning pair kept in-plan as a 1-row broadcast."""
+    from legate_dataframe_spark.pipeline import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe.learn_bpe_merges(bpe.word_histogram(d), n_merges=8)
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """SQL-unrolled BPE rounds (same convention as the kmeans /
+    pagerank oracles): DuckDB's left-to-right non-overlapping
+    ``replace`` over the bracket encoding is exactly greedy BPE
+    merging — see pipeline/bpe.py."""
+    ctes = [r"""w0 AS (
+  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS seq,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents)
+  GROUP BY w)"""]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT split_part(pr, ' ', 1) AS a, split_part(pr, ' ', 2) AS b,
+         CAST(sum(cnt) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_transform(range(1, len(s)),
+                      j -> s[j] || ' ' || s[j+1])) AS pr, cnt
+        FROM (SELECT string_split(trim(seq, '<>'), '><') AS s, cnt
+              FROM w{i - 1}))
+  GROUP BY 1, 2)""")
+        ctes.append(f"""t{i} AS (
+  SELECT a, b, freq FROM p{i} ORDER BY freq DESC, a, b LIMIT 1)""")
+        ctes.append(f"""w{i} AS (
+  SELECT replace(seq, '<' || a || '><' || b || '>',
+                 '<' || a || b || '>') AS seq, cnt
+  FROM w{i - 1}, t{i})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS round, a, b, a || b AS merged, freq FROM t{i}"
+        for i in range(1, n_merges + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+BPE_MERGES_SQL = _bpe_oracle_sql(8)

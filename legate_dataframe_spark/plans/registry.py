@@ -213,6 +213,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "scd2_intervals": (r.scd2_intervals, r.SCD2_INTERVALS_SQL),
     "heavy_hitter_tokens": (pq.heavy_hitter_tokens,
                             pq.HEAVY_HITTER_TOKENS_SQL),
+    "bpe_merges": (pq.bpe_merges, pq.BPE_MERGES_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

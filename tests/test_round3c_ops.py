@@ -99,3 +99,40 @@ def test_heavy_hitters_all_below_threshold(spark):
              .select((F.col("id") % 100).cast("string").alias("item"))
              .repartition(8))
     assert heavy_hitters(items, "item", min_share=0.05).count() == 0
+
+
+def test_bpe_merges_classic_corpus(spark):
+    # Sennrich et al.'s worked example: low*5 lower*2 newest*6 widest*3
+    # → first merges are (e,s)->es then (es,t)->est, with count-weighted
+    # frequencies 9 (newest+widest)
+    from legate_dataframe_spark.pipeline.bpe import (
+        learn_bpe_merges,
+        word_histogram,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = (learn_bpe_merges(word_histogram(docs), n_merges=4)
+            .orderBy("round").collect())
+    got = [(r["round"], r["a"], r["b"], r["merged"], r["freq"])
+           for r in rows]
+    assert got[0] == (1, "e", "s", "es", 9)
+    assert got[1] == (2, "es", "t", "est", 9)
+    assert got[2] == (3, "l", "o", "lo", 7)
+    assert got[3] == (4, "lo", "w", "low", 7)
+
+
+def test_bpe_merge_is_greedy_left_to_right(spark):
+    # 'aaaa' under pair (a,a) must become [aa][aa]; 'aaa' → [aa][a] —
+    # the replace-all-over-bracket-encoding equivalence to greedy BPE
+    from legate_dataframe_spark.pipeline.bpe import learn_bpe_merges
+
+    words = spark.createDataFrame([("aaaa", 10), ("aaa", 1)],
+                                  ["w", "cnt"])
+    rows = (learn_bpe_merges(words, n_merges=2).orderBy("round").collect())
+    # round 1: pair (a,a) appears 3x in 'aaaa' (weight 10) + 2x in
+    # 'aaa' → freq 32; round 2 works on [aa][aa] / [aa][a]:
+    # (aa,aa) weight 10 vs (aa,a) weight 1
+    assert (rows[0]["merged"], rows[0]["freq"]) == ("aa", 32)
+    assert (rows[1]["merged"], rows[1]["freq"]) == ("aaaa", 10)
