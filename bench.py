@@ -88,6 +88,7 @@ EXTRA = [
     "scd2_intervals",
     "heavy_hitter_tokens",
     "bpe_merges",
+    "bpe_encode_stats",
 ]
 
 

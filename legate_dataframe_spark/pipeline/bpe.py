@@ -8,8 +8,9 @@ shuffle with map-side partial agg); every merge round after that
 operates on the vocab-sized (word, count) table — pair counting is a
 small agg, the winning pair is a 1-row TakeOrdered frame that
 broadcast-joins back into the merge expression, and the merged table
-is persisted per round (it is consumed twice: next round's counts and
-next round's merge).  Nothing corpus-sized moves after the histogram;
+is localCheckpoint-truncated per round (it is consumed twice: next
+round's counts and next round's merge, and plan growth across rounds
+is the real cost).  Nothing corpus-sized moves after the histogram;
 no driver-side data at all (the winning pair stays in-plan as a 1-row
 broadcast, never collected).
 
@@ -95,3 +96,55 @@ def learn_bpe_merges(
     for t in tops[1:]:
         out = out.unionByName(t)
     return out
+
+
+def apply_bpe_merges(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document with a learned merge table and report
+    (id, n_words, n_tokens): the post-BPE token count is the quantity
+    a training pipeline actually budgets by (sequence packing, token
+    accounting).
+
+    The merge table (k rows) is collapsed into ONE broadcast row of
+    parallel pattern/replacement arrays, and the k merges fold over
+    each word's bracket encoding with ``aggregate`` — a pure narrow
+    map over the corpus: zero shuffles, zero driver-side data, k
+    string replaces per word.  At 100 TB this is scan-bandwidth-bound,
+    exactly like the text-stats family.
+    """
+    # collect_list has no cross-partition order guarantee, so sort the
+    # collected (round, pat, rep) structs by round explicitly — merge k
+    # may consume merge j<k's output, order is semantic here
+    ordered = F.array_sort(F.collect_list(F.struct(
+        F.col("round").alias("r"),
+        F.concat(F.lit("<"), F.col("a"), F.lit("><"), F.col("b"),
+                 F.lit(">")).alias("pat"),
+        F.concat(F.lit("<"), F.col("merged"), F.lit(">")).alias("rep"))))
+    rules = (merges.groupBy().agg(ordered.alias("rules"))
+             .select(F.transform("rules", lambda s: s["pat"]).alias("pats"),
+                     F.transform("rules", lambda s: s["rep"]).alias("reps")))
+    words = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z]+"), 0)
+    # fold the merge list over each word: aggregate's accumulator is the
+    # encoded word; element i applies replace(pats[i] -> reps[i])
+    encoded = F.transform(
+        words,
+        lambda w: F.aggregate(
+            F.sequence(F.lit(1), F.size(F.col("pats"))),
+            F.regexp_replace(w, "(.)", "<$1>"),
+            lambda acc, i: F.replace(acc, F.element_at(F.col("pats"), i),
+                                     F.element_at(F.col("reps"), i))))
+    # token count of an encoded word = its '<' count; collect_list in
+    # the 1-row agg preserves the orderBy, so pats/reps apply in
+    # training order (merge k can consume merge j<k's output)
+    n_tokens = F.aggregate(
+        encoded, F.lit(0).cast("long"),
+        lambda acc, e: acc + F.length(e) - F.length(F.replace(
+            e, F.lit("<"), F.lit(""))))
+    return (docs.join(F.broadcast(rules))
+            .select(F.col(id_col), F.size(words).cast("long")
+                    .alias("n_words"), n_tokens.alias("n_tokens")))

@@ -3043,3 +3043,46 @@ def _bpe_oracle_sql(n_merges: int) -> str:
 
 
 BPE_MERGES_SQL = _bpe_oracle_sql(8)
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merges learned by bpe_merges
+    (pipeline/bpe.py apply_bpe_merges): per-doc word and post-BPE token
+    counts — the numbers a pipeline budgets sequence packing by.
+    Encoding is a pure narrow map (merge table folds over each word as
+    k broadcast string replaces); zero shuffles beyond the learn step."""
+    from legate_dataframe_spark.pipeline import bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(bpe.word_histogram(d), n_merges=8)
+    return bpe.apply_bpe_merges(d, merges)
+
+
+def _bpe_apply_oracle_sql(n_merges: int) -> str:
+    """The learn oracle's CTEs + per-doc application: each word is
+    bracket-encoded then folded through the n winning pairs (nested
+    replace, innermost = round 1), token count = '<' occurrences."""
+    enc = r"regexp_replace(w, '(.)', '<\1>', 'g')"
+    for i in range(1, n_merges + 1):
+        enc = (f"replace({enc}, '<' || t{i}.a || '><' || t{i}.b || '>', "
+               f"'<' || t{i}.a || t{i}.b || '>')")
+    # reuse the learn oracle's WITH-chain verbatim (w0..t8), swap the
+    # final union for the per-document application
+    with_chain = BPE_MERGES_SQL[:BPE_MERGES_SQL.rindex("\nSELECT")]
+    with_chain = "WITH " + with_chain.split("WITH ", 1)[1]
+    with_chain = with_chain[:with_chain.rindex(")") + 1]
+    tlist = ", ".join(f"t{i}" for i in range(1, n_merges + 1))
+    return f"""{with_chain},
+docs_w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(coalesce(list_sum(list_transform(ws,
+           w -> len({enc}) - len(replace({enc}, '<', '')))), 0)
+           AS BIGINT) AS n_tokens
+FROM docs_w, {tlist}
+"""
+
+
+BPE_ENCODE_STATS_SQL = _bpe_apply_oracle_sql(8)

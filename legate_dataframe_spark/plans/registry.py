@@ -214,6 +214,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "heavy_hitter_tokens": (pq.heavy_hitter_tokens,
                             pq.HEAVY_HITTER_TOKENS_SQL),
     "bpe_merges": (pq.bpe_merges, pq.BPE_MERGES_SQL),
+    "bpe_encode_stats": (pq.bpe_encode_stats, pq.BPE_ENCODE_STATS_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

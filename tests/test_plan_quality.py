@@ -159,6 +159,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "cluster_label_purity",  # corpus × broadcast centroids (assign)
         "bloom_decontaminate",   # vs 1-row broadcast Bloom bitmap
         "heavy_hitter_tokens",   # vs 1-row total-token-count aggregate
+        "bpe_encode_stats",      # vs 1-row broadcast merge-rule arrays
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

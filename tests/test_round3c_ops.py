@@ -136,3 +136,25 @@ def test_bpe_merge_is_greedy_left_to_right(spark):
     # (aa,aa) weight 10 vs (aa,a) weight 1
     assert (rows[0]["merged"], rows[0]["freq"]) == ("aa", 32)
     assert (rows[1]["merged"], rows[1]["freq"]) == ("aaaa", 10)
+
+
+def test_bpe_apply_encodes_with_learned_merges(spark):
+    # merges learned from the classic corpus (es, est, lo, low): the
+    # unseen word 'lowest' must encode as [low][est] = 2 tokens
+    from legate_dataframe_spark.pipeline.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+        word_histogram,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    train = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    merges = learn_bpe_merges(word_histogram(train), n_merges=4)
+    probe = spark.createDataFrame([(9, "lowest"), (10, "low low"),
+                                   (11, "")], ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in apply_bpe_merges(probe, merges).collect()}
+    assert got[9] == (1, 2)    # [low][est]
+    assert got[10] == (2, 2)   # [low] [low]
+    assert got[11] == (0, 0)
