@@ -89,6 +89,7 @@ EXTRA = [
     "heavy_hitter_tokens",
     "bpe_merges",
     "bpe_encode_stats",
+    "equidepth_histogram",
 ]
 
 

@@ -215,6 +215,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                             pq.HEAVY_HITTER_TOKENS_SQL),
     "bpe_merges": (pq.bpe_merges, pq.BPE_MERGES_SQL),
     "bpe_encode_stats": (pq.bpe_encode_stats, pq.BPE_ENCODE_STATS_SQL),
+    "equidepth_histogram": (r.equidepth_histogram,
+                            r.EQUIDEPTH_HISTOGRAM_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

@@ -160,6 +160,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "bloom_decontaminate",   # vs 1-row broadcast Bloom bitmap
         "heavy_hitter_tokens",   # vs 1-row total-token-count aggregate
         "bpe_encode_stats",      # vs 1-row broadcast merge-rule arrays
+        "equidepth_histogram",   # vs 1-row decile-boundary aggregate
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
