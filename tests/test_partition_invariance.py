@@ -34,6 +34,12 @@ REPRESENTATIVE = [
     "pagerank_users",        # iterative graph rounds w/ checkpoints
     "psi_drift",             # broadcast bin edges + two-level aggs
     "ivf_sq8_search",        # payload-carrying assignment + pruned scan
+    # round-3e additions
+    "heavy_hitter_tokens",   # MG candidate sets differ per layout —
+                             # the exact recount must erase that
+    "bloom_decontaminate",   # bitmap prune + exact join
+    "triangle_count",        # orientation + wedge joins
+    "bpe_merges",            # checkpointed iterative rounds
 ]
 
 
