@@ -90,6 +90,7 @@ EXTRA = [
     "bpe_merges",
     "bpe_encode_stats",
     "equidepth_histogram",
+    "profile_table",
 ]
 
 

@@ -217,6 +217,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "bpe_encode_stats": (pq.bpe_encode_stats, pq.BPE_ENCODE_STATS_SQL),
     "equidepth_histogram": (r.equidepth_histogram,
                             r.EQUIDEPTH_HISTOGRAM_SQL),
+    "profile_table": (r.profile_table, r.PROFILE_TABLE_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

@@ -2035,3 +2035,68 @@ SELECT len(list_filter(bs, x -> l_extendedprice > x)) AS bucket,
 FROM lineitem, b
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# table profiling — ANALYZE-style per-column statistics (row/null/
+# distinct counts, min/max), the stats-collection pass an optimizer or
+# data-quality monitor runs.  ONE scan: all columns aggregate together
+# (multi-column count_distinct becomes a single Expand + partial-agg
+# pass), then the 1-row wide result unpivots to (column, stat) rows —
+# a k-scan per-column UNION would read the table k times.
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(c).alias(f"{c}__nd"),
+            F.min(F.round(F.col(c).cast("double"), 4)
+                  if c == "value" else F.col(c))
+            .cast("string").alias(f"{c}__mn"),
+            F.max(F.round(F.col(c).cast("double"), 4)
+                  if c == "value" else F.col(c))
+            .cast("string").alias(f"{c}__mx"),
+        ]
+    wide = e.groupBy().agg(*aggs)
+    per_col = [
+        wide.select(F.lit(c).alias("column"), "n_rows",
+                    (F.col("n_rows") - F.col(f"{c}__nn"))
+                    .alias("n_nulls"),
+                    F.col(f"{c}__nd").alias("n_distinct"),
+                    F.col(f"{c}__mn").alias("min_val"),
+                    F.col(f"{c}__mx").alias("max_val"))
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+PROFILE_TABLE_SQL = """
+WITH w AS (
+  SELECT count(*) AS n_rows,
+         count(event_id) AS a_nn, count(DISTINCT event_id) AS a_nd,
+         CAST(min(event_id) AS VARCHAR) AS a_mn,
+         CAST(max(event_id) AS VARCHAR) AS a_mx,
+         count(user_id) AS b_nn, count(DISTINCT user_id) AS b_nd,
+         CAST(min(user_id) AS VARCHAR) AS b_mn,
+         CAST(max(user_id) AS VARCHAR) AS b_mx,
+         count(event_type) AS c_nn, count(DISTINCT event_type) AS c_nd,
+         CAST(min(event_type) AS VARCHAR) AS c_mn,
+         CAST(max(event_type) AS VARCHAR) AS c_mx,
+         count(value) AS d_nn, count(DISTINCT value) AS d_nd,
+         CAST(min(round(value, 4)) AS VARCHAR) AS d_mn,
+         CAST(max(round(value, 4)) AS VARCHAR) AS d_mx
+  FROM events)
+SELECT 'event_id' AS "column", n_rows, n_rows - a_nn AS n_nulls,
+       a_nd AS n_distinct, a_mn AS min_val, a_mx AS max_val FROM w
+UNION ALL
+SELECT 'user_id', n_rows, n_rows - b_nn, b_nd, b_mn, b_mx FROM w
+UNION ALL
+SELECT 'event_type', n_rows, n_rows - c_nn, c_nd, c_mn, c_mx FROM w
+UNION ALL
+SELECT 'value', n_rows, n_rows - d_nn, d_nd, d_mn, d_mx FROM w
+"""
