@@ -45,6 +45,8 @@ def parquet_write(
     partition_by: Sequence[str] | None = None,
     max_records_per_file: int | None = None,
     cluster_by: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
+    n_files: int | None = None,
 ) -> None:
     """Write a parquet directory (reference layout, parquet.hpp:104).
 
@@ -67,9 +69,30 @@ def parquet_write(
     — stats exist but never exclude anything.  Pick the column(s) the
     dominant queries filter on (ship/event date, usually).  Costs one
     range shuffle at write time, amortized over every later scan —
-    the storage-side sibling of bucketing (`core/bucketing.py`)."""
+    the storage-side sibling of bucketing (`core/bucketing.py`).
+
+    ``zorder_by`` is the multi-column form: rows sort along a Morton
+    curve over the given columns (``zorder_key``), so row-group min/max
+    ranges narrow on EVERY keyed column simultaneously — a filter on
+    any one of them skips row groups.  Mutually exclusive with
+    ``cluster_by`` (one physical sort order per file).
+
+    ``n_files`` pins the clustered/z-ordered range-shuffle partition
+    count (= output file count).  Default None lets AQE size it from
+    data volume — right in production, but AQE coalesces small inputs
+    to ONE partition, whose single full-span row group defeats the
+    clustering; pin it when writing small curated datasets.
+    """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    rng_args = (n_files,) if n_files else ()
+    if zorder_by:
+        df = (zorder_key(df, zorder_by)
+              .repartitionByRange(*rng_args, "__zkey")
+              .sortWithinPartitions("__zkey")
+              .drop("__zkey"))
     if cluster_by:
-        df = (df.repartitionByRange(*cluster_by)
+        df = (df.repartitionByRange(*rng_args, *cluster_by)
               .sortWithinPartitions(*cluster_by))
     w = df.write.mode(mode)
     if partition_by:
@@ -77,3 +100,42 @@ def parquet_write(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(dirpath)
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str],
+               bits_per_col: int = 16) -> DataFrame:
+    """Append a ``__zkey`` Morton (Z-order) key over ``cols``.
+
+    Each column is min/max-scaled to ``bits_per_col`` bits (the 1-row
+    stats frame broadcasts — no driver round-trip), then the bit
+    planes interleave: bit b of column i lands at position
+    ``b*len(cols)+i``.  Rows close in Z-key are close in EVERY keyed
+    dimension, which is what makes multi-column zone-map skipping work
+    where single-column clustering cannot: ``cluster_by`` narrows one
+    column's row-group ranges and leaves the others full-span, the
+    Z-order curve narrows all of them at once.  len(cols) ×
+    bits_per_col must fit 63 bits.
+    """
+    n = len(cols)
+    if n * bits_per_col > 63:
+        raise ValueError(f"{n} cols × {bits_per_col} bits exceeds int64")
+    stats = df.groupBy().agg(*sum((
+        [F.min(F.col(c).cast("double")).alias(f"__mn_{i}"),
+         F.max(F.col(c).cast("double")).alias(f"__mx_{i}")]
+        for i, c in enumerate(cols)), []))
+    top = (1 << bits_per_col) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        mn, mx = F.col(f"__mn_{i}"), F.col(f"__mx_{i}")
+        frac = (F.col(c).cast("double") - mn) / \
+            F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        scaled.append(F.least(F.lit(top), F.greatest(F.lit(0), F.floor(
+            frac * top).cast("long"))))
+    key = F.lit(0).cast("long")
+    for b in range(bits_per_col):
+        for i in range(n):
+            key = key + F.shiftleft(
+                F.shiftright(scaled[i], b).bitwiseAND(F.lit(1)),
+                b * n + i)
+    return (df.join(F.broadcast(stats))
+            .select(*df.columns, key.alias("__zkey")))

@@ -158,3 +158,56 @@ def test_bpe_apply_encodes_with_learned_merges(spark):
     assert got[9] == (1, 2)    # [low][est]
     assert got[10] == (2, 2)   # [low] [low]
     assert got[11] == (0, 0)
+
+
+def test_zorder_write_narrows_both_dims(spark, tmp_path):
+    """zorder_by must narrow per-file value ranges on BOTH keyed
+    columns; single-column cluster_by narrows its own column but
+    leaves the other full-span."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from legate_dataframe_spark.sources.parquet import parquet_write
+
+    # two independent uniform dims (decorrelated via distinct odd
+    # multipliers mod 2^16)
+    n = 1 << 16
+    df = (spark.range(0, n, numPartitions=8)
+          .withColumn("x", (F.col("id") * 48271) % n)
+          .withColumn("y", (F.col("id") * 16807) % n))
+
+    def mean_rg_span(d, col_idx):
+        # zone maps prune per ROW GROUP — file-level ranges understate
+        # narrowing whenever a writer coalesces to few files
+        spans_ = []
+        for p in sorted(glob.glob(f"{d}/part-*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(col_idx).statistics
+                spans_.append(s.max - s.min)
+        return sum(spans_) / len(spans_)
+
+    plain, zo, cl = (str(tmp_path / s) for s in ("plain", "zo", "cl"))
+    parquet_write(df, plain)
+    parquet_write(df, zo, zorder_by=["x", "y"], n_files=16)
+    parquet_write(df, cl, cluster_by=["x"], n_files=16)
+    dom = n - 1
+    # x is col 1, y is col 2; unsorted row groups span ~the full domain
+    assert mean_rg_span(plain, 1) > dom * 0.8
+    assert mean_rg_span(plain, 2) > dom * 0.8
+    assert mean_rg_span(zo, 1) < dom * 0.6        # x narrowed
+    assert mean_rg_span(zo, 2) < dom * 0.6        # y narrowed TOO
+    assert mean_rg_span(cl, 1) < dom * 0.3        # control: cluster_by
+    assert mean_rg_span(cl, 2) > dom * 0.8        # ...narrows x only
+
+
+def test_zorder_excludes_cluster_by(spark, tmp_path):
+    import pytest as _pytest
+
+    from legate_dataframe_spark.sources.parquet import parquet_write
+
+    df = spark.range(0, 10).withColumn("x", F.col("id") % 3)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        parquet_write(df, str(tmp_path / "out"), cluster_by=["x"],
+                      zorder_by=["x", "id"])
