@@ -91,6 +91,7 @@ EXTRA = [
     "bpe_encode_stats",
     "equidepth_histogram",
     "profile_table",
+    "embedding_standardize",
 ]
 
 

@@ -695,3 +695,47 @@ def ivf_sq_search(
                     int_dot(F.col("codes"), F.col("q_codes"))
                     .alias("iprod")))
     return _per_query_topk(cand, "iprod", k)
+
+
+def standardize_embeddings(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension whitening stats for an embedding corpus — the
+    preprocessing pass before scalar/product quantization (SQ codes
+    assume comparable per-dim ranges; PQ subspaces train better on
+    centered data).
+
+    One posexplode → per-dim avg/stddev aggregate (dim-sized result),
+    packed into parallel mean/std arrays on a 1-row broadcast frame —
+    the corpus never shuffles; standardization itself is a narrow map.
+    Stats round at 6 decimals before use so any engine reproduces the
+    standardized values bit-for-bit (the kmeans-oracle convention).
+    Zero-variance dims standardize with σ=1 (centered, not scaled).
+
+    Output: (id, std_norm, max_absdev) — the whitened L2 norm and the
+    largest absolute standardized component (outlier signal).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dims = emb.select(F.posexplode(v).alias("pos", "x"))
+    per_dim = (dims.groupBy("pos")
+               .agg(F.round(F.avg("x"), 6).alias("mu"),
+                    F.round(F.stddev_pop("x"), 6).alias("sd")))
+    stats = (per_dim.groupBy()
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("pos", "mu", "sd"))).alias("ps"))
+             .select(F.transform("ps", lambda s: s["mu"]).alias("mus"),
+                     F.transform("ps", lambda s: s["sd"]).alias("sds")))
+    std = F.transform(
+        v,
+        lambda x, i: (x - F.get(F.col("mus"), i))
+        / F.when(F.get(F.col("sds"), i) > 0,
+                 F.get(F.col("sds"), i)).otherwise(F.lit(1.0)))
+    return (emb.join(F.broadcast(stats))
+            .select(F.col(id_col),
+                    F.round(F.sqrt(F.aggregate(
+                        std, F.lit(0.0),
+                        lambda acc, x: acc + x * x)), 4).alias("std_norm"),
+                    F.round(F.array_max(F.transform(std, F.abs)), 4)
+                    .alias("max_absdev")))

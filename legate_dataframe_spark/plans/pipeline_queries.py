@@ -3086,3 +3086,37 @@ FROM docs_w, {tlist}
 
 
 BPE_ENCODE_STATS_SQL = _bpe_apply_oracle_sql(8)
+
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim whitening of the embedding corpus
+    (pipeline/similarity.py standardize_embeddings): dim-sized stats on
+    a 1-row broadcast, narrow-map standardization, whitened norm +
+    max standardized component per vector."""
+    from legate_dataframe_spark.sources.parquet import parquet_read
+
+    emb = parquet_read(spark, f"{sf_dir}/embeddings.parquet",
+                       ["vec_id", "embedding"])
+    return similarity.standardize_embeddings(emb)
+
+
+EMBEDDING_STANDARDIZE_SQL = """
+WITH d AS (
+  SELECT i,
+         round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mu,
+         round(stddev_pop(CAST(embedding[i] AS DOUBLE)), 6) AS sd
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY i),
+s AS (SELECT list(mu ORDER BY i) AS mus, list(sd ORDER BY i) AS sds
+      FROM d)
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(range(1, 65),
+           i -> pow((CAST(embedding[i] AS DOUBLE) - mus[i])
+                    / (CASE WHEN sds[i] > 0 THEN sds[i] ELSE 1.0 END),
+                    2)))), 4) AS std_norm,
+       round(list_max(list_transform(range(1, 65),
+           i -> abs((CAST(embedding[i] AS DOUBLE) - mus[i])
+                    / (CASE WHEN sds[i] > 0 THEN sds[i] ELSE 1.0 END)))),
+             4) AS max_absdev
+FROM embeddings, s
+"""

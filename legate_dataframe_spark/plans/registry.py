@@ -218,6 +218,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "equidepth_histogram": (r.equidepth_histogram,
                             r.EQUIDEPTH_HISTOGRAM_SQL),
     "profile_table": (r.profile_table, r.PROFILE_TABLE_SQL),
+    "embedding_standardize": (pq.embedding_standardize,
+                              pq.EMBEDDING_STANDARDIZE_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

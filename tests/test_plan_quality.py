@@ -161,6 +161,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "heavy_hitter_tokens",   # vs 1-row total-token-count aggregate
         "bpe_encode_stats",      # vs 1-row broadcast merge-rule arrays
         "equidepth_histogram",   # vs 1-row decile-boundary aggregate
+        "embedding_standardize", # vs 1-row per-dim whitening stats
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
