@@ -92,6 +92,7 @@ EXTRA = [
     "equidepth_histogram",
     "profile_table",
     "embedding_standardize",
+    "stream_stream_join",
 ]
 
 

@@ -3120,3 +3120,58 @@ SELECT vec_id,
              4) AS max_absdev
 FROM embeddings, s
 """
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str,
+                       _max_files_per_trigger: int | None = None,
+                       ) -> DataFrame:
+    """STREAM-STREAM interval join through a real Structured Streaming
+    run: the purchases stream inner-joins the views stream of the same
+    user within a 30-minute lookback, append-mode drained with
+    availableNow — the one streaming join class the other drains don't
+    exercise (Spark buffers BOTH sides' state keyed by the equality
+    column, so matches land whichever side arrives first).
+
+    NO watermark, same rationale as events_stream_tumbling: this is a
+    bounded drain, state is bounded by the run, and a watermark would
+    silently drop cross-batch late matches that the batch oracle keeps
+    (a 24/7 deployment adds watermarks on both sides + the interval
+    condition so state evicts, accepting the documented drop).  Scale:
+    join state shards by user_id like any stateful equi-join; the
+    interval predicate bounds the per-key buffer a watermark would
+    otherwise evict.
+    """
+    schema = load_table(spark, sf_dir, "events").schema
+    reader = spark.readStream.schema(schema)
+    if _max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", _max_files_per_trigger)
+    stream = reader.parquet(f"{sf_dir}/events.parquet*")
+    p = (stream.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"),
+                 F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts")))
+    v = (stream.filter(F.col("event_type") == "view")
+         .select(F.col("event_id").alias("v_id"),
+                 F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("v_ts")))
+    j = (p.join(v, (F.col("p_user") == F.col("v_user"))
+                & (F.col("v_ts") >= F.col("p_ts")
+                   - F.expr("INTERVAL 30 MINUTES"))
+                & (F.col("v_ts") <= F.col("p_ts")), "inner")
+         .select("p_id", "v_id", F.col("p_user").alias("user_id"),
+                 (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+                 .alias("gap_s")))
+    return _drain_available_now(
+        spark, j, "ldf_stream_join", "append",
+        "p_id: long, v_id: long, user_id: long, gap_s: long")
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts <= p.ts
+"""

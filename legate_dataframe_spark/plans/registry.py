@@ -220,6 +220,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "profile_table": (r.profile_table, r.PROFILE_TABLE_SQL),
     "embedding_standardize": (pq.embedding_standardize,
                               pq.EMBEDDING_STANDARDIZE_SQL),
+    "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

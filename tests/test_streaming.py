@@ -222,3 +222,52 @@ def test_stream_session_merges_across_batches(spark, tmp_path):
             for r in sessionize(spark, str(tmp_path)).collect()}
     assert got == want
     assert got == {(7, t0): (3, 7.0)}  # one merged session, 3 events
+
+
+def test_stream_stream_join_matches_batch_across_batches(spark, tmp_path):
+    """Stream-stream interval self-join, one file per micro-batch: a
+    purchase in batch 1 must still match a view that only arrives in
+    batch 2 (both join sides are stateful), and the drained pair set
+    must equal the batch join exactly."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+
+    def _tbl(rows):
+        return pa.table(
+            {"event_id": pa.array([r[0] for r in rows], pa.int64()),
+             "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+             "user_id": pa.array([r[2] for r in rows], pa.int64()),
+             "event_type": pa.array([r[3] for r in rows], pa.string()),
+             "value": pa.array([r[4] for r in rows], pa.float64()),
+             "props": pa.array([r[5] for r in rows], pa.string())})
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0)
+    m = datetime.timedelta(minutes=1)
+    # batch A: user 1's purchase + an in-window view; user 2's view
+    pq_.write_table(_tbl([
+        (1, t0, 1, "purchase", 1.0, "{}"),
+        (2, t0 - 5 * m, 1, "view", 1.0, "{}"),
+        (3, t0 - 2 * m, 2, "view", 1.0, "{}"),
+    ]), src / "a.parquet")
+    # batch B: user 2's purchase (matches batch-A view — right side
+    # buffered), user 1's LATE view (matches batch-A purchase — left
+    # side buffered), plus an out-of-window view
+    pq_.write_table(_tbl([
+        (4, t0 + 1 * m, 2, "purchase", 1.0, "{}"),
+        (5, t0 - 10 * m, 1, "view", 1.0, "{}"),
+        (6, t0 - 50 * m, 1, "view", 1.0, "{}"),
+    ]), src / "b.parquet")
+
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        stream_stream_join,
+    )
+
+    got = {(r.p_id, r.v_id, r.user_id, r.gap_s)
+           for r in stream_stream_join(
+               spark, str(tmp_path), _max_files_per_trigger=1).collect()}
+    assert got == {(1, 2, 1, 300), (1, 5, 1, 600), (4, 3, 2, 180)}
