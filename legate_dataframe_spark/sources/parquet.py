@@ -139,3 +139,40 @@ def zorder_key(df: DataFrame, cols: Sequence[str],
                 b * n + i)
     return (df.join(F.broadcast(stats))
             .select(*df.columns, key.alias("__zkey")))
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 256,
+    cluster_by: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a small-file parquet directory into ~``target_mb`` files
+    — the table-maintenance pass every streaming/incremental pipeline
+    needs (each micro-batch appends a file; a thousand 2 MB files
+    makes every later scan schedule a thousand splits and read a
+    thousand footers).
+
+    File count derives from the SOURCE's total on-disk bytes (parquet
+    footer metadata via the input_file listing — no data pass), then
+    one repartition/range-shuffle rewrites.  ``cluster_by`` re-sorts
+    while compacting (compaction is the natural moment to restore
+    zone-map locality that incremental appends destroyed).  Returns
+    the output file count.
+    """
+    import glob as _glob
+    import os as _os
+
+    files = (_glob.glob(_os.path.join(src, "*.parquet"))
+             or _glob.glob(_os.path.join(src, "part-*")))
+    total = sum(_os.path.getsize(f) for f in files)
+    n_files = max(1, round(total / (target_mb * (1 << 20))))
+    df = spark.read.parquet(src)
+    if cluster_by:
+        df = (df.repartitionByRange(n_files, *cluster_by)
+              .sortWithinPartitions(*cluster_by))
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst)
+    return len(_glob.glob(_os.path.join(dst, "part-*.parquet")))

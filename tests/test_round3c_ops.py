@@ -211,3 +211,44 @@ def test_zorder_excludes_cluster_by(spark, tmp_path):
     with _pytest.raises(ValueError, match="mutually exclusive"):
         parquet_write(df, str(tmp_path / "out"), cluster_by=["x"],
                       zorder_by=["x", "id"])
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Many small appended files must compact to the byte-derived
+    target count, preserve every row, and (with cluster_by) restore
+    narrow per-file ranges."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from legate_dataframe_spark.sources.parquet import compact_parquet_dir
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    # 24 tiny append files, unsorted keys
+    for i in range(24):
+        (spark.range(i * 1000, (i + 1) * 1000)
+         .withColumn("k", (F.col("id") * 7919) % 24_000)
+         .write.mode("append").parquet(src))
+    assert len(glob.glob(f"{src}/part-*.parquet")) >= 24
+
+    n_out = compact_parquet_dir(spark, src, dst, target_mb=1,
+                                cluster_by=["k"])
+    assert n_out < 24
+    orig = spark.read.parquet(src)
+    comp = spark.read.parquet(dst)
+    assert comp.count() == 24_000
+    assert orig.exceptAll(comp).count() == 0
+    # clustered rewrite: per-file k ranges are disjoint slices
+    ranges = []
+    for p in sorted(glob.glob(f"{dst}/part-*.parquet")):
+        md = pq.ParquetFile(p).metadata
+        st = md.row_group(0).column(1).statistics
+        lo, hi = st.min, st.max
+        for rg in range(1, md.num_row_groups):
+            s = md.row_group(rg).column(1).statistics
+            lo, hi = min(lo, s.min), max(hi, s.max)
+        ranges.append((lo, hi))
+    ranges.sort()
+    if len(ranges) > 1:
+        assert all(ranges[i][1] <= ranges[i + 1][0]
+                   for i in range(len(ranges) - 1))
