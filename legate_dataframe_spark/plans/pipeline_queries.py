@@ -3140,6 +3140,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str,
     join state shards by user_id like any stateful equi-join; the
     interval predicate bounds the per-key buffer a watermark would
     otherwise evict.
+
+    Only the INNER form ships as an oracle query: outer stream-stream
+    joins require two-sided watermarks, and an availableNow drain's
+    final (watermark-advancing, data-less) micro-batch does NOT flush
+    unmatched rows' null outputs — verified empirically on this Spark
+    (the unmatched left row stayed in state past the closing
+    watermark), so an outer drain can never match a batch oracle.
     """
     schema = load_table(spark, sf_dir, "events").schema
     reader = spark.readStream.schema(schema)

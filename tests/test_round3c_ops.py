@@ -1,5 +1,6 @@
 """Unit tests for the round-3 tail operators: Bloom-pruned
-decontamination, degree-oriented triangle counting."""
+decontamination, degree-oriented triangle counting, Misra–Gries heavy
+hitters, BPE learn/apply, Z-order writes, parquet compaction."""
 
 from __future__ import annotations
 
