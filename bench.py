@@ -93,6 +93,7 @@ EXTRA = [
     "profile_table",
     "embedding_standardize",
     "stream_stream_join",
+    "leakage_free_split",
 ]
 
 

@@ -3182,3 +3182,65 @@ JOIN (SELECT * FROM events WHERE event_type = 'view') v
  AND v.ts >= p.ts - INTERVAL 30 MINUTE
  AND v.ts <= p.ts
 """
+
+
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split at NEAR-DUP-CLUSTER granularity: every doc
+    joins its minhash connected component and the hash-split keys on
+    the cluster representative, so two near-duplicates can never land
+    on opposite sides of the train/test boundary — the leakage mode a
+    doc-keyed split (train_split_stats) cannot prevent.  Composition of
+    three already-verified operators (minhash pairs → components →
+    split_by_hash); singleton docs are their own cluster.  Output:
+    per-split doc and cluster counts."""
+    from legate_dataframe_spark.pipeline import sampling
+    from legate_dataframe_spark.pipeline.components import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = (d.select("doc_id")
+            .join(comp.select(F.col("node").alias("doc_id"), "component"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("rep")))
+    sp = sampling.split_by_hash(
+        docs, "rep", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("rep").alias("n_clusters"))
+
+
+LEAKAGE_FREE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql()}) mh
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+comp AS (SELECT node AS doc_id, min(label) AS canonical_id
+         FROM walk GROUP BY node),
+rep AS (
+  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+sp AS (
+  SELECT rep,
+         CAST('0x' || substr(md5('split' || CAST(rep AS VARCHAR)), 1, 8)
+              AS BIGINT) % 1000000 AS bucket
+  FROM rep)
+SELECT CASE WHEN bucket < 900000 THEN 'train'
+            WHEN bucket < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT rep) AS n_clusters
+FROM sp GROUP BY 1
+"""

@@ -223,6 +223,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_standardize": (pq.embedding_standardize,
                               pq.EMBEDDING_STANDARDIZE_SQL),
     "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
+    "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

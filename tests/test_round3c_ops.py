@@ -253,3 +253,35 @@ def test_compact_parquet_dir(spark, tmp_path):
     if len(ranges) > 1:
         assert all(ranges[i][1] <= ranges[i + 1][0]
                    for i in range(len(ranges) - 1))
+
+
+def test_leakage_free_split_no_straddling_clusters(spark, sf_dir):
+    """The property the operator exists for: no near-dup cluster may
+    appear in more than one split (doc-keyed splits violate this
+    whenever a clustered pair hashes to different sides)."""
+    from legate_dataframe_spark.pipeline import sampling
+    from legate_dataframe_spark.pipeline.components import (
+        connected_components,
+    )
+    from legate_dataframe_spark.plans.pipeline_queries import dedup_minhash
+    from legate_dataframe_spark.plans.relational import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = (d.select("doc_id")
+            .join(comp.select(F.col("node").alias("doc_id"), "component"),
+                  "doc_id", "left")
+            .select("doc_id", F.coalesce("component", "doc_id")
+                    .alias("rep")))
+    sp = sampling.split_by_hash(
+        docs, "rep", {"train": 0.9, "val": 0.05, "test": 0.05})
+    straddle = (sp.groupBy("rep")
+                .agg(F.count_distinct("split").alias("ns"))
+                .filter(F.col("ns") > 1).count())
+    assert straddle == 0
+    # and there IS at least one multi-doc cluster in the fixture, so
+    # the guarantee is non-vacuous
+    multi = (sp.groupBy("rep").agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > 1).count())
+    assert multi > 0
