@@ -837,7 +837,8 @@ MULTIMODAL_FEATURES_SQL = """
 SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(8 AS BIGINT) AS dim,
-       CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END AS feat_sum
+       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 ELSE 1.0 END
+            AS DOUBLE) AS feat_sum
 FROM documents
 """
 
@@ -1361,7 +1362,8 @@ def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 USER_RETENTION_SQL = """
-WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
             FROM events)
 SELECT a.day AS day,
        count(DISTINCT a.user_id) AS active_users,
