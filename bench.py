@@ -94,6 +94,7 @@ EXTRA = [
     "embedding_standardize",
     "stream_stream_join",
     "leakage_free_split",
+    "hybrid_rrf_search",
 ]
 
 

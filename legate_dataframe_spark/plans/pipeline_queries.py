@@ -3246,3 +3246,71 @@ SELECT CASE WHEN bucket < 900000 THEN 'train'
        count(DISTINCT rep) AS n_clusters
 FROM sp GROUP BY 1
 """
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 lexical
+    top-20 and embedding-cosine top-20 (query = vec 0, doc ids aligned
+    with vec ids in the testdata) fuse as Σ 1/(60+rank) — the standard
+    RRF combiner.  Both legs are the already-verified operators; the
+    fusion is a full outer join of two ≤20-row frames + TakeOrdered —
+    at 100 TB the legs dominate and each keeps its own scale shape
+    (broadcast stats / broadcast query vector).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = (text.bm25_topk(d, ["shuffle", "broadcast", "vector"], topk=20)
+           .select("doc_id", F.col("rank").alias("lex_rank")))
+    sem = (similarity.brute_force_topk(
+               e, e.filter(F.col("vec_id") == 0), k=20)
+           .select(F.col("c_id").alias("doc_id"),
+                   F.col("rank").alias("sem_rank")))
+    rrf = (F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+           + F.coalesce(1.0 / (60 + F.col("sem_rank")), F.lit(0.0)))
+    return (lex.join(sem, "doc_id", "full")
+            .select("doc_id", "lex_rank", "sem_rank",
+                    F.round(rrf, 6).alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), "doc_id").limit(10))
+
+
+HYBRID_RRF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+       WHERE tok IN ('shuffle', 'broadcast', 'vector')
+       GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                   * tf * (1.2 + 1)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+             AS bm25
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), stats
+  GROUP BY tf.doc_id),
+lex AS (
+  SELECT doc_id, lex_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+    FROM scored) WHERE lex_rank <= 20),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cs
+  FROM embeddings, q WHERE vec_id != 0),
+sem AS (
+  SELECT doc_id, sem_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cs DESC, doc_id) AS sem_rank
+    FROM sims) WHERE sem_rank <= 20)
+SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       lex_rank, sem_rank,
+       round(coalesce(1.0 / (60 + lex_rank), 0)
+             + coalesce(1.0 / (60 + sem_rank), 0), 6) AS rrf_score
+FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""

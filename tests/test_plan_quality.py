@@ -162,6 +162,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "bpe_encode_stats",      # vs 1-row broadcast merge-rule arrays
         "equidepth_histogram",   # vs 1-row decile-boundary aggregate
         "embedding_standardize", # vs 1-row per-dim whitening stats
+        "hybrid_rrf_search",     # bm25 1-row stats + broadcast query vec
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
