@@ -95,6 +95,7 @@ EXTRA = [
     "stream_stream_join",
     "leakage_free_split",
     "hybrid_rrf_search",
+    "ann_recall_audit",
 ]
 
 

@@ -3314,3 +3314,93 @@ SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
 FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 10
 """
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality monitoring IN-ENGINE: recall@5 of the IVF search
+    (2-of-8 probes) against exact brute-force top-5, per query — the
+    number an ANN deployment tracks to tune n_probe.  Both legs are
+    the verified operators; recall joins the two ≤5-row-per-query rank
+    lists with a left-semi match count.  At scale each leg keeps its
+    own shape; the audit's cost scales as |sample| × corpus, so the
+    production contract is a FIXED-SIZE query sample (a few hundred),
+    not the proportional vec_id % 50 this test-scale query uses — at
+    10× replicated data the proportional sample makes both legs grow
+    100× (measured 16× wall; the sq8_search row documents the same
+    effect and the same fix)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    exact = (similarity.brute_force_topk(e, q, k=5)
+             .select("q_id", "c_id"))
+    assigned = similarity.assign_with_payload(e, cen, ["embedding"])
+    approx = (similarity.ivf_search(assigned, cen, q, k=5, n_probe=2)
+              .select("q_id", F.col("c_id").alias("a_id")))
+    hits = (exact.join(approx,
+                       (exact.q_id == approx.q_id)
+                       & (exact.c_id == approx.a_id), "left_semi"))
+    return (exact.groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .join(hits.groupBy("q_id")
+                  .agg(F.count(F.lit(1)).alias("n_hit")), "q_id", "left")
+            .select("q_id", "n_exact",
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.round(F.coalesce("n_hit", F.lit(0))
+                            / F.col("n_exact"), 4).alias("recall_at_5")))
+
+
+ANN_RECALL_AUDIT_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT q_id, c_id,
+             round(list_cosine_similarity(cv, qv), 6) AS cos_sim
+      FROM c, q WHERE c_id != q_id),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, c_id) AS rank
+    FROM s) WHERE rank <= 5),
+cen AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, cent_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_cosine_similarity(e.embedding::DOUBLE[], cv), 6)
+               DESC, cent_id) AS rn
+    FROM embeddings e, cen) WHERE rn = 1),
+probe AS (
+  SELECT q_id, cent_id FROM (
+    SELECT q_id, cent_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             round(list_cosine_similarity(qv, cv), 6) DESC, cent_id) AS rn
+    FROM q, cen) WHERE rn <= 2),
+cand AS (
+  SELECT p.q_id AS q_id, a.vec_id AS a_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], qv), 6)
+             AS cos_sim
+  FROM assign a
+  JOIN probe p ON a.cent_id = p.cent_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN q ON q.q_id = p.q_id
+  WHERE a.vec_id != p.q_id),
+approx AS (
+  SELECT q_id, a_id FROM (
+    SELECT q_id, a_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, a_id) AS rank
+    FROM cand) WHERE rank <= 5),
+hits AS (
+  SELECT e.q_id, count(*) AS n_hit
+  FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.a_id = e.c_id
+  GROUP BY e.q_id)
+SELECT e.q_id, count(*) AS n_exact,
+       coalesce(any_value(h.n_hit), 0) AS n_hit,
+       round(coalesce(any_value(h.n_hit), 0)
+             / CAST(count(*) AS DOUBLE), 4) AS recall_at_5
+FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
+GROUP BY e.q_id
+"""

@@ -32,8 +32,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # r03 note: the front block is AT the ~50-entry budget (50 unverified
 # entries).  Round 4 MUST rotate every r03-green entry to the back before
 # adding new queries, exactly as was done after r01 and r02 — AND must
-# front-load the r03-tail block (bloom_decontaminate … hybrid_rrf_search,
-# 13 entries at the very end of this dict) which has never had a driver row.
+# front-load the r03-tail block (bloom_decontaminate … ann_recall_audit,
+# 14 entries at the very end of this dict) which has never had a driver row.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-3 new or previously-red: front-loaded -----------------------
     # r02 red rows (oracle HUGEINT cast bug, fixed): must re-verify
@@ -225,6 +225,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
     "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
     "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
+    "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

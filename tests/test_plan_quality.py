@@ -163,6 +163,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "equidepth_histogram",   # vs 1-row decile-boundary aggregate
         "embedding_standardize", # vs 1-row per-dim whitening stats
         "hybrid_rrf_search",     # bm25 1-row stats + broadcast query vec
+        "ann_recall_audit",      # brute-force + IVF legs, broadcast q/cen
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
