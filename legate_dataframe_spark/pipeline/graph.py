@@ -133,13 +133,22 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    # carry v's DEGREE through the oriented edge: the wedge pair and the
+    # closing edge must order endpoints by the SAME (degree, id) total
+    # order the orientation uses — ordering the wedge by bare node id
+    # silently dropped every triangle whose id order disagreed with the
+    # degree order (found by the hypothesis brute-force sweep)
     orient = tracked_persist(
         und.join(da, "a").join(db, "b")
         .select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v")))
-    e1 = orient.select(F.col("u"), F.col("v").alias("v1"))
-    e2 = orient.select(F.col("u"), F.col("v").alias("v2"))
-    wedges = e1.join(e2, "u").filter(F.col("v1") < F.col("v2"))
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+                F.when(a_first, F.col("db")).otherwise(F.col("da"))
+                .alias("dv")))
+    e1 = orient.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = orient.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
     closing = orient.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
     tri = wedges.join(closing, ["v1", "v2"])
     corners = (tri.select(F.col("u").alias("node"))

@@ -2956,14 +2956,17 @@ orient AS (
   SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
               THEN und.a ELSE und.b END AS u,
          CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
-              THEN und.b ELSE und.a END AS v
+              THEN und.b ELSE und.a END AS v,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+              THEN db.d ELSE da.d END AS dv
   FROM und
   JOIN deg da ON da.n = und.a
   JOIN deg db ON db.n = und.b),
 tri AS (
   SELECT e1.u, e1.v AS v1, e2.v AS v2
   FROM orient e1
-  JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN orient e2 ON e1.u = e2.u
+   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
   JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v)
 SELECT node, count(*) AS n_triangles
 FROM (SELECT u AS node FROM tri
