@@ -27,6 +27,7 @@ DuckDB oracle is a plain count/HAVING.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -50,8 +51,17 @@ def heavy_hitters(
     """
     if not 0 < min_share <= 1:
         raise ValueError(f"min_share must be in (0, 1], got {min_share}")
+    floor_counters = math.ceil(1 / min_share)
     if n_counters is None:
         n_counters = int(2 / min_share) + 1
+    elif n_counters < floor_counters:
+        # Below ceil(1/min_share) the pigeonhole guarantee no longer
+        # covers the decision threshold — true heavy hitters could be
+        # silently dropped (false negatives), voiding the EXACT
+        # contract this function documents.
+        raise ValueError(
+            f"n_counters={n_counters} < ceil(1/min_share)={floor_counters}: "
+            "the Misra–Gries guarantee would not cover the threshold")
 
     from legate_dataframe_spark.pipeline.custom import arrow_task
 

@@ -2049,16 +2049,29 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["event_id", "user_id", "event_type", "value"]
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
-        aggs += [
-            F.count(c).alias(f"{c}__nn"),
-            F.count_distinct(c).alias(f"{c}__nd"),
-            F.min(F.round(F.col(c).cast("double"), 4)
-                  if c == "value" else F.col(c))
-            .cast("string").alias(f"{c}__mn"),
-            F.max(F.round(F.col(c).cast("double"), 4)
-                  if c == "value" else F.col(c))
-            .cast("string").alias(f"{c}__mx"),
-        ]
+        # doubles: fixed-decimal %.4f formatting AFTER the min/max —
+        # a bare CAST(double AS string) is engine-default rendering
+        # (Spark goes scientific for |x|<1e-3 or >=1e7, DuckDB stays
+        # plain decimal), which would silently break parity if the
+        # value range ever drifts
+        if c == "value":
+            aggs += [
+                F.count(c).alias(f"{c}__nn"),
+                F.count_distinct(c).alias(f"{c}__nd"),
+                F.format_string(
+                    "%.4f", F.min(F.round(F.col(c).cast("double"), 4)))
+                .alias(f"{c}__mn"),
+                F.format_string(
+                    "%.4f", F.max(F.round(F.col(c).cast("double"), 4)))
+                .alias(f"{c}__mx"),
+            ]
+        else:
+            aggs += [
+                F.count(c).alias(f"{c}__nn"),
+                F.count_distinct(c).alias(f"{c}__nd"),
+                F.min(c).cast("string").alias(f"{c}__mn"),
+                F.max(c).cast("string").alias(f"{c}__mx"),
+            ]
     wide = e.groupBy().agg(*aggs)
     per_col = [
         wide.select(F.lit(c).alias("column"), "n_rows",
@@ -2088,8 +2101,8 @@ WITH w AS (
          CAST(min(event_type) AS VARCHAR) AS c_mn,
          CAST(max(event_type) AS VARCHAR) AS c_mx,
          count(value) AS d_nn, count(DISTINCT value) AS d_nd,
-         CAST(min(round(value, 4)) AS VARCHAR) AS d_mn,
-         CAST(max(round(value, 4)) AS VARCHAR) AS d_mx
+         printf('%.4f', min(round(value, 4))) AS d_mn,
+         printf('%.4f', max(round(value, 4))) AS d_mx
   FROM events)
 SELECT 'event_id' AS "column", n_rows, n_rows - a_nn AS n_nulls,
        a_nd AS n_distinct, a_mn AS min_val, a_mx AS max_val FROM w

@@ -164,8 +164,17 @@ def compact_parquet_dir(
     import glob as _glob
     import os as _os
 
-    files = (_glob.glob(_os.path.join(src, "*.parquet"))
-             or _glob.glob(_os.path.join(src, "part-*")))
+    # walk the whole tree: a hive-partitioned source keeps its data
+    # files under key=value subdirectories, where a top-level glob
+    # matches nothing and would silently size the rewrite at 0 bytes
+    # (collapsing the table into a single file)
+    files = (_glob.glob(_os.path.join(src, "**", "*.parquet"),
+                        recursive=True)
+             or _glob.glob(_os.path.join(src, "**", "part-*"),
+                           recursive=True))
+    files = [f for f in files if _os.path.isfile(f)]
+    if not files:
+        raise ValueError(f"no parquet data files found under {src!r}")
     total = sum(_os.path.getsize(f) for f in files)
     n_files = max(1, round(total / (target_mb * (1 << 20))))
     df = spark.read.parquet(src)

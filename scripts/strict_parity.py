@@ -83,6 +83,12 @@ def check(name: str, spark, con, sf_dir: str) -> list[str]:
             issues.append(f"dtype[{c}]: spark={st} oracle={ot}")
         if pa.types.is_decimal(ot):
             issues.append(f"ORACLE DECIMAL[{c}]: {ot} — cast the SQL!")
+    # order-insensitive VALUE comparison (the docstring's promise):
+    # reuse the pytest harness's normalize+sort+cell-compare on pandas
+    # frames materialized from the same Arrow tables
+    if not issues:
+        from tests.oracle_harness import compare
+        issues += compare(s_tab.to_pandas(), o_tab.to_pandas())
     print(f"  {name}: {s_tab.num_rows} rows in {dt:.1f}s"
           + (f"  !! {issues}" if issues else "  ok"))
     return issues

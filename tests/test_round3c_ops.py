@@ -84,12 +84,25 @@ def test_heavy_hitters_exact_vs_naive(spark):
              .repartition(16))
     got = {(r["item"], r["n_occurrences"])
            for r in heavy_hitters(items, "item", min_share=0.05,
-                                  n_counters=8).collect()}
+                                  n_counters=20).collect()}
     total = items.count()
     exact = {(r["item"], r["n"])
              for r in items.groupBy("item").agg(SF.count("*").alias("n"))
              .filter(SF.col("n") >= total * 0.05).collect()}
     assert got == exact and got
+
+
+def test_heavy_hitters_rejects_unsafe_n_counters(spark):
+    # n_counters below ceil(1/min_share) voids the no-false-negative
+    # guarantee — must refuse, not silently drop heavy hitters
+    import pytest
+
+    from legate_dataframe_spark.pipeline.frequency import heavy_hitters
+
+    items = spark.range(0, 10).select(F.col("id").cast("string")
+                                      .alias("item"))
+    with pytest.raises(ValueError, match="ceil"):
+        heavy_hitters(items, "item", min_share=0.05, n_counters=8)
 
 
 def test_heavy_hitters_all_below_threshold(spark):
@@ -253,6 +266,38 @@ def test_compact_parquet_dir(spark, tmp_path):
     if len(ranges) > 1:
         assert all(ranges[i][1] <= ranges[i + 1][0]
                    for i in range(len(ranges) - 1))
+
+
+def test_compact_parquet_dir_hive_partitioned(spark, tmp_path):
+    """Hive-partitioned source: data files live under key=value
+    subdirs, so sizing must walk the tree (a top-level glob sees
+    nothing and would collapse the table into one file)."""
+    import glob
+
+    import pytest
+
+    from legate_dataframe_spark.sources.parquet import compact_parquet_dir
+
+    src, dst = str(tmp_path / "hsrc"), str(tmp_path / "hdst")
+    for i in range(8):
+        (spark.range(i * 4000, (i + 1) * 4000)
+         .withColumn("part_key", F.col("id") % 4)
+         .withColumn("pad", F.sha2(F.col("id").cast("string"), 256))
+         .write.mode("append").partitionBy("part_key").parquet(src))
+    assert not glob.glob(f"{src}/*.parquet")  # files only under part_key=*
+
+    n_out = compact_parquet_dir(spark, src, dst, target_mb=1)
+    # byte-derived count from the real (nested) files, not the n=1
+    # fallback of an empty listing
+    total_mb = sum(
+        __import__("os").path.getsize(f)
+        for f in glob.glob(f"{src}/**/*.parquet", recursive=True)
+    ) / (1 << 20)
+    assert n_out == max(1, round(total_mb))
+    assert spark.read.parquet(dst).count() == 32_000
+
+    with pytest.raises(ValueError, match="no parquet data files"):
+        compact_parquet_dir(spark, str(tmp_path / "empty"), dst)
 
 
 def test_leakage_free_split_no_straddling_clusters(spark, sf_dir):
