@@ -29,14 +29,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # are rotated to the back (their in-repo sf0.001 oracle-parity tests guard
 # against regressions meanwhile).
 #
-# r03 note: the front block is AT the ~50-entry budget (50 unverified
-# entries).  Round 4 MUST rotate every r03-green entry to the back before
-# adding new queries, exactly as was done after r01 and r02 — AND must
-# front-load the r03-tail block (bloom_decontaminate … ann_recall_audit,
-# 14 entries at the very end of this dict) which has never had a driver row.
+# r04 note: CORRECTNESS_r03 verified the first 49 entries green — they are
+# rotated behind.  The r03 tail block (bloom_decontaminate … ann_recall_audit,
+# 13 entries added after the front block filled) had never been driver-checked
+# and now leads, followed by the round-4 new queries.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-3 new or previously-red: front-loaded -----------------------
-    # r02 red rows (oracle HUGEINT cast bug, fixed): must re-verify
+    # ---- r03 tail, never driver-checked: front-loaded ----------------------
+    "bloom_decontaminate": (pq.bloom_decontaminate,
+                            pq.BLOOM_DECONTAMINATE_SQL),
+    "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
+    "scd2_intervals": (r.scd2_intervals, r.SCD2_INTERVALS_SQL),
+    "heavy_hitter_tokens": (pq.heavy_hitter_tokens,
+                            pq.HEAVY_HITTER_TOKENS_SQL),
+    "bpe_merges": (pq.bpe_merges, pq.BPE_MERGES_SQL),
+    "bpe_encode_stats": (pq.bpe_encode_stats, pq.BPE_ENCODE_STATS_SQL),
+    "equidepth_histogram": (r.equidepth_histogram,
+                            r.EQUIDEPTH_HISTOGRAM_SQL),
+    "profile_table": (r.profile_table, r.PROFILE_TABLE_SQL),
+    "embedding_standardize": (pq.embedding_standardize,
+                              pq.EMBEDDING_STANDARDIZE_SQL),
+    "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
+    "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
+    "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
+    "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
+    # ---- round-4 new queries ----------------------------------------------
+    # ---- driver-verified green in CORRECTNESS_r03.json: rotated back -------
     "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
     # previously rows-only; now emits (exact values, bounded-error booleans)
@@ -207,25 +224,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
     "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
-    # ---- round-3 tail (added after the front block filled): never
-    # driver-checked yet — MUST rotate into the r04 front block --------------
-    "bloom_decontaminate": (pq.bloom_decontaminate,
-                            pq.BLOOM_DECONTAMINATE_SQL),
-    "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
-    "scd2_intervals": (r.scd2_intervals, r.SCD2_INTERVALS_SQL),
-    "heavy_hitter_tokens": (pq.heavy_hitter_tokens,
-                            pq.HEAVY_HITTER_TOKENS_SQL),
-    "bpe_merges": (pq.bpe_merges, pq.BPE_MERGES_SQL),
-    "bpe_encode_stats": (pq.bpe_encode_stats, pq.BPE_ENCODE_STATS_SQL),
-    "equidepth_histogram": (r.equidepth_histogram,
-                            r.EQUIDEPTH_HISTOGRAM_SQL),
-    "profile_table": (r.profile_table, r.PROFILE_TABLE_SQL),
-    "embedding_standardize": (pq.embedding_standardize,
-                              pq.EMBEDDING_STANDARDIZE_SQL),
-    "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
-    "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
-    "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
-    "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:
