@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from legate_dataframe_spark.core.caching import release_caches
 from legate_dataframe_spark.plans import pipeline_queries as pq
 from legate_dataframe_spark.plans import relational as r
+from legate_dataframe_spark.plans import round4 as r4
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -53,6 +54,18 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
     "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
     # ---- round-4 new queries ----------------------------------------------
+    "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
+    "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),
+    "mode_per_group": (r4.mode_per_group, r4.MODE_PER_GROUP_SQL),
+    "filtered_aggs": (r4.filtered_aggs, r4.FILTERED_AGGS_SQL),
+    "skyline_orders": (r4.skyline_orders, r4.SKYLINE_ORDERS_SQL),
+    "sequence_gaps": (r4.sequence_gaps, r4.SEQUENCE_GAPS_SQL),
+    "time_decay_revenue": (r4.time_decay_revenue, r4.TIME_DECAY_REVENUE_SQL),
+    "string_functions2": (r4.string_functions2, r4.STRING_FUNCTIONS2_SQL),
+    "date_functions": (r4.date_functions, r4.DATE_FUNCTIONS_SQL),
+    "array_functions": (r4.array_functions, r4.ARRAY_FUNCTIONS_SQL),
+    "regexp_extract_numbers": (r4.regexp_extract_numbers,
+                               r4.REGEXP_EXTRACT_NUMBERS_SQL),
     # ---- driver-verified green in CORRECTNESS_r03.json: rotated back -------
     "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),

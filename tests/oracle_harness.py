@@ -25,7 +25,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            s = pd.to_datetime(df[c])
+            if getattr(s.dt, "tz", None) is not None:
+                # Spark toArrow() yields tz-aware (session-tz) stamps;
+                # the naive oracle values are the same UTC instants
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
         elif pd.api.types.is_integer_dtype(df[c]) or pd.api.types.is_bool_dtype(df[c]):

@@ -156,6 +156,7 @@ def test_no_cartesian_anywhere(spark, sf_dir):
                                  # min/max stats (quantizer)
         "psi_drift",             # vs 1-row global min/max bin edges
         "pagerank_users",        # vs 1-row node-count aggregate
+        "time_decay_revenue",    # vs 1-row corpus-max-date aggregate
         "cluster_label_purity",  # corpus × broadcast centroids (assign)
         "bloom_decontaminate",   # vs 1-row broadcast Bloom bitmap
         "heavy_hitter_tokens",   # vs 1-row total-token-count aggregate
