@@ -97,3 +97,40 @@ def keep_canonical(
     losers = comp.filter(F.col("node") != F.col("component")) \
                  .select(F.col("node").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+def canonical_by_policy(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Cluster-survivor selection under a QUALITY policy instead of
+    keep_canonical's keep-lowest-id: per near-dup cluster keep the
+    member with the highest ``score_col`` (id asc tiebreak).  This is
+    the survivor rule production dedup pipelines actually want — the
+    kept copy should be the best one, not an arbitrary one.
+
+    Returns one row per multi-member cluster: (cluster_id,
+    survivor_id, survivor_<score>, n_members).  Scale shape: the
+    cluster table is pair-derived (≪ corpus), the docs join fetches
+    scores for clustered ids only, and the survivor window partitions
+    by cluster id — nothing corpus-sized rides a single partition.
+    """
+    from pyspark.sql import Window as W
+
+    comp = connected_components(pairs, *pair_cols)
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(score_col)), "node")
+    w = W.partitionBy("component").orderBy(F.col(score_col).desc(),
+                                           F.col("node"))
+    return (scored
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n_members",
+                        F.count(F.lit(1)).over(W.partitionBy("component")))
+            .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+            .select(F.col("component").alias("cluster_id"),
+                    F.col("node").alias("survivor_id"),
+                    F.col(score_col).alias(f"survivor_{score_col}"),
+                    F.col("n_members").cast("long").alias("n_members")))

@@ -155,3 +155,96 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                .unionAll(tri.select(F.col("v1").alias("node")))
                .unionAll(tri.select(F.col("v2").alias("node"))))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def undirected(edges: DataFrame) -> DataFrame:
+    """Symmetrize a directed edge list: each {u,v} appears as both
+    (u,v) and (v,u), self-loops dropped, duplicates collapsed."""
+    sym = (edges.select("src", "dst")
+           .union(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))))
+    return sym.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def min_label_propagation(edges: DataFrame, n_rounds: int = 3) -> DataFrame:
+    """Synchronous min-label propagation over the undirected graph:
+    every node starts labeled with its own id; each round it adopts
+    min(own label, neighbors' labels).  After k rounds each label has
+    travelled ≤ k hops — a fixed-iteration community/component signal
+    whose result is exact and engine-portable (ties are impossible:
+    labels are ids), so a SQL oracle unrolls the same rounds.
+
+    Scale: one edges⋈labels equi-join + one groupBy(dst) per round —
+    O(E) rows keyed by node id, the textbook Pregel step.  Each round
+    checkpoints (node-sized) so lineage stays linear.
+    """
+    from legate_dataframe_spark.core.caching import tracked_persist
+
+    sym = tracked_persist(undirected(edges))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("lab")))
+    for _ in range(n_rounds):
+        msg = (sym.join(labels.select(F.col("node").alias("src"), "lab"),
+                        "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("lab").alias("nbr_min")))
+        labels = (labels.join(msg, "node", "left")
+                  .select("node",
+                          F.least("lab", "nbr_min").alias("lab")))
+        labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def bfs_hops(edges: DataFrame, sources: DataFrame,
+             max_hops: int = 3) -> DataFrame:
+    """Multi-source BFS hop distance (≤ max_hops) over the undirected
+    graph via max_hops rounds of Bellman-Ford relaxation:
+    d'(v) = min(d(v), min_{u~v} d(u) + 1), d0 = 0 on sources.
+    Unreachable-within-k nodes drop from the output.  Same per-round
+    join+agg scale shape (and checkpoint discipline) as
+    min_label_propagation."""
+    from legate_dataframe_spark.core.caching import tracked_persist
+
+    sym = tracked_persist(undirected(edges))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    dist = (nodes.join(sources.select(F.col("node"),
+                                      F.lit(0).cast("long").alias("d0")),
+                       "node", "left")
+            .select("node", F.col("d0").alias("d")))
+    for _ in range(max_hops):
+        msg = (sym.join(dist.select(F.col("node").alias("src"), "d"), "src")
+               .filter(F.col("d").isNotNull())
+               .groupBy(F.col("dst").alias("node"))
+               .agg((F.min("d") + 1).alias("nd")))
+        dist = (dist.join(msg, "node", "left")
+                .select("node", F.least("d", "nd").alias("d")))
+        dist = dist.localCheckpoint(eager=True)
+    return (dist.filter(F.col("d").isNotNull())
+            .select("node", F.col("d").alias("hops")))
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, n_rounds: int = 3) -> DataFrame:
+    """k-core peeling, ``n_rounds`` synchronous rounds: repeatedly
+    drop nodes whose degree among SURVIVORS is < k.  The fixed-round
+    result (a superset of the true k-core that the oracle reproduces
+    exactly) converges to the k-core as rounds grow; each round is a
+    semi-join edge restriction + degree count — O(E) shuffle rows,
+    nothing quadratic.  Returns survivors with their final
+    restricted degree."""
+    from legate_dataframe_spark.core.caching import tracked_persist
+
+    sym = tracked_persist(undirected(edges))
+    alive = sym.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(n_rounds):
+        live_edges = (sym
+                      .join(alive.select(F.col("node").alias("src")), "src",
+                            "left_semi")
+                      .join(alive.select(F.col("node").alias("dst")), "dst",
+                            "left_semi"))
+        deg = (live_edges.groupBy(F.col("src").alias("node"))
+               .agg(F.count(F.lit(1)).alias("degree")))
+        alive = (deg.filter(F.col("degree") >= k).select("node")
+                 .localCheckpoint(eager=True))
+    return (deg.join(alive, "node", "left_semi")
+            .select("node", "degree"))

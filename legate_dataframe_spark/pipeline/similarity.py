@@ -739,3 +739,152 @@ def standardize_embeddings(
                         lambda acc, x: acc + x * x)), 4).alias("std_norm"),
                     F.round(F.array_max(F.transform(std, F.abs)), 4)
                     .alias("max_absdev")))
+
+
+def binary_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    keep_vec: bool = True,
+) -> DataFrame:
+    """Binary (sign-bit) quantization: dim floats → ceil(dim/32)
+    BIGINT words, bit i of word w set iff component (32w + i) > 0.
+
+    32 bits per word (not 64) so no engine touches the sign bit —
+    shift semantics at bit 63 differ across engines and overflow
+    UBSan-style; 2×32 keeps every word positive and portable.  A 64×
+    compression: the Hamming scan reads 16 bytes/vector instead of
+    256 — the cheap first pass of a two-stage (shortlist → exact
+    rerank) search.
+    """
+    words = []
+    for w_i, base in enumerate(range(0, dim, 32)):
+        n = min(32, dim - base)
+        words.append(F.expr(
+            f"aggregate(sequence(0, {n - 1}), 0L, (a, i) -> "
+            f"a + IF(element_at({vec_col}, i + {base + 1}) > 0, "
+            f"shiftleft(1L, i), 0L))").alias(f"w{w_i}"))
+    cols = [F.col(id_col)] + ([F.col(vec_col)] if keep_vec else [])
+    return emb.select(*cols, *words)
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: int = 100,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary search: Hamming distance over sign-bit codes
+    shortlists `shortlist` candidates per query (bit_count(xor) on 2
+    BIGINTs — pure codegen'd integer ops over the 64×-compressed
+    codes), then exact cosine reranks the shortlist only.
+
+    Scale shape: queries broadcast; the corpus scan reads only
+    (id, w0, w1) — the float vectors are joined back for the
+    shortlist-sized survivor set alone, so the full-precision data
+    never rides the scan or the shuffle.
+    """
+    n_words = (dim + 31) // 32
+    cq = binary_quantize(widen_partitions(corpus), id_col, vec_col, dim,
+                         keep_vec=False)
+    c = cq.select(F.col(id_col).alias("c_id"),
+                  *[F.col(f"w{i}").alias(f"cw{i}") for i in range(n_words)])
+    q = (binary_quantize(queries, id_col, vec_col, dim, keep_vec=False)
+         .select(F.col(id_col).alias("q_id"),
+                 *[F.col(f"w{i}").alias(f"qw{i}") for i in range(n_words)]))
+    ham = None
+    for i in range(n_words):
+        t = F.bit_count(F.col(f"cw{i}").bitwiseXOR(F.col(f"qw{i}")))
+        ham = t if ham is None else ham + t
+    cand = (c.crossJoin(F.broadcast(q))
+            .filter(F.col("c_id") != F.col("q_id"))
+            .select("q_id", "c_id", ham.cast("long").alias("hamming")))
+    w = W.partitionBy("q_id").orderBy("hamming", "c_id")
+    short = (cand.withColumn("hrank", F.row_number().over(w))
+             .filter(F.col("hrank") <= shortlist)
+             .select("q_id", "c_id", "hamming"))
+    # fetch float vectors for shortlist rows only (AQE broadcasts the
+    # shortlist side of both joins)
+    cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    scored = (short.join(cv, "c_id").join(F.broadcast(qv), "q_id")
+              .select("q_id", "c_id", "hamming",
+                      F.round(cosine(F.col("cv"), F.col("qv")), 6)
+                      .alias("cos_sim")))
+    return _per_query_topk(scored, "cos_sim", k)
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style two-stage search: cosine over the FIRST
+    `prefix_dim` dims shortlists candidates (4× less arithmetic and
+    IO when the prefix is materialized), exact full-dim cosine
+    reranks.  Same fetch-vectors-for-survivors-only scale shape as
+    hamming_rerank_topk."""
+    pre = lambda c: F.slice(c, 1, prefix_dim)  # noqa: E731
+    c = (widen_partitions(corpus)
+         .select(F.col(id_col).alias("c_id"),
+                 pre(F.col(vec_col)).alias("c_pre")))
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       pre(F.col(vec_col)).alias("q_pre"))
+    stage1 = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("c_id") != F.col("q_id"))
+              .select("q_id", "c_id",
+                      F.round(cosine(F.col("c_pre"), F.col("q_pre")), 6)
+                      .alias("pre_sim")))
+    w = W.partitionBy("q_id").orderBy(F.col("pre_sim").desc(), "c_id")
+    short = (stage1.withColumn("prank", F.row_number().over(w))
+             .filter(F.col("prank") <= shortlist)
+             .select("q_id", "c_id", "pre_sim"))
+    cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("qv"))
+    scored = (short.join(cv, "c_id").join(F.broadcast(qv), "q_id")
+              .select("q_id", "c_id", "pre_sim",
+                      F.round(cosine(F.col("cv"), F.col("qv")), 6)
+                      .alias("cos_sim")))
+    return _per_query_topk(scored, "cos_sim", k)
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding corpus
+    (labels ride the corpus).  Composition: brute-force top-k (query
+    side broadcast, corpus never shuffles) → label join for the
+    k·|Q| winner rows only → per-query majority with a
+    (votes desc, label asc) deterministic tiebreak."""
+    top = brute_force_topk(corpus, queries, k=k, id_col=id_col,
+                           vec_col=vec_col)
+    labels = corpus.select(F.col(id_col).alias("c_id"),
+                           F.col(label_col).cast("long").alias("nbr_label"))
+    votes = (top.join(labels, "c_id")
+             .groupBy("q_id", "nbr_label")
+             .agg(F.count(F.lit(1)).alias("votes"),
+                  F.round(F.avg("cos_sim"), 6).alias("mean_sim")))
+    w = W.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("nbr_label"))
+    pred = (votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("q_id", F.col("nbr_label").alias("pred_label"),
+                    "votes", "mean_sim"))
+    truth = queries.select(F.col(id_col).alias("q_id"),
+                           F.col(label_col).cast("long").alias("true_label"))
+    return (pred.join(F.broadcast(truth), "q_id")
+            .select("q_id", "true_label", "pred_label", "votes", "mean_sim",
+                    (F.col("pred_label") == F.col("true_label"))
+                    .alias("correct")))

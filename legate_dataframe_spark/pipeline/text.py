@@ -596,3 +596,92 @@ def char_entropy_stats(
                  F.round(F.sum(F.when(~F.col("ch").rlike("^[A-Za-z]$"),
                                       F.col("c")).otherwise(0))
                          / F.max("n"), 6).alias("non_alpha_ratio")))
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word-boundary blocklist matching (safety/compliance filtering):
+    per-doc hit count + first matching term.  ONE compiled alternation
+    regex per row — a JVM codegen'd narrow map, not |terms| passes;
+    for blocklists beyond regex-alternation size, switch to the
+    token-explode + broadcast-semi-join shape (isin_filter's plan).
+    """
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    t = F.lower(F.col(text_col))
+    return (docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(pat)).cast("long").alias("n_hits"),
+        F.regexp_extract(t, pat, 1).alias("first_hit"))
+        .filter(F.col("n_hits") > 0))
+
+
+def readability(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch-style reading-ease signal from regexp counts: words,
+    vowel-group syllable estimate, chars-per-word.  The corpus
+    fixture has no sentence punctuation, so the whole document is
+    treated as one sentence (documented degeneracy — the sentence
+    term drops out of comparisons but the formula stays standard).
+    Pure narrow map."""
+    t = F.lower(F.col(text_col))
+    words = F.regexp_count(t, F.lit(r"\S+")).cast("long")
+    syll = F.regexp_count(t, F.lit(r"[aeiouy]+")).cast("long")
+    # exact-integer numerator/denominator: 206.835 - 1.015w - 84.6 s/w
+    # = (206835w - 1015w² - 84600s) / (1000w).  Both engines then
+    # divide the SAME two integers — bit-identical double, so the
+    # 4-decimal round can't flap on a half-ulp boundary (the float
+    # formula did: 50.0988 vs 50.0987 in testing).
+    numer = (F.lit(206835) * words - F.lit(1015) * words * words
+             - F.lit(84600) * syll)
+    return docs.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        syll.alias("n_syllables"),
+        F.when(words > 0, F.round(
+            numer.cast("double") / (words * 1000).cast("double"), 4))
+        .otherwise(F.lit(None).cast("double")).alias("flesch"),
+        F.when(words > 0,
+               F.round(F.length(t) / words, 4)).alias("chars_per_word"))
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 20,
+    max_df: int = 80,
+    max_postings: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mid-frequency inverted postings: term → document frequency +
+    the first ``max_postings`` doc ids (sorted).  The df band drops
+    stopword-like terms BEFORE the posting lists materialize — an
+    uncapped stopword posting list is corpus-sized and would blow the
+    per-group state at scale; the cap bounds the rest.  Postings
+    render as a comma string (scalar-hash convention)."""
+    from legate_dataframe_spark.core.caching import tracked_persist
+
+    pairs = tracked_persist(
+        docs.select(F.col(id_col).alias("did"),
+                    F.explode(F.array_distinct(
+                        tokens(F.lower(F.col(text_col)))))
+                    .alias("term"))
+        .distinct())
+    # df first, band-filter, THEN collect postings for surviving terms
+    # only — collecting before filtering would materialize corpus-sized
+    # stopword posting lists in the aggregation state
+    keep = (pairs.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter((F.col("df") >= min_df) & (F.col("df") <= max_df)))
+    return (pairs.join(F.broadcast(keep), "term")
+            .groupBy("term", "df")
+            .agg(F.concat_ws(",", F.slice(
+                F.sort_array(F.collect_list("did")), 1, max_postings)
+                .cast("array<string>")).alias("postings"))
+            .select("term", "df", "postings"))

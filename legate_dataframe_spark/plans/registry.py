@@ -66,6 +66,27 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "array_functions": (r4.array_functions, r4.ARRAY_FUNCTIONS_SQL),
     "regexp_extract_numbers": (r4.regexp_extract_numbers,
                                r4.REGEXP_EXTRACT_NUMBERS_SQL),
+    "binary_hamming_search": (r4.binary_hamming_search,
+                              r4.BINARY_HAMMING_SEARCH_SQL),
+    "matryoshka_search": (r4.matryoshka_search, r4.MATRYOSHKA_SEARCH_SQL),
+    "knn_classify": (r4.knn_classify_q, r4.KNN_CLASSIFY_SQL),
+    "minhash_precision_audit": (r4.minhash_precision_audit,
+                                r4.MINHASH_PRECISION_AUDIT_SQL),
+    "label_propagation": (r4.label_propagation, r4.LABEL_PROPAGATION_SQL),
+    "bfs_hops": (r4.bfs_hops_q, r4.BFS_HOPS_SQL),
+    "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
+    "canonical_best_quality": (r4.canonical_best_quality,
+                               r4.CANONICAL_BEST_QUALITY_SQL),
+    "blocklist_filter": (r4.blocklist_filter, r4.BLOCKLIST_FILTER_SQL),
+    "readability_scores": (r4.readability_scores,
+                           r4.READABILITY_SCORES_SQL),
+    "inverted_postings": (r4.inverted_postings, r4.INVERTED_POSTINGS_SQL),
+    "rolling_zscore": (r4.rolling_zscore, r4.ROLLING_ZSCORE_SQL),
+    "quantile_normalize": (r4.quantile_normalize,
+                           r4.QUANTILE_NORMALIZE_SQL),
+    "stream_late_drop": (r4.stream_late_drop, r4.STREAM_LATE_DROP_SQL),
+    "parquet_schema_merge": (r4.parquet_schema_merge,
+                             r4.PARQUET_SCHEMA_MERGE_SQL),
     # ---- driver-verified green in CORRECTNESS_r03.json: rotated back -------
     "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),

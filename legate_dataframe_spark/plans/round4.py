@@ -452,3 +452,600 @@ SELECT doc_id,
                                                              AS max_len
 FROM t
 """
+
+
+# =================================================================== ANN
+# Binary sign-bit quantization + Hamming shortlist + exact rerank —
+# the 64×-compressed first pass (16 bytes/vector) that makes a
+# 100 TB-corpus prefilter IO-bound on codes, not floats.
+def binary_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0)
+    return similarity.hamming_rerank_topk(e, q, shortlist=100, k=10)
+
+
+BINARY_HAMMING_SEARCH_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+w AS (
+  SELECT vec_id, ev,
+         CAST(list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN ev[i + 1] > 0 THEN (1::BIGINT << i)
+                  ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+         CAST(list_sum(list_transform(range(0, 32), i ->
+             CASE WHEN ev[i + 33] > 0 THEN (1::BIGINT << i)
+                  ELSE 0::BIGINT END)) AS BIGINT) AS w1
+  FROM v),
+q AS (SELECT vec_id AS q_id, ev AS qv, w0 AS qw0, w1 AS qw1
+      FROM w WHERE vec_id % 100 = 0),
+h AS (SELECT q_id, vec_id AS c_id,
+             bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS hamming,
+             ev, qv
+      FROM w, q WHERE vec_id != q_id),
+s AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, c_id) AS hrank
+      FROM h),
+r AS (SELECT q_id, c_id, CAST(hamming AS BIGINT) AS hamming,
+             round(list_cosine_similarity(ev, qv), 6) AS cos_sim
+      FROM s WHERE hrank <= 100)
+SELECT q_id, c_id, hamming, cos_sim,
+       CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rank
+FROM r QUALIFY rank <= 10
+"""
+
+
+# Matryoshka truncated-prefix shortlist → full-dim exact rerank.
+def matryoshka_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    return similarity.matryoshka_topk(e, q, prefix_dim=16, shortlist=50,
+                                      k=10)
+
+
+MATRYOSHKA_SEARCH_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+                  (embedding::DOUBLE[])[1:16] AS pv
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, ev AS qv, pv AS qp FROM v
+      WHERE vec_id % 50 = 0),
+s AS (SELECT q_id, vec_id AS c_id,
+             round(list_cosine_similarity(pv, qp), 6) AS pre_sim, ev, qv
+      FROM v, q WHERE vec_id != q_id),
+sh AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                    ORDER BY pre_sim DESC, c_id) AS prank
+       FROM s),
+r AS (SELECT q_id, c_id, pre_sim,
+             round(list_cosine_similarity(ev, qv), 6) AS cos_sim
+      FROM sh WHERE prank <= 50)
+SELECT q_id, c_id, pre_sim, cos_sim,
+       CAST(row_number() OVER (PARTITION BY q_id
+                               ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rank
+FROM r QUALIFY rank <= 10
+"""
+
+
+# k-NN majority-vote classification (labels ride the corpus) — the
+# standard embedding-quality probe over a labeled corpus.
+def knn_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    return similarity.knn_classify(e, q, k=10)
+
+
+KNN_CLASSIFY_SQL = """
+WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv, label
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
+             CAST(label AS BIGINT) AS tl
+      FROM embeddings WHERE vec_id % 25 = 0),
+s AS (SELECT q_id, c_id, label,
+             round(list_cosine_similarity(cv, qv), 6) AS cos_sim
+      FROM c, q WHERE c_id != q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos_sim DESC, c_id) AS rank
+      FROM s),
+votes AS (SELECT q_id, CAST(label AS BIGINT) AS nbr_label,
+                 count(*) AS votes, round(avg(cos_sim), 6) AS mean_sim
+          FROM r WHERE rank <= 10 GROUP BY 1, 2),
+p AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY votes DESC, nbr_label) AS rn
+      FROM votes)
+SELECT p.q_id, q.tl AS true_label, p.nbr_label AS pred_label,
+       p.votes, p.mean_sim, p.nbr_label = q.tl AS correct
+FROM p JOIN q ON p.q_id = q.q_id WHERE p.rn = 1
+"""
+
+
+# LSH tuning signal: what fraction of the band-collision candidate
+# pairs survive the exact-Jaccard verify?  (The recall twin is
+# ann_recall_audit; this is the precision side — band/row settings
+# trade one against the other.)  Runs the SAME banded pipeline with
+# the verify threshold at 0 so every candidate is scored.
+def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4,
+                                   jaccard_threshold=0.0)
+    return cand.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count_if(F.col("jaccard") >= 0.5).alias("n_true"),
+        F.round(F.count_if(F.col("jaccard") >= 0.5)
+                / F.count(F.lit(1)), 6).alias("precision"))
+
+
+from legate_dataframe_spark.plans.pipeline_queries import _lsh_cand_ctes
+
+MINHASH_PRECISION_AUDIT_SQL = "WITH " + _lsh_cand_ctes() + """,
+v AS (
+  SELECT c.id_a, c.id_b,
+         list_distinct(a.sh) AS sa, list_distinct(b.sh) AS sb
+  FROM cand c JOIN shg a ON a.id = c.id_a JOIN shg b ON b.id = c.id_b),
+j AS (
+  SELECT round(len(list_intersect(sa, sb))
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jac
+  FROM v)
+SELECT count(*)                              AS n_candidates,
+       count(*) FILTER (jac >= 0.5)          AS n_true,
+       round(count(*) FILTER (jac >= 0.5) / count(*), 6) AS precision
+FROM j
+"""
+
+
+# ================================================================= graph
+# Shared oracle CTEs: succession edges (same construction as
+# PAGERANK_SQL) symmetrized to an undirected graph.
+_GRAPH_CTES = """ordered AS (
+  SELECT event_type, user_id, event_id,
+         lag(user_id) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS prev
+  FROM events),
+edges AS (
+  SELECT DISTINCT prev AS src, user_id AS dst FROM ordered
+  WHERE prev IS NOT NULL AND prev != user_id),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM sym)"""
+
+
+def _event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import graph
+
+    ev = load_table(spark, sf_dir, "events")
+    return graph.event_succession_edges(ev)
+
+
+# Fixed-round synchronous min-label propagation (community /
+# component signal); oracle unrolls the identical 3 rounds.
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import graph
+
+    return graph.min_label_propagation(_event_graph(spark, sf_dir),
+                                       n_rounds=3)
+
+
+LABEL_PROPAGATION_SQL = f"""
+WITH {_GRAPH_CTES},
+l0 AS (SELECT node, node AS lab FROM nodes),
+m1 AS (SELECT s.dst AS node, min(l.lab) AS nl
+       FROM sym s JOIN l0 l ON l.node = s.src GROUP BY s.dst),
+l1 AS (SELECT l0.node, least(l0.lab, m1.nl) AS lab
+       FROM l0 LEFT JOIN m1 USING (node)),
+m2 AS (SELECT s.dst AS node, min(l.lab) AS nl
+       FROM sym s JOIN l1 l ON l.node = s.src GROUP BY s.dst),
+l2 AS (SELECT l1.node, least(l1.lab, m2.nl) AS lab
+       FROM l1 LEFT JOIN m2 USING (node)),
+m3 AS (SELECT s.dst AS node, min(l.lab) AS nl
+       FROM sym s JOIN l2 l ON l.node = s.src GROUP BY s.dst),
+l3 AS (SELECT l2.node, least(l2.lab, m3.nl) AS lab
+       FROM l2 LEFT JOIN m3 USING (node))
+SELECT node, lab FROM l3
+"""
+
+
+# Multi-source BFS hop distances within 3 hops (Bellman-Ford
+# relaxation rounds); unreachable nodes drop out.
+def bfs_hops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import graph
+
+    edges = _event_graph(spark, sf_dir)
+    sym = graph.undirected(edges)
+    sources = (sym.select(F.col("src").alias("node")).distinct()
+               .filter(F.col("node") % 97 == 0))
+    return graph.bfs_hops(edges, sources, max_hops=3)
+
+
+BFS_HOPS_SQL = f"""
+WITH {_GRAPH_CTES},
+d0 AS (SELECT node,
+              CASE WHEN node % 97 = 0 THEN 0 ELSE NULL END AS d
+       FROM nodes),
+m1 AS (SELECT s.dst AS node, min(d.d + 1) AS nd
+       FROM sym s JOIN d0 d ON d.node = s.src
+       WHERE d.d IS NOT NULL GROUP BY s.dst),
+d1 AS (SELECT d0.node, least(d0.d, m1.nd) AS d
+       FROM d0 LEFT JOIN m1 USING (node)),
+m2 AS (SELECT s.dst AS node, min(d.d + 1) AS nd
+       FROM sym s JOIN d1 d ON d.node = s.src
+       WHERE d.d IS NOT NULL GROUP BY s.dst),
+d2 AS (SELECT d1.node, least(d1.d, m2.nd) AS d
+       FROM d1 LEFT JOIN m2 USING (node)),
+m3 AS (SELECT s.dst AS node, min(d.d + 1) AS nd
+       FROM sym s JOIN d2 d ON d.node = s.src
+       WHERE d.d IS NOT NULL GROUP BY s.dst),
+d3 AS (SELECT d2.node, least(d2.d, m3.nd) AS d
+       FROM d2 LEFT JOIN m3 USING (node))
+SELECT node, CAST(d AS BIGINT) AS hops FROM d3 WHERE d IS NOT NULL
+"""
+
+
+# Fixed-round k-core peeling: survivors + their degree restricted to
+# survivors, after 3 synchronous drop-below-k rounds.
+def kcore_peel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import graph
+
+    return graph.kcore_peel(_event_graph(spark, sf_dir), k=_KCORE_K,
+                            n_rounds=3)
+
+
+_KCORE_K = 74
+
+KCORE_PEEL_SQL_TEMPLATE = f"""
+WITH {_GRAPH_CTES},
+d1 AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),
+a1 AS (SELECT node FROM d1 WHERE degree >= {{k}}),
+e2 AS (SELECT s.src, s.dst FROM sym s
+       JOIN a1 x ON s.src = x.node JOIN a1 y ON s.dst = y.node),
+d2 AS (SELECT src AS node, count(*) AS degree FROM e2 GROUP BY 1),
+a2 AS (SELECT node FROM d2 WHERE degree >= {{k}}),
+e3 AS (SELECT s.src, s.dst FROM e2 s
+       JOIN a2 x ON s.src = x.node JOIN a2 y ON s.dst = y.node),
+d3 AS (SELECT src AS node, count(*) AS degree FROM e3 GROUP BY 1),
+a3 AS (SELECT node FROM d3 WHERE degree >= {{k}})
+SELECT d3.node, d3.degree FROM d3 JOIN a3 USING (node)
+"""
+
+KCORE_PEEL_SQL = KCORE_PEEL_SQL_TEMPLATE.format(k=_KCORE_K)
+
+
+# ========================================================= text pipeline
+# Cluster-survivor selection by QUALITY policy (vs keep-lowest-id):
+# per near-dup cluster keep the best-scoring member.  Oracle chains
+# the minhash-pair CTEs + recursive components + the quality formula.
+def canonical_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import dedup, text
+    from legate_dataframe_spark.pipeline.components import canonical_by_policy
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(d)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=16, bands=4,
+                                    jaccard_threshold=0.5)
+    return canonical_by_policy(scored, pairs.select("id_a", "id_b"),
+                               score_col="quality")
+
+
+# Word-boundary blocklist matching (safety filtering).
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import text
+
+    d = load_table(spark, sf_dir, "documents")
+    return text.blocklist_hits(d, ["spark", "vector", "merge"])
+
+
+BLOCKLIST_FILTER_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\b(spark|vector|merge)\b'))
+             AS n_hits,
+         regexp_extract(lower(text), '\b(spark|vector|merge)\b', 1)
+             AS first_hit
+  FROM documents)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits, first_hit
+FROM h WHERE n_hits > 0
+"""
+
+
+# Flesch-style readability from regexp counts (single-sentence corpus
+# degeneracy documented in pipeline/text.py::readability).
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import text
+
+    return text.readability(load_table(spark, sf_dir, "documents"))
+
+
+READABILITY_SCORES_SQL = r"""
+WITH c AS (
+  SELECT doc_id, lower(text) AS t,
+         len(regexp_extract_all(lower(text), '\S+'))      AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT)    AS n_words,
+       CAST(n_syll AS BIGINT)     AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         round(CAST(206835 * n_words - 1015 * n_words * n_words
+                    - 84600 * n_syll AS DOUBLE)
+               / CAST(1000 * n_words AS DOUBLE), 4) END AS flesch,
+       CASE WHEN n_words > 0 THEN
+         round(length(t) / CAST(n_words AS DOUBLE), 4) END AS chars_per_word
+FROM c
+"""
+
+
+# Mid-frequency inverted postings (df-banded, capped, df-before-
+# collect — pipeline/text.py::inverted_index).
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import text
+
+    d = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(d, min_df=100, max_df=400, max_postings=20)
+
+
+INVERTED_POSTINGS_SQL = r"""
+WITH p AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+             AS term
+  FROM documents),
+d AS (SELECT term, count(*) AS df FROM p GROUP BY 1
+      HAVING count(*) BETWEEN 100 AND 400)
+SELECT p.term, d.df,
+       array_to_string(list_sort(list(p.doc_id))[1:20], ',') AS postings
+FROM p JOIN d USING (term)
+GROUP BY p.term, d.df
+"""
+
+
+# Rolling z-score anomaly flags: trailing-20-event mean/std per user,
+# |z| >= 2 on the ROUNDED z so the cut is engine-deterministic.
+def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-20, -1))
+    scored = e.select(
+        "event_id", "user_id", "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("n_prev"))
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4)
+    return (scored.filter((F.col("n_prev") >= 10) & (F.col("sd") > 0))
+            .withColumn("z", z)
+            .filter(F.abs(F.col("z")) >= 2)
+            .select("event_id", "user_id", F.round("value", 4)
+                    .alias("value_r"), "z"))
+
+
+ROLLING_ZSCORE_SQL = """
+WITH s AS (
+  SELECT event_id, user_id, value,
+         avg(value)    OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(value)  OVER w AS n_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT event_id, user_id, round(value, 4) AS value_r,
+         round((value - mu) / sd, 4) AS z
+  FROM s WHERE n_prev >= 10 AND sd > 0)
+SELECT event_id, user_id, value_r, z FROM z WHERE abs(z) >= 2
+"""
+
+
+# Per-source quantile normalization of the quality score: rank-based
+# percent within source → global decile histogram (the cross-source
+# score-calibration step before mixing corpora).
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from legate_dataframe_spark.pipeline import text
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(d).select("doc_id", "source", "quality")
+    w = W.partitionBy("source").orderBy("quality", "doc_id")
+    dec = F.least(F.floor(F.percent_rank().over(w) * 10), F.lit(9))
+    # sum scaled-integer qualities (6dp-rounded → ×1e6 is integral),
+    # then ONE division of exact ints — the float avg() flapped a
+    # half-ulp at the 6th decimal between engines' summation orders
+    q_int = F.round(F.col("quality") * 1e6).cast("long")
+    return (scored.withColumn("decile", dec.cast("long"))
+            .groupBy("source", "decile")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(q_int).cast("double")
+                         / (F.count(F.lit(1)) * F.lit(1000000.0)), 6)
+                 .alias("mean_quality")))
+
+
+from legate_dataframe_spark.plans.pipeline_queries import (
+    QUALITY_SCORES_SQL as _QS_SQL,
+    _minhash_sql as _mh_sql,
+)
+
+CANONICAL_BEST_QUALITY_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_mh_sql()}) mh),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+q AS (SELECT * FROM ({_QS_SQL}) qq),
+m AS (SELECT comp.component, comp.node, q.quality
+      FROM comp JOIN q ON q.doc_id = comp.node),
+r AS (SELECT component, node, quality,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, node) AS rn,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM m)
+SELECT component AS cluster_id, node AS survivor_id,
+       quality AS survivor_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM r WHERE rn = 1 AND n_members >= 2
+"""
+
+QUANTILE_NORMALIZE_SQL = f"""
+WITH q AS (SELECT doc_id, quality FROM ({_QS_SQL}) qq),
+s AS (SELECT d.source, q.doc_id, q.quality
+      FROM q JOIN documents d USING (doc_id)),
+dec AS (
+  SELECT source, quality,
+         least(CAST(floor(percent_rank() OVER (
+             PARTITION BY source ORDER BY quality, doc_id) * 10) AS BIGINT),
+             9) AS decile
+  FROM s)
+SELECT source, decile, count(*) AS n_docs,
+       round(CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000.0), 6) AS mean_quality
+FROM dec GROUP BY source, decile
+"""
+
+
+# ============================================================ streaming
+def _stage_single_file(df: DataFrame, stage_dir: str, name: str,
+                       mtime: float) -> None:
+    """Write ``df`` as exactly ONE parquet file ``stage_dir/name`` with
+    a controlled mtime — Spark's FileStreamSource orders new files by
+    (modification time, path), so staged mtimes + maxFilesPerTrigger=1
+    give a DETERMINISTIC micro-batch sequence.  coalesce(1) is the
+    deliberate test-rig shape: each staged batch must be one file or
+    its rows would straddle triggers."""
+    import glob as _glob
+    import os
+    import shutil
+
+    tmp = f"{stage_dir}/_tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+    dst = f"{stage_dir}/{name}"
+    shutil.move(part, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.utime(dst, (mtime, mtime))
+
+
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics through a real two-batch
+    Structured Streaming run — the one watermark behavior the other
+    streaming drains never exercise (their single-batch runs never
+    advance the watermark over late input).
+
+    Three staged micro-batches: batch 0 (even event_ids, all days)
+    establishes watermark = max(ts) − 1 day; batch 1 (odd ids, last
+    days of the month) is on-time filler; batch 2 (odd ids, early
+    days) is entirely LATE — its windows closed days before the
+    watermark — and the streaming aggregation drops every row of it
+    (verified: numRowsDroppedByWatermark = all of batch 2, zero state
+    updates).  Update mode + last-update-wins reconstruction
+    (events_stream_tumbling's convention).
+
+    Empirical Spark subtlety this construction absorbs: the late-row
+    filter in batch N uses the watermark committed BEFORE batch N−1
+    (one batch behind the progress display) — so the late batch rides
+    LAST, after a filler batch, and the late/on-time day cutoff sits
+    ~5 days below the watermark so either lag reading yields the same
+    drop set.  The oracle states the drop arithmetically: even-id rows
+    all count, odd-id rows count iff day >= the cutoff.
+
+    State never exceeds the un-closed window set — the bound that
+    makes indefinite streaming aggregation feasible at all.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window as _W
+
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        _drain_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="ldf_late_stage_")
+    try:
+        now = _time.time()
+        odd = F.col("event_id") % 2 == 1
+        day = F.dayofmonth("ts")
+        _stage_single_file(ev.filter(F.col("event_id") % 2 == 0), stage,
+                           "b0.parquet", now - 300)
+        _stage_single_file(ev.filter(odd & (day >= 25)), stage,
+                           "b1.parquet", now - 200)
+        _stage_single_file(ev.filter(odd & (day < 25)), stage,
+                           "b2.parquet", now - 100)
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(stage))
+        agg = (stream.withWatermark("ts", "1 day")
+               .groupBy(F.window("ts", "1 day").alias("w"))
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select(F.col("w.start").alias("window_start"), "n_events"))
+        upd = _drain_available_now(
+            spark, agg, "ldf_late_drop", "update",
+            "window_start: timestamp, n_events: long", with_batch_id=True)
+        w = _W.partitionBy("window_start").orderBy(F.desc("batch_id"))
+        return (upd.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("window_start", "n_events"))
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_LATE_DROP_SQL = """
+WITH kept AS (
+  SELECT ts FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT ts FROM events
+  WHERE event_id % 2 = 1 AND date_part('day', ts) >= 25)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       count(*) AS n_events
+FROM kept GROUP BY 1
+"""
+
+
+# Schema-evolution read (§2.1): two parquet generations — v2 adds a
+# column — merged by schema-merging scan; old rows surface NULL for
+# the new column.  The write side is sources/parquet.py::parquet_write
+# (one more §2.1 surface under the driver gate).
+def parquet_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from legate_dataframe_spark.sources.parquet import parquet_write
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="ldf_schema_merge_")
+    try:
+        parquet_write(o.filter(F.col("o_orderkey") % 2 == 0)
+                      .select("o_orderkey", "o_totalprice"), f"{root}/gen1")
+        parquet_write(o.filter(F.col("o_orderkey") % 2 == 1)
+                      .select("o_orderkey", "o_totalprice",
+                              "o_orderpriority"), f"{root}/gen2")
+        merged = (spark.read.option("mergeSchema", "true")
+                  .parquet(f"{root}/gen1", f"{root}/gen2"))
+        out = (merged
+               .groupBy(F.coalesce("o_orderpriority", F.lit("<none>"))
+                        .alias("priority"))
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                    F.count("o_orderpriority").alias("n_with_col")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+PARQUET_SCHEMA_MERGE_SQL = """
+WITH m AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+             AS o_orderpriority
+  FROM orders)
+SELECT coalesce(o_orderpriority, '<none>') AS priority,
+       count(*)                            AS n_orders,
+       round(sum(o_totalprice), 2)         AS revenue,
+       count(o_orderpriority)              AS n_with_col
+FROM m GROUP BY 1
+"""

@@ -40,6 +40,16 @@ REPRESENTATIVE = [
     "bloom_decontaminate",   # bitmap prune + exact join
     "triangle_count",        # orientation + wedge joins
     "bpe_merges",            # checkpointed iterative rounds
+    # round-4 additions
+    "skyline_orders",        # local-skyline prefilter must not change
+                             # the global frontier under any layout
+    "binary_hamming_search", # two-stage shortlist + rerank
+    "knn_classify",          # top-k + majority vote
+    "label_propagation",     # synchronous rounds w/ checkpoints
+    "kcore_peel",            # per-round degree restriction
+    "inverted_postings",     # df-band + collect_list (sorted render)
+    "canonical_best_quality",# components + survivor window
+    "rolling_zscore",        # trailing frames on total ordering
 ]
 
 

@@ -157,6 +157,9 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "psi_drift",             # vs 1-row global min/max bin edges
         "pagerank_users",        # vs 1-row node-count aggregate
         "time_decay_revenue",    # vs 1-row corpus-max-date aggregate
+        "binary_hamming_search", # corpus codes × broadcast query codes
+        "matryoshka_search",     # corpus prefixes × broadcast query prefixes
+        "knn_classify",          # brute_force_topk's broadcast query side
         "cluster_label_purity",  # corpus × broadcast centroids (assign)
         "bloom_decontaminate",   # vs 1-row broadcast Bloom bitmap
         "heavy_hitter_tokens",   # vs 1-row total-token-count aggregate
