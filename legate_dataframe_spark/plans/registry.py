@@ -87,6 +87,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_late_drop": (r4.stream_late_drop, r4.STREAM_LATE_DROP_SQL),
     "parquet_schema_merge": (r4.parquet_schema_merge,
                              r4.PARQUET_SCHEMA_MERGE_SQL),
+    "window_first_last": (r4.window_first_last, r4.WINDOW_FIRST_LAST_SQL),
+    "range_interval_window": (r4.range_interval_window,
+                              r4.RANGE_INTERVAL_WINDOW_SQL),
+    "sha_checksums": (r4.sha_checksums, r4.SHA_CHECKSUMS_SQL),
+    "string_agg_ordered": (r4.string_agg_ordered,
+                           r4.STRING_AGG_ORDERED_SQL),
+    "hll_rollup_audit": (r4.hll_rollup_audit, r4.HLL_ROLLUP_AUDIT_SQL),
+    "percentile_disc": (r4.percentile_disc, r4.PERCENTILE_DISC_SQL),
+    "url_stats": (r4.url_stats, r4.URL_STATS_SQL),
+    "harmonic_geo_means": (r4.harmonic_geo_means,
+                           r4.HARMONIC_GEO_MEANS_SQL),
     # ---- driver-verified green in CORRECTNESS_r03.json: rotated back -------
     "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),

@@ -1049,3 +1049,214 @@ SELECT coalesce(o_orderpriority, '<none>') AS priority,
        count(o_orderpriority)              AS n_with_col
 FROM m GROUP BY 1
 """
+
+
+# ===================================================== function surface G
+# first/last/nth_value + ntile over a TOTAL ordering (value ties broken
+# by event_id — without the tiebreak every one of these is
+# partition-layout-dependent).
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return e.select(
+        "event_id", "event_type",
+        F.round(F.first_value("value").over(wf), 4).alias("lo_val"),
+        F.round(F.last_value("value").over(wf), 4).alias("hi_val"),
+        F.round(F.nth_value("value", 2).over(wc), 4).alias("second_seen"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+WINDOW_FIRST_LAST_SQL = """
+SELECT event_id, event_type,
+       round(first_value(value) OVER wf, 4)   AS lo_val,
+       round(last_value(value) OVER wf, 4)    AS hi_val,
+       round(nth_value(value, 2) OVER wc, 4)  AS second_seen,
+       CAST(ntile(4) OVER w AS BIGINT)        AS quartile
+FROM events
+WINDOW w  AS (PARTITION BY event_type ORDER BY value, event_id),
+       wf AS (PARTITION BY event_type ORDER BY value, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+       wc AS (PARTITION BY event_type ORDER BY value, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# Event-time RANGE frame with an INTERVAL bound (the calendar-window
+# sibling of rolling_range_window's epoch-µs frame).  Sums run on
+# integer cents so frame-internal summation order can't flap a float
+# round between engines.
+def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    # the Python Window API only takes numeric range bounds; INTERVAL
+    # frames over a timestamp ordering exist on the SQL surface
+    frame = ("OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+             "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)")
+    return (o.withColumn("cents", cents)
+            .selectExpr("o_orderkey", "o_custkey",
+                        f"sum(cents) {frame} AS trailing7d_cents",
+                        f"CAST(count(1) {frame} AS BIGINT)"
+                        " AS trailing7d_orders"))
+
+
+RANGE_INTERVAL_WINDOW_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT)                   AS trailing7d_cents,
+       CAST(count(*) OVER w AS BIGINT)   AS trailing7d_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+# Content checksums (integrity / dedup keys): md5 + sha256 per doc —
+# bit-exact strings on any engine, pure narrow map.
+def sha_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.length(F.col("text").cast("binary")).cast("long")
+        .alias("n_bytes"),
+    )
+
+
+SHA_CHECKSUMS_SQL = """
+SELECT doc_id,
+       md5(text)                          AS md5_hex,
+       sha256(text)                       AS sha256_hex,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# Ordered string aggregation (listagg/string_agg) — capped at 15 ids
+# per group so no group's state is unbounded at scale.
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.concat_ws(",", F.slice(
+                     F.sort_array(F.collect_list("doc_id")), 1, 15)
+                     .cast("array<string>")).alias("first_ids")))
+
+
+STRING_AGG_ORDERED_SQL = """
+SELECT source, lang, count(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id))[1:15], ',') AS first_ids
+FROM documents GROUP BY source, lang
+"""
+
+
+# Sketch rollup audit: per-source approx_count_distinct vs the exact
+# distinct count, emitting the exact value + a bounded-error boolean
+# (approx_sketches' convention, §2.4's sketch path per group).  The
+# oracle cannot reproduce Spark's HLL value, so it asserts the same
+# bound the engine must satisfy (rsd 0.05 ⇒ |err| < 15% with huge
+# margin).
+def hll_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count_distinct("text").alias("n_exact"),
+                 F.approx_count_distinct("text", 0.05).alias("__approx"))
+            .select("source", "n_exact",
+                    ((F.abs(F.col("__approx") - F.col("n_exact"))
+                      / F.col("n_exact")) <= 0.15).alias("within_bound")))
+
+
+HLL_ROLLUP_AUDIT_SQL = """
+SELECT source, count(DISTINCT text) AS n_exact, TRUE AS within_bound
+FROM documents GROUP BY source
+"""
+
+
+# Exact DISCRETE percentiles (the value AT position ceil(p*n), no
+# interpolation — quantile_stats covers the continuous form).  The
+# Spark side states the definition explicitly via one ordered window;
+# DuckDB's native quantile_disc matches it.
+def percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = l.select(
+        "l_returnflag", "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"))
+    pick = lambda p: F.max(F.when(  # noqa: E731
+        F.col("rn") == F.ceil(F.col("n") * p), F.col("l_quantity")))
+    return (ranked.groupBy("l_returnflag")
+            .agg(pick(0.5).alias("p50_disc"),
+                 pick(0.9).alias("p90_disc"),
+                 pick(0.99).alias("p99_disc")))
+
+
+PERCENTILE_DISC_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_quantity, 0.5)  AS p50_disc,
+       quantile_disc(l_quantity, 0.9)  AS p90_disc,
+       quantile_disc(l_quantity, 0.99) AS p99_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# parse_url surface over deterministically synthesized URLs + host
+# rollup (domain-level corpus accounting — the first grouping any
+# web-scale pipeline does).
+def url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"),
+                   F.lit(".example.com/"), F.col("lang"), F.lit("/doc"),
+                   F.col("doc_id").cast("string"),
+                   F.lit("?ref=r"), (F.col("doc_id") % 7).cast("string"))
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"))
+    return (parsed.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("path").alias("n_paths"),
+                 F.count_distinct("query").alias("n_refs")))
+
+
+URL_STATS_SQL = """
+WITH u AS (
+  SELECT 'https://' || source || '.example.com/' || lang || '/doc'
+             || CAST(doc_id AS VARCHAR) || '?ref=r'
+             || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents),
+p AS (
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1)     AS host,
+         regexp_extract(url, 'https://[^/]+([^?]+)', 1) AS path,
+         regexp_extract(url, '[?](.*)$', 1)             AS query
+  FROM u)
+SELECT host, count(*) AS n_docs,
+       count(DISTINCT path) AS n_paths,
+       count(DISTINCT query) AS n_refs
+FROM p GROUP BY host
+"""
+
+
+# Harmonic + geometric means (rate/ratio aggregation — arithmetic mean
+# is the wrong average for rates; §2.4 beyond-sum surface).
+def harmonic_geo_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    return (l.groupBy("l_returnflag")
+            .agg(F.round(F.exp(F.avg(F.log("l_quantity"))), 6)
+                 .alias("geo_mean_qty"),
+                 F.round(n / F.sum(1.0 / F.col("l_quantity")), 6)
+                 .alias("harm_mean_qty"),
+                 n.alias("n_rows")))
+
+
+HARMONIC_GEO_MEANS_SQL = """
+SELECT l_returnflag,
+       round(exp(avg(ln(l_quantity))), 6)        AS geo_mean_qty,
+       round(count(*) / sum(1.0 / l_quantity), 6) AS harm_mean_qty,
+       count(*)                                   AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
