@@ -96,6 +96,41 @@ EXTRA = [
     "leakage_free_split",
     "hybrid_rrf_search",
     "ann_recall_audit",
+    # round-4 additions
+    "stats_moments",
+    "bitwise_aggs",
+    "mode_per_group",
+    "filtered_aggs",
+    "skyline_orders",
+    "sequence_gaps",
+    "time_decay_revenue",
+    "string_functions2",
+    "date_functions",
+    "array_functions",
+    "regexp_extract_numbers",
+    "binary_hamming_search",
+    "matryoshka_search",
+    "knn_classify",
+    "minhash_precision_audit",
+    "label_propagation",
+    "bfs_hops",
+    "kcore_peel",
+    "canonical_best_quality",
+    "blocklist_filter",
+    "readability_scores",
+    "inverted_postings",
+    "rolling_zscore",
+    "quantile_normalize",
+    "stream_late_drop",
+    "parquet_schema_merge",
+    "window_first_last",
+    "range_interval_window",
+    "sha_checksums",
+    "string_agg_ordered",
+    "hll_rollup_audit",
+    "percentile_disc",
+    "url_stats",
+    "harmonic_geo_means",
 ]
 
 
