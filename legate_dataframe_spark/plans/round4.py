@@ -458,11 +458,23 @@ FROM t
 # Binary sign-bit quantization + Hamming shortlist + exact rerank —
 # the 64×-compressed first pass (16 bytes/vector) that makes a
 # 100 TB-corpus prefilter IO-bound on codes, not floats.
+#
+# FIXED query sample: the three search queries below cap the query
+# side at vec_id < 2000 — a no-op at the test scales (sf0.01 has 500
+# ids, sf0.1 has 2000) that pins the sample size when the corpus
+# grows.  A %-only filter makes the query set grow WITH the corpus,
+# so the pair stage goes quadratic at scale (the 10× probe measured
+# 50× wall on the uncapped matryoshka form); search workloads are
+# queries × corpus, and only the corpus side should scale.
+_QUERY_ID_CAP = 2000
+
+
 def binary_hamming_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legate_dataframe_spark.pipeline import similarity
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0)
+    q = e.filter((F.col("vec_id") % 100 == 0)
+                 & (F.col("vec_id") < _QUERY_ID_CAP))
     return similarity.hamming_rerank_topk(e, q, shortlist=100, k=10)
 
 
@@ -478,7 +490,7 @@ w AS (
                   ELSE 0::BIGINT END)) AS BIGINT) AS w1
   FROM v),
 q AS (SELECT vec_id AS q_id, ev AS qv, w0 AS qw0, w1 AS qw1
-      FROM w WHERE vec_id % 100 = 0),
+      FROM w WHERE vec_id % 100 = 0 AND vec_id < 2000),
 h AS (SELECT q_id, vec_id AS c_id,
              bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1)) AS hamming,
              ev, qv
@@ -501,7 +513,8 @@ def matryoshka_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legate_dataframe_spark.pipeline import similarity
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    q = e.filter((F.col("vec_id") % 50 == 0)
+                 & (F.col("vec_id") < _QUERY_ID_CAP))
     return similarity.matryoshka_topk(e, q, prefix_dim=16, shortlist=50,
                                       k=10)
 
@@ -511,7 +524,7 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
                   (embedding::DOUBLE[])[1:16] AS pv
            FROM embeddings),
 q AS (SELECT vec_id AS q_id, ev AS qv, pv AS qp FROM v
-      WHERE vec_id % 50 = 0),
+      WHERE vec_id % 50 = 0 AND vec_id < 2000),
 s AS (SELECT q_id, vec_id AS c_id,
              round(list_cosine_similarity(pv, qp), 6) AS pre_sim, ev, qv
       FROM v, q WHERE vec_id != q_id),
@@ -534,7 +547,8 @@ def knn_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from legate_dataframe_spark.pipeline import similarity
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 25 == 0)
+    q = e.filter((F.col("vec_id") % 25 == 0)
+                 & (F.col("vec_id") < _QUERY_ID_CAP))
     return similarity.knn_classify(e, q, k=10)
 
 
@@ -543,7 +557,7 @@ WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv, label
            FROM embeddings),
 q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv,
              CAST(label AS BIGINT) AS tl
-      FROM embeddings WHERE vec_id % 25 = 0),
+      FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 2000),
 s AS (SELECT q_id, c_id, label,
              round(list_cosine_similarity(cv, qv), 6) AS cos_sim
       FROM c, q WHERE c_id != q_id),
