@@ -100,6 +100,49 @@ def minhash_signature(hashed: Column, num_hashes: int = 16) -> list[Column]:
     ]
 
 
+def minhash_shingles_and_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared front half of banded MinHash: (shingle sets, LSH
+    bucket rows).  Returns ``(sh, buckets)`` where ``sh`` is
+    (id, sh: array<string>) persisted — it feeds the signature path
+    AND both sides of any later exact-verify join (no automatic
+    cross-branch CSE in Catalyst; the reference models this as an
+    explicit Cache node, dsl/ir.py:632) — and ``buckets`` is the
+    narrow (id, band, bh) frame whose equi-self-join (or join against
+    a persisted band index) yields candidate pairs.
+    MEMORY_AND_DISK persist spills instead of OOMing at corpus scale.
+    """
+    rows = num_hashes // bands
+    docs = widen_partitions(docs)
+    sh = tracked_persist(docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).filter(F.size("sh") > 0))
+    # stage the per-shingle hashes as a real column, then the signature
+    # (md5 runs once per shingle, not once per hash function)
+    sig = (sh.select("id", shingle_hashes(F.col("sh")).alias("hh"))
+           .select("id", *minhash_signature(F.col("hh"), num_hashes)))
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}").cast("string")
+                                          for r in range(rows)]))
+                 .alias("bh"))
+        for b in range(bands)
+    ]
+    # bucket rows carry ONLY (id, band, bh): the bucket self-join and the
+    # pair-dedup shuffle narrow 3-column rows, never the shingle arrays.
+    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("id", F.col("bk.band").alias("band"),
+                       F.col("bk.bh").alias("bh")))
+    return sh, buckets
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -123,33 +166,9 @@ def minhash_lsh_pairs(
     None (default, used by the oracle-matched registry query) keeps
     exhaustive semantics.
     """
-    rows = num_hashes // bands
-    docs = widen_partitions(docs)
-    # The shingle projection feeds THREE consumers (signature path + both
-    # sides of the verify join); without a persist Spark recomputes the
-    # tokenize+hash pass per consumer (no automatic cross-branch CSE —
-    # the reference models this as an explicit Cache node, dsl/ir.py:632).
-    # MEMORY_AND_DISK spills instead of OOMing on a 100 TB corpus.
-    sh = tracked_persist(docs.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).filter(F.size("sh") > 0))
-    # stage the per-shingle hashes as a real column, then the signature
-    # (md5 runs once per shingle, not once per hash function)
-    sig = (sh.select("id", shingle_hashes(F.col("sh")).alias("hh"))
-           .select("id", *minhash_signature(F.col("hh"), num_hashes)))
-    band_cols = [
-        F.struct(F.lit(b).alias("band"),
-                 F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}").cast("string")
-                                          for r in range(rows)]))
-                 .alias("bh"))
-        for b in range(bands)
-    ]
-    # bucket rows carry ONLY (id, band, bh): the bucket self-join and the
-    # pair-dedup shuffle narrow 3-column rows, never the shingle arrays.
-    buckets = (sig.select("id", F.explode(F.array(*band_cols)).alias("bk"))
-               .select("id", F.col("bk.band").alias("band"),
-                       F.col("bk.bh").alias("bh")))
+    sh, buckets = minhash_shingles_and_buckets(
+        docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k)
     if max_bucket_size is not None:
         # window count per bucket, drop oversized buckets before the
         # self-join (the count is one extra shuffle on the same keys
@@ -185,6 +204,94 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def build_minhash_index(
+    spark,
+    corpus: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the corpus's LSH state as two BUCKETED tables so later
+    batches dedup against it without rescanning (or re-shuffling) the
+    corpus:
+
+    - ``{prefix}_bands``    (id, band, bh) bucketed on (band, bh) —
+      the candidate-join key, so an incoming batch's band rows join
+      straight into co-located buckets;
+    - ``{prefix}_shingles`` (id, sh) bucketed on id — the
+      exact-verify join key, so the (few) candidate corpus ids fetch
+      their shingle sets without moving the store.
+
+    This is the production shape of incremental dedup at 100 TB: the
+    O(corpus) tokenize+hash+shuffle cost is paid once at index build;
+    each daily batch costs O(batch + collisions).  Composes
+    core/bucketing.py (the persistent form of the reference's
+    repartition_by_hash, cpp/src/core/repartition_by_hash.cpp:61-143)
+    with the minhash machinery above.
+    """
+    from legate_dataframe_spark.core.bucketing import write_bucketed
+
+    sh, buckets = minhash_shingles_and_buckets(
+        corpus, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k)
+    write_bucketed(buckets, f"{table_prefix}_bands", ["band", "bh"],
+                   num_buckets=num_buckets)
+    write_bucketed(sh.select("id", F.array_distinct("sh").alias("sh")),
+                   f"{table_prefix}_shingles", ["id"],
+                   num_buckets=num_buckets)
+
+
+def incremental_minhash_dedup(
+    spark,
+    batch: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming batch against a persisted corpus index built
+    by :func:`build_minhash_index` — the corpus parquet is never
+    rescanned and never re-shuffled (its band table is already
+    partitioned on the join key; only the batch side shuffles).
+
+    Returns (corpus_id, batch_id, jaccard) for exact-verified
+    near-dup pairs at ``jaccard_threshold`` — equivalent, for
+    cross pairs, to running the batch-over-union LSH (the oracle
+    states exactly that equivalence).
+    """
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+
+    idx_bands = (read_bucketed(spark, f"{table_prefix}_bands")
+                 .withColumnRenamed("id", "corpus_id"))
+    idx_sh = (read_bucketed(spark, f"{table_prefix}_shingles")
+              .select(F.col("id").alias("corpus_id"),
+                      F.col("sh").alias("sa")))
+    sh_b, buckets_b = minhash_shingles_and_buckets(
+        batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k)
+    cand = (idx_bands
+            .join(buckets_b.withColumnRenamed("id", "batch_id"),
+                  ["band", "bh"])
+            .select("corpus_id", "batch_id")
+            .dropDuplicates(["corpus_id", "batch_id"]))
+    sb = sh_b.select(F.col("id").alias("batch_id"),
+                     F.array_distinct("sh").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = F.when(union > 0, F.round(inter / union, 6))  # ANSI-safe 0/0
+    return (cand.join(idx_sh, "corpus_id").join(sb, "batch_id")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("corpus_id", "batch_id", "jaccard"))
 
 
 def ngram_jaccard_pairs(

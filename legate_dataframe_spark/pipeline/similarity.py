@@ -868,7 +868,13 @@ def knn_classify(
     (labels ride the corpus).  Composition: brute-force top-k (query
     side broadcast, corpus never shuffles) → label join for the
     k·|Q| winner rows only → per-query majority with a
-    (votes desc, label asc) deterministic tiebreak."""
+    (votes desc, label asc) deterministic tiebreak.
+
+    Neighbor-similarity evidence is carried as an integer-exact BIGINT
+    micro-sim sum (Σ round(cos_sim·1e6)) rather than a rounded mean:
+    averaging ≤k 6dp-rounded doubles then re-rounding flaps a half-ulp
+    between Spark's and DuckDB's summation orders (CORRECTNESS_r04's
+    one hash mismatch); integer sums are order-invariant."""
     top = brute_force_topk(corpus, queries, k=k, id_col=id_col,
                            vec_col=vec_col)
     labels = corpus.select(F.col(id_col).alias("c_id"),
@@ -876,15 +882,17 @@ def knn_classify(
     votes = (top.join(labels, "c_id")
              .groupBy("q_id", "nbr_label")
              .agg(F.count(F.lit(1)).alias("votes"),
-                  F.round(F.avg("cos_sim"), 6).alias("mean_sim")))
+                  F.sum(F.round(F.col("cos_sim") * 1e6).cast("long"))
+                  .alias("sim_micro_sum")))
     w = W.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("nbr_label"))
     pred = (votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("q_id", F.col("nbr_label").alias("pred_label"),
-                    "votes", "mean_sim"))
+                    "votes", "sim_micro_sum"))
     truth = queries.select(F.col(id_col).alias("q_id"),
                            F.col(label_col).cast("long").alias("true_label"))
     return (pred.join(F.broadcast(truth), "q_id")
-            .select("q_id", "true_label", "pred_label", "votes", "mean_sim",
+            .select("q_id", "true_label", "pred_label", "votes",
+                    "sim_micro_sum",
                     (F.col("pred_label") == F.col("true_label"))
                     .alias("correct")))

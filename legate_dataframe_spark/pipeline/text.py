@@ -610,7 +610,11 @@ def blocklist_hits(
     for blocklists beyond regex-alternation size, switch to the
     token-explode + broadcast-semi-join shape (isin_filter's plan).
     """
-    pat = r"\b(" + "|".join(terms) + r")\b"
+    import re as _re
+
+    # terms are data, not patterns: escape each so metacharacters in a
+    # blocklist entry (".", "+", "(", "|") match literally (ADVICE r04)
+    pat = r"\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
     t = F.lower(F.col(text_col))
     return (docs.select(
         F.col(id_col),

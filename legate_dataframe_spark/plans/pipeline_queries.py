@@ -1223,6 +1223,7 @@ def _drain_available_now(
     empty_schema: str,
     with_batch_id: bool = False,
     timeout_s: int = 300,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Shared bounded-drain harness for the streaming driver queries:
     foreachBatch parquet sink + ``trigger(availableNow=True)``, then the
@@ -1235,6 +1236,9 @@ def _drain_available_now(
 
     ``with_batch_id`` stamps each micro-batch's rows for
     last-update-wins reconstruction (update-mode aggregates).
+    ``progress_out``, if given, receives the query's recentProgress
+    dicts so callers can assert on streaming metrics
+    (e.g. numRowsDroppedByWatermark).
     """
     import glob as _glob
     import shutil
@@ -1257,6 +1261,8 @@ def _drain_available_now(
         finished = q.awaitTermination(timeout_s)
         if q.exception() is not None:
             raise q.exception()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
         if not finished:
             q.stop()
             raise TimeoutError(

@@ -565,13 +565,15 @@ r AS (SELECT *, row_number() OVER (PARTITION BY q_id
                                    ORDER BY cos_sim DESC, c_id) AS rank
       FROM s),
 votes AS (SELECT q_id, CAST(label AS BIGINT) AS nbr_label,
-                 count(*) AS votes, round(avg(cos_sim), 6) AS mean_sim
+                 count(*) AS votes,
+                 CAST(sum(CAST(round(cos_sim * 1e6) AS BIGINT)) AS BIGINT)
+                   AS sim_micro_sum
           FROM r WHERE rank <= 10 GROUP BY 1, 2),
 p AS (SELECT *, row_number() OVER (PARTITION BY q_id
                                    ORDER BY votes DESC, nbr_label) AS rn
       FROM votes)
 SELECT p.q_id, q.tl AS true_label, p.nbr_label AS pred_label,
-       p.votes, p.mean_sim, p.nbr_label = q.tl AS correct
+       p.votes, p.sim_micro_sum, p.nbr_label = q.tl AS correct
 FROM p JOIN q ON p.q_id = q.q_id WHERE p.rn = 1
 """
 
@@ -953,18 +955,21 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     establishes watermark = max(ts) − 1 day; batch 1 (odd ids, last
     days of the month) is on-time filler; batch 2 (odd ids, early
     days) is entirely LATE — its windows closed days before the
-    watermark — and the streaming aggregation drops every row of it
-    (verified: numRowsDroppedByWatermark = all of batch 2, zero state
-    updates).  Update mode + last-update-wins reconstruction
+    watermark — and the streaming aggregation drops every row of it.
+    Update mode + last-update-wins reconstruction
     (events_stream_tumbling's convention).
 
-    Empirical Spark subtlety this construction absorbs: the late-row
-    filter in batch N uses the watermark committed BEFORE batch N−1
-    (one batch behind the progress display) — so the late batch rides
-    LAST, after a filler batch, and the late/on-time day cutoff sits
-    ~5 days below the watermark so either lag reading yields the same
-    drop set.  The oracle states the drop arithmetically: even-id rows
-    all count, odd-id rows count iff day >= the cutoff.
+    Empirical Spark subtlety this construction DEPENDS on: the
+    late-row filter in batch N uses the watermark committed before
+    batch N−1 (one batch behind the progress display), so batch 1's
+    odd-id day-25+ rows land while the effective watermark is still
+    the initial 1970 epoch.  Under immediate watermark application
+    the day-25..28 windows of batch 1 (which end below the batch-0
+    watermark of max(ts)−1d) would ALSO be dropped and parity would
+    break — the assertion below on numRowsDroppedByWatermark pins
+    the assumption: exactly batch 2's window set is dropped, no
+    more, no less.  The oracle states the drop arithmetically:
+    even-id rows all count, odd-id rows count iff day >= the cutoff.
 
     State never exceeds the un-closed window set — the bound that
     makes indefinite streaming aggregation feasible at all.
@@ -985,21 +990,35 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         now = _time.time()
         odd = F.col("event_id") % 2 == 1
         day = F.dayofmonth("ts")
+        late = ev.filter(odd & (day < 25))
+        # numRowsDroppedByWatermark counts rows at the STATE operator,
+        # i.e. post-merge aggregate rows — one per late window — not
+        # raw input rows (measured: 24 for 3997 late inputs at sf0.01)
+        n_late_windows = (late.select(F.date_trunc("day", "ts"))
+                          .distinct().count())
         _stage_single_file(ev.filter(F.col("event_id") % 2 == 0), stage,
                            "b0.parquet", now - 300)
         _stage_single_file(ev.filter(odd & (day >= 25)), stage,
                            "b1.parquet", now - 200)
-        _stage_single_file(ev.filter(odd & (day < 25)), stage,
-                           "b2.parquet", now - 100)
+        _stage_single_file(late, stage, "b2.parquet", now - 100)
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", 1).parquet(stage))
         agg = (stream.withWatermark("ts", "1 day")
                .groupBy(F.window("ts", "1 day").alias("w"))
                .agg(F.count(F.lit(1)).alias("n_events"))
                .select(F.col("w.start").alias("window_start"), "n_events"))
+        progress: list = []
         upd = _drain_available_now(
             spark, agg, "ldf_late_drop", "update",
-            "window_start: timestamp, n_events: long", with_batch_id=True)
+            "window_start: timestamp, n_events: long", with_batch_id=True,
+            progress_out=progress)
+        dropped = sum(op.get("numRowsDroppedByWatermark", 0)
+                      for p in progress for op in p.get("stateOperators", []))
+        if dropped != n_late_windows:
+            raise AssertionError(
+                f"watermark-lag assumption broke: expected exactly the "
+                f"{n_late_windows} batch-2 windows dropped, saw {dropped} — "
+                f"Spark's one-batch watermark lag (see docstring) changed")
         w = _W.partitionBy("window_start").orderBy(F.desc("batch_id"))
         return (upd.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)

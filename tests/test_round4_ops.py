@@ -186,7 +186,7 @@ def test_sequence_gaps_streaks(spark):
     islands = (days.withColumn("grp", F.col("day_num")
                                - F.row_number().over(w))
                .groupBy("user_id", "grp").agg(F.count("*").alias("len")))
-    got = {r["user_id"]: sorted_lens for r, sorted_lens in []} or {
+    got = {
         r["user_id"]: r["lens"]
         for r in islands.groupBy("user_id")
         .agg(F.sort_array(F.collect_list("len")).alias("lens")).collect()}
