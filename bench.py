@@ -133,6 +133,11 @@ EXTRA = [
     "harmonic_geo_means",
     # round-5 additions
     "bucketed_join",
+    "incremental_dedup",
+    # round-6 additions
+    "incremental_components",
+    "ann_persisted_search",
+    "compaction_roundtrip",
 ]
 
 
@@ -233,10 +238,20 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     # The extras list has grown past the driver's stdout tail-capture
-    # window: r04 printed ONE line with all extras inline and the driver
-    # recorded "parsed": null because the line start was truncated.  So:
-    # extras go on their own (long) line first, and the compact headline
-    # object is the FINAL stdout line the driver parses.
+    # window (r04's single inline line lost two rounds of extras
+    # history — VERDICT r05 "What's missing" #1).  Durable record: the
+    # per-extra timings go to a committed side FILE; stdout still gets
+    # the extras line (long, best-effort) followed by the compact
+    # headline object as the FINAL line the driver parses.
+    extras_out = os.environ.get("SPARK_GRAFT_EXTRAS_OUT",
+                                os.path.join(os.path.dirname(
+                                    os.path.abspath(__file__)),
+                                    "BENCH_EXTRAS.json"))
+    with open(extras_out, "w") as fh:
+        json.dump({"metric": "extra_queries_seconds", "unit": "sec",
+                   "sf": sf_num if sf_num is not None else sf,
+                   "queries": extra}, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     print(json.dumps({"metric": "extra_queries_seconds",
                       "unit": "sec", "queries": extra}))
     print(json.dumps({

@@ -134,3 +134,91 @@ def canonical_by_policy(
                     F.col("node").alias("survivor_id"),
                     F.col(score_col).alias(f"survivor_{score_col}"),
                     F.col("n_members").cast("long").alias("n_members")))
+
+
+def build_components_index(
+    spark,
+    pairs: DataFrame,
+    table_name: str,
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    num_buckets: int = 16,
+) -> None:
+    """Persist the corpus's dup-cluster labels as a BUCKETED catalog
+    table (node, component), bucketed+sorted on ``node`` — the
+    companion of dedup.build_minhash_index for CLUSTER ASSIGNMENT:
+    the O(corpus) connected-components cost is paid once here; each
+    daily batch then updates labels via
+    :func:`incremental_components_update` touching only batch edges
+    and the clusters they collide with.  Bucketing on ``node`` makes
+    every later per-node join/anti-join against the label table read
+    co-located, pre-sorted buckets with no Exchange on the label side.
+    """
+    from legate_dataframe_spark.core.bucketing import write_bucketed
+
+    labels = connected_components(pairs, *pair_cols)
+    write_bucketed(labels.select("node", "component"), table_name,
+                   ["node"], num_buckets=num_buckets)
+
+
+def incremental_components_update(
+    spark,
+    label_table: str,
+    cross_pairs: DataFrame,
+    batch_pairs: DataFrame,
+    broadcast_max_rows: int = 10_000_000,
+) -> DataFrame:
+    """Merge a new batch's near-dup edges into a persisted component
+    labelling WITHOUT recomputing components over the full corpus —
+    the union-find "merge step" done as dataframe ops:
+
+    1. CONTRACT: map each cross pair's corpus endpoint to its
+       persisted component label (corpus nodes in no prior cluster
+       stand for themselves).  Edges between contracted nodes —
+       {corpus labels} ∪ {batch ids} — form a graph whose size is
+       O(batch + touched clusters), independent of corpus size.
+    2. Run pointer-jumping components on that SMALL contracted graph.
+    3. REMAP: touched old labels → their new merged component (labels
+       are each cluster's min node id, so the contracted minimum IS
+       the union-graph minimum); untouched corpus rows keep their
+       label (null-coalesced left join).
+
+    ``cross_pairs``: (corpus_id, batch_id); ``batch_pairs``:
+    (id_a, id_b) batch-internal.  Returns (node, component) for every
+    node of the union pair graph — exactly what a full-corpus
+    recompute over corpus+cross+batch pairs yields (the oracle states
+    that equivalence).
+
+    Scale shape: the corpus-sized label table NEVER shuffles — the
+    remap join broadcasts the (small, size-gated like
+    graph.kcore_peel) remap side, and the new-node anti-join is
+    forced to SMJ so the label side reads its co-located, pre-sorted
+    buckets with no Exchange.  Per-batch cost is O(batch + collisions
+    + touched clusters).
+    """
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+
+    labels = read_bucketed(spark, label_table)  # (node, component)
+    lab = labels.select(F.col("node").alias("corpus_id"),
+                        F.col("component").alias("clabel"))
+    contracted = (
+        cross_pairs.join(lab, "corpus_id", "left")
+        .select(F.coalesce("clabel", "corpus_id").alias("a"),
+                F.col("batch_id").alias("b"))
+        .union(batch_pairs.select(F.col(batch_pairs.columns[0]).alias("a"),
+                                  F.col(batch_pairs.columns[1]).alias("b"))))
+    comp2 = connected_components(contracted, "a", "b") \
+        .localCheckpoint(eager=True)
+    remap = comp2.select(F.col("node").alias("component"),
+                         F.col("component").alias("newc"))
+    if remap.count() <= broadcast_max_rows:  # comp2 is checkpointed — cheap
+        remap = F.broadcast(remap)
+    updated = (labels.join(remap, "component", "left")
+               .select("node",
+                       F.coalesce("newc", "component").alias("component")))
+    # nodes new to the labelling: batch ids + previously-isolated
+    # corpus ids — SMJ against the bucketed label table (no label-side
+    # Exchange; only the small comp2 side sorts)
+    fresh = (comp2.hint("merge")
+             .join(labels.select("node"), "node", "left_anti")
+             .select("node", "component"))
+    return updated.union(fresh)

@@ -17,6 +17,7 @@ from legate_dataframe_spark.plans import pipeline_queries as pq
 from legate_dataframe_spark.plans import relational as r
 from legate_dataframe_spark.plans import round4 as r4
 from legate_dataframe_spark.plans import round5 as r5
+from legate_dataframe_spark.plans import round6 as r6
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -33,61 +34,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stalest greens (the r01 block hasn't had a driver row since round 1).
 # In-repo sf0.001/sf0.01 oracle-parity tests guard every entry meanwhile.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-5 front: unverified / fixed-red ------------------------------
-    # r04's one red (hash flap on round(avg(...)) — now BIGINT micro-sums)
-    "knn_classify": (r4.knn_classify_q, r4.KNN_CLASSIFY_SQL),
-    # bucketed storage finally gets a driver row (was plan-asserted only)
-    "bucketed_join": (r5.bucketed_join, r5.BUCKETED_JOIN_SQL),
-    # incremental dedup vs a persisted, bucketed corpus index
-    "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
-    # ---- driver-verified green in CORRECTNESS_r01.json (stalest) -----------
-    "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
-    "q03_shipping_priority": (r.q03_shipping_priority, r.Q03_SQL),
-    "q05_nation_revenue": (r.q05_nation_revenue, r.Q05_SQL),
-    "q04_order_priority": (r.q04_order_priority, r.Q04_SQL),
-    "q06_forecast_revenue": (r.q06_forecast_revenue, r.Q06_SQL),
-    "q07_volume_shipping": (r.q07_volume_shipping, r.Q07_SQL),
-    "q08_market_share": (r.q08_market_share, r.Q08_SQL),
-    "q10_returned_items": (r.q10_returned_items, r.Q10_SQL),
-    "q12_priority_lines": (r.q12_priority_lines, r.Q12_SQL),
-    "q14_promo_revenue": (r.q14_promo_revenue, r.Q14_SQL),
-    "q17_small_quantity": (r.q17_small_quantity, r.Q17_SQL),
-    "q18_large_orders": (r.q18_large_orders, r.Q18_SQL),
-    "q19_disjunctive": (r.q19_disjunctive, r.Q19_SQL),
-    "q22_idle_customers": (r.q22_idle_customers, r.Q22_SQL),
-    "q02_best_supplier": (r.q02_best_supplier, r.Q02_SQL),
-    "q09_product_profit": (r.q09_product_profit, r.Q09_SQL),
-    "q11_important_parts": (r.q11_important_parts, r.Q11_SQL),
-    "q13_customer_distribution": (r.q13_customer_distribution, r.Q13_SQL),
-    "q15_top_supplier": (r.q15_top_supplier, r.Q15_SQL),
-    "q16_supplier_count": (r.q16_supplier_count, r.Q16_SQL),
-    "q20_volume_suppliers": (r.q20_volume_suppliers, r.Q20_SQL),
-    "q21_waiting_suppliers": (r.q21_waiting_suppliers, r.Q21_SQL),
-    "rollup_flags": (r.rollup_flags, r.ROLLUP_SQL),
-    "cube_orders": (r.cube_orders, r.CUBE_SQL),
-    "grouping_sets_mix": (r.grouping_sets_mix, r.GROUPING_SETS_SQL),
-    "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
-    "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
-    "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
-    "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
-    "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
-    "join_left": (r.join_left, r.JOIN_LEFT_SQL),
-    "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
-    "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
-    "join_full": (r.join_full, r.JOIN_FULL_SQL),
-    "skew_salted_join": (r.skew_salted_join, r.SKEW_SALTED_JOIN_SQL),
-    "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
-    "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
-    "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),
-    "distinct_keys": (r.distinct_keys, r.DISTINCT_KEYS_SQL),
-    "sort_topk": (r.sort_topk, r.SORT_TOPK_SQL),
-    "sort_tail": (r.sort_tail, r.SORT_TAIL_SQL),
-    "slice_offset": (r.slice_offset, r.SLICE_OFFSET_SQL),
-    "union_all": (r.union_all, r.UNION_ALL_SQL),
-    "case_when_bucket": (r.case_when_bucket, r.CASE_WHEN_SQL),
-    "isin_filter": (r.isin_filter, r.ISIN_SQL),
-    "string_match": (r.string_match, r.STRING_MATCH_SQL),
-    "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
+    # ---- round-6 front: no driver row yet ----------------------------------
+    # incremental cluster maintenance vs a persisted bucketed label table
+    "incremental_components": (r6.incremental_components,
+                               r6.INCREMENTAL_COMPONENTS_SQL),
+    # ANN served off a bucketBy-persisted IVF catalog index
+    "ann_persisted_search": (r6.ann_persisted_search,
+                             r6.ANN_PERSISTED_SEARCH_SQL),
+    # compact_parquet_dir finally gets a driver row (was sink-only)
+    "compaction_roundtrip": (r6.compaction_roundtrip,
+                             r6.COMPACTION_ROUNDTRIP_SQL),
+    # ---- stalest greens: driver rows still from r01 (missed r05's prefix) --
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
     "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
@@ -271,6 +228,57 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "url_stats": (r4.url_stats, r4.URL_STATS_SQL),
     "harmonic_geo_means": (r4.harmonic_geo_means,
                            r4.HARMONIC_GEO_MEANS_SQL),
+    # ---- re-greened by the r05 driver (freshest — rotate last) ------------
+    "knn_classify": (r4.knn_classify_q, r4.KNN_CLASSIFY_SQL),
+    "bucketed_join": (r5.bucketed_join, r5.BUCKETED_JOIN_SQL),
+    "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
+    "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
+    "q03_shipping_priority": (r.q03_shipping_priority, r.Q03_SQL),
+    "q05_nation_revenue": (r.q05_nation_revenue, r.Q05_SQL),
+    "q04_order_priority": (r.q04_order_priority, r.Q04_SQL),
+    "q06_forecast_revenue": (r.q06_forecast_revenue, r.Q06_SQL),
+    "q07_volume_shipping": (r.q07_volume_shipping, r.Q07_SQL),
+    "q08_market_share": (r.q08_market_share, r.Q08_SQL),
+    "q10_returned_items": (r.q10_returned_items, r.Q10_SQL),
+    "q12_priority_lines": (r.q12_priority_lines, r.Q12_SQL),
+    "q14_promo_revenue": (r.q14_promo_revenue, r.Q14_SQL),
+    "q17_small_quantity": (r.q17_small_quantity, r.Q17_SQL),
+    "q18_large_orders": (r.q18_large_orders, r.Q18_SQL),
+    "q19_disjunctive": (r.q19_disjunctive, r.Q19_SQL),
+    "q22_idle_customers": (r.q22_idle_customers, r.Q22_SQL),
+    "q02_best_supplier": (r.q02_best_supplier, r.Q02_SQL),
+    "q09_product_profit": (r.q09_product_profit, r.Q09_SQL),
+    "q11_important_parts": (r.q11_important_parts, r.Q11_SQL),
+    "q13_customer_distribution": (r.q13_customer_distribution, r.Q13_SQL),
+    "q15_top_supplier": (r.q15_top_supplier, r.Q15_SQL),
+    "q16_supplier_count": (r.q16_supplier_count, r.Q16_SQL),
+    "q20_volume_suppliers": (r.q20_volume_suppliers, r.Q20_SQL),
+    "q21_waiting_suppliers": (r.q21_waiting_suppliers, r.Q21_SQL),
+    "rollup_flags": (r.rollup_flags, r.ROLLUP_SQL),
+    "cube_orders": (r.cube_orders, r.CUBE_SQL),
+    "grouping_sets_mix": (r.grouping_sets_mix, r.GROUPING_SETS_SQL),
+    "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
+    "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
+    "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
+    "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
+    "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
+    "join_left": (r.join_left, r.JOIN_LEFT_SQL),
+    "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
+    "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
+    "join_full": (r.join_full, r.JOIN_FULL_SQL),
+    "skew_salted_join": (r.skew_salted_join, r.SKEW_SALTED_JOIN_SQL),
+    "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
+    "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
+    "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),
+    "distinct_keys": (r.distinct_keys, r.DISTINCT_KEYS_SQL),
+    "sort_topk": (r.sort_topk, r.SORT_TOPK_SQL),
+    "sort_tail": (r.sort_tail, r.SORT_TAIL_SQL),
+    "slice_offset": (r.slice_offset, r.SLICE_OFFSET_SQL),
+    "union_all": (r.union_all, r.UNION_ALL_SQL),
+    "case_when_bucket": (r.case_when_bucket, r.CASE_WHEN_SQL),
+    "isin_filter": (r.isin_filter, r.ISIN_SQL),
+    "string_match": (r.string_match, r.STRING_MATCH_SQL),
+    "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

@@ -1014,11 +1014,25 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             progress_out=progress)
         dropped = sum(op.get("numRowsDroppedByWatermark", 0)
                       for p in progress for op in p.get("stateOperators", []))
-        if dropped != n_late_windows:
+        # Bounds check, not an exact pin (ADVICE r05): requiring
+        # dropped == n_late_windows pinned two Spark internals (the
+        # one-batch watermark lag and post-merge state-operator row
+        # accounting), turning a minor-version drift into a hard
+        # failure.  The semantics the query exists for is "the
+        # watermark dropped the late data" — assert at least the late
+        # windows were rejected and warn (degrade gracefully) if the
+        # internal accounting shifts above that floor.
+        if dropped < n_late_windows:
             raise AssertionError(
-                f"watermark-lag assumption broke: expected exactly the "
-                f"{n_late_windows} batch-2 windows dropped, saw {dropped} — "
-                f"Spark's one-batch watermark lag (see docstring) changed")
+                f"watermark did not drop the late data: expected ≥ "
+                f"{n_late_windows} dropped state rows, saw {dropped}")
+        if dropped != n_late_windows:
+            import warnings
+            warnings.warn(
+                f"numRowsDroppedByWatermark={dropped} != late-window "
+                f"count {n_late_windows} — Spark's state-operator row "
+                "accounting drifted (result still watermark-correct)",
+                stacklevel=2)
         w = _W.partitionBy("window_start").orderBy(F.desc("batch_id"))
         return (upd.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)

@@ -20,10 +20,10 @@ import contextlib
 import io
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -63,7 +63,9 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount")
 
-    db = "ldf_r5_bucketed"
+    # uuid suffix (ADVICE r05): concurrent runs sharing a warehouse
+    # must not clobber each other's catalog entries
+    db = f"ldf_r5_bucketed_{uuid.uuid4().hex[:8]}"
     loc = tempfile.mkdtemp(prefix="ldf_r5_bucketdb_")
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
@@ -135,7 +137,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     batch = d.filter(F.col("doc_id") % 10 == 0)
 
-    db = "ldf_r5_dedup_idx"
+    db = f"ldf_r5_dedup_idx_{uuid.uuid4().hex[:8]}"
     loc = tempfile.mkdtemp(prefix="ldf_r5_dedupdb_")
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
     spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")

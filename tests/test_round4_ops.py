@@ -73,6 +73,27 @@ def test_kcore_peel_hand_graph(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_kcore_peel_gated_shuffle_path(spark):
+    """Degenerate graph — the MAJORITY of nodes drop in round 1
+    (VERDICT r05 task 1): with broadcast_max_rows=0 the size gate must
+    take the non-broadcast path and still produce identical results to
+    the broadcast path."""
+    from legate_dataframe_spark.pipeline.graph import kcore_peel
+
+    # K4 core (1-4) + 12 pendant leaves hanging off node 4: 12 of 16
+    # nodes have degree < 3 and all drop in round 1.
+    pend = [(4, 100 + i) for i in range(12)]
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)] + pend,
+        ["src", "dst"])
+    want = {r["node"]: r["degree"]
+            for r in kcore_peel(edges, k=3, n_rounds=3).collect()}
+    got = {r["node"]: r["degree"]
+           for r in kcore_peel(edges, k=3, n_rounds=3,
+                               broadcast_max_rows=0).collect()}
+    assert got == want == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
 def test_binary_quantize_bits(spark):
     from legate_dataframe_spark.pipeline.similarity import binary_quantize
 

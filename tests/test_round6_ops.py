@@ -1,0 +1,157 @@
+"""Round-6 operators: incremental component maintenance against a
+persisted bucketed label table, ANN search off a persisted IVF index,
+and the compaction driver query's plumbing.  Registry-level oracle
+parity for all three is covered by tests/test_oracle_parity.py; these
+tests pin the pieces in isolation (hand graphs, persisted-vs-in-query
+equality, plan shapes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tempdb(spark, tmp_path):
+    import uuid
+
+    db = f"r6test_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}'")
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_incremental_components_hand_graph(spark, tempdb):
+    """Hand-checkable merge: corpus clusters {1,2,3} and {5,6}; the
+    batch bridges {1,2,3} to batch nodes 10,20 and to the previously
+    ISOLATED corpus node 7 (not in the label table — must enter the
+    contracted graph as itself); {5,6} is untouched and must keep its
+    label without recomputation."""
+    from legate_dataframe_spark.pipeline.components import (
+        build_components_index,
+        incremental_components_update,
+    )
+
+    corpus_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    build_components_index(spark, corpus_pairs, f"{tempdb}.labels",
+                           num_buckets=4)
+    cross = spark.createDataFrame(
+        [(3, 10), (7, 20)], ["corpus_id", "batch_id"])
+    bpairs = spark.createDataFrame([(10, 20)], ["id_a", "id_b"])
+    got = {r["node"]: r["component"]
+           for r in incremental_components_update(
+               spark, f"{tempdb}.labels", cross, bpairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 10: 1, 20: 1, 7: 1}
+
+
+def test_incremental_components_matches_full_recompute(spark, tempdb):
+    """Random split invariance: incremental merge over a corpus/batch
+    split must equal one-shot components over the union edge set."""
+    import random
+
+    from legate_dataframe_spark.pipeline.components import (
+        build_components_index,
+        connected_components,
+        incremental_components_update,
+    )
+
+    rng = random.Random(13)
+    edges = sorted({tuple(sorted((rng.randrange(60), rng.randrange(60))))
+                    for _ in range(80)})
+    edges = [(a, b) for a, b in edges if a != b]
+    batch_nodes = {n for n in range(60) if n % 5 == 0}
+    corpus_e = [(a, b) for a, b in edges
+                if a not in batch_nodes and b not in batch_nodes]
+    cross_e = [(a, b) if b in batch_nodes else (b, a)
+               for a, b in edges
+               if (a in batch_nodes) != (b in batch_nodes)]
+    batch_e = [(a, b) for a, b in edges
+               if a in batch_nodes and b in batch_nodes]
+
+    build_components_index(
+        spark, spark.createDataFrame(corpus_e, ["id_a", "id_b"]),
+        f"{tempdb}.labels", num_buckets=4)
+    got = {r["node"]: r["component"]
+           for r in incremental_components_update(
+               spark, f"{tempdb}.labels",
+               spark.createDataFrame(cross_e, ["corpus_id", "batch_id"]),
+               spark.createDataFrame(batch_e, ["id_a", "id_b"])).collect()}
+    want = {r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, ["id_a", "id_b"]),
+                "id_a", "id_b").collect()}
+    assert got == want
+
+
+def test_ivf_persisted_matches_in_query(spark, tempdb):
+    """Serving off the persisted index must be value-identical to the
+    in-query ivf_search over the same centroids."""
+    import random
+
+    from legate_dataframe_spark.pipeline.similarity import (
+        assign_with_payload,
+        build_ivf_index,
+        ivf_search,
+        ivf_search_persisted,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cen = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.filter(F.col("vec_id") % 10 == 0)
+
+    build_ivf_index(spark, e, cen, f"{tempdb}.ivf", num_buckets=4)
+    persisted = {(r["q_id"], r["rank"]): (r["c_id"], r["cos_sim"])
+                 for r in ivf_search_persisted(
+                     spark, q, f"{tempdb}.ivf", k=3, n_probe=2).collect()}
+    assigned = assign_with_payload(e, cen, ["embedding"])
+    inquery = {(r["q_id"], r["rank"]): (r["c_id"], r["cos_sim"])
+               for r in ivf_search(assigned, cen, q, k=3,
+                                   n_probe=2).collect()}
+    assert persisted == inquery and persisted
+
+
+def test_ivf_persisted_bucket_plan(spark, tempdb):
+    """With broadcast off, the probe join must read the assignment
+    table's buckets (Bucketed: true) with no Exchange on that side."""
+    from legate_dataframe_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_search_persisted,
+    )
+    from tests.test_plan_quality import plan_of
+
+    e = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * p % 7).cast("double") + F.lit(0.1)
+                  for p in (3, 5)]).alias("embedding"))
+    cen = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    build_ivf_index(spark, e, cen, f"{tempdb}.ivf", num_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = ivf_search_persisted(
+            spark, e.filter(F.col("vec_id") % 20 == 0), f"{tempdb}.ivf",
+            k=3, n_probe=2)
+        plan = plan_of(out, "formatted")
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compaction_reduces_files_and_is_lossless(spark, tmp_path):
+    from legate_dataframe_spark.sources.parquet import compact_parquet_dir
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    df = spark.range(0, 50_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"))
+    df.repartition(40).write.parquet(src)
+    n_out = compact_parquet_dir(spark, src, dst, target_mb=256)
+    assert n_out < 40
+    back = spark.read.parquet(dst)
+    assert back.count() == 50_000
+    assert (back.agg(F.sum("k")).first()[0]
+            == df.agg(F.sum("k")).first()[0])
