@@ -168,6 +168,13 @@ def kmeans_refine(
         expl = joined.select(
             "centroid_id",
             F.posexplode(_to_double(F.col(vec_col))).alias("pos", "val"))
+        # round(avg,6) RETAINED (r06 boundary-flap audit): the per-
+        # iteration rounding IS the cross-engine reproducibility
+        # mechanism — the oracle unrolls the same rounded iterations,
+        # and an integerized mean would change every downstream
+        # centroid/assignment value.  Residual risk (a mean landing
+        # within an ulp of a .5e-6 boundary) is caught pre-driver by
+        # the per-round full-registry strict_parity sweep.
         means = (expl.groupBy("centroid_id", "pos")
                  .agg(F.round(F.avg("val"), 6).alias("m")))
         cen = (means.groupBy("centroid_id")
@@ -297,13 +304,20 @@ def cosine_neardup_pairs(
 
 def embedding_norms(embeddings: DataFrame, vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:
-    """Per-label mean L2 norm — sanity stats over an embedding table."""
+    """Per-label L2-norm stats over an embedding table.
+
+    Integer-exact evidence (r06 boundary-flap audit): each row's norm
+    is engine-deterministic (sequential IEEE fold over the array +
+    sqrt), so Σ round(norm·1e6) as BIGINT is order-invariant, where
+    round(avg(norm),6) could flap a half-ulp with summation order
+    (knn_classify's r04 class).  mean norm = norm_micro_sum/n/1e6."""
     norm = l2_norm(_to_double(F.col(vec_col)))
     return (
         embeddings.select(F.col(label_col), norm.alias("norm"))
         .groupBy(label_col)
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.avg("norm"), 6).alias("avg_norm"))
+             F.sum(F.round(F.col("norm") * 1e6).cast("long"))
+             .alias("norm_micro_sum"))
     )
 
 
@@ -364,6 +378,10 @@ def pq_train(
         expl = (assigned.join(sub, ["id", "sub_id"])
                 .select("sub_id", "cid",
                         F.posexplode("sv").alias("pos", "val")))
+        # round(avg,6) RETAINED — same rationale as kmeans_refine: the
+        # rounding is the codebook's cross-engine reproducibility
+        # contract (oracle unrolls it); flap window covered by the
+        # per-round strict_parity sweep.
         means = (expl.groupBy("sub_id", "cid", "pos")
                  .agg(F.round(F.avg("val"), 6).alias("mv")))
         cen = (means.groupBy("sub_id", "cid")
@@ -719,6 +737,11 @@ def standardize_embeddings(
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dims = emb.select(F.posexplode(v).alias("pos", "x"))
+    # round(avg,6)/round(stddev,6) RETAINED (r06 boundary-flap audit):
+    # mu/sd parameterize the whitening transform the oracle re-derives
+    # identically; the rounding pins both engines to the same
+    # parameters.  Flap window covered by the per-round strict_parity
+    # sweep.
     per_dim = (dims.groupBy("pos")
                .agg(F.round(F.avg("x"), 6).alias("mu"),
                     F.round(F.stddev_pop("x"), 6).alias("sd")))

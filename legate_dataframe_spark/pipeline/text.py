@@ -305,10 +305,17 @@ def bigram_logprob(
     # must count only positions that HAVE a successor or P doesn't
     # normalize per context
     mc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # Integer-exact NLL evidence (r06 boundary-flap audit): per-bigram
+    # -ln(c2/c1) is engine-deterministic (exact integer ratio, one log,
+    # one IEEE multiply+round), and BIGINT sums are order-invariant —
+    # where round(avg(double),6) could land a half-ulp either side of a
+    # .5e-6 boundary depending on summation order (the class that
+    # flapped knn_classify in r04).  nll = nll_micro_sum/n_bigrams/1e6.
+    micro = F.round(-F.log(F.col("c2") / F.col("c1")) * 1e6).cast("long")
     return (big.join(bc, ["w1", "w2"]).join(mc, "w1")
             .groupBy(id_col)
-            .agg(F.round(-F.avg(F.log(F.col("c2") / F.col("c1"))), 6)
-                 .alias("bigram_nll")))
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(micro).alias("nll_micro_sum")))
 
 
 def duplicated_ngrams(
@@ -449,6 +456,9 @@ def bm25_topk(
     tf = (tok.filter(F.col("tok").isin(terms))
           .groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # round(avg,6) SAFE here (r06 boundary-flap audit): dl is an
+    # integer token count, so avg = exact BIGINT sum ÷ count — one
+    # IEEE division, order-invariant in both engines.  No flap window.
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.round(F.avg("dl"), 6).alias("avgdl"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)

@@ -1196,8 +1196,9 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_NORMS_SQL = """
 SELECT label, count(*) AS n,
-       round(avg(sqrt(list_inner_product(embedding::DOUBLE[],
-                                         embedding::DOUBLE[]))), 6) AS avg_norm
+       CAST(sum(CAST(round(sqrt(list_inner_product(
+                embedding::DOUBLE[], embedding::DOUBLE[])) * 1e6)
+                AS BIGINT)) AS BIGINT) AS norm_micro_sum
 FROM embeddings GROUP BY label
 """
 
@@ -1504,7 +1505,9 @@ big AS (
 b2 AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM big),
 bc AS (SELECT w1, w2, count(*) AS c2 FROM b2 GROUP BY w1, w2),
 mc AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1)
-SELECT doc_id, round(-avg(ln(c2 / c1)), 6) AS bigram_nll
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(CAST(round(-ln(c2 / c1) * 1e6) AS BIGINT)) AS BIGINT)
+         AS nll_micro_sum
 FROM b2 JOIN bc USING (w1, w2) JOIN mc USING (w1)
 GROUP BY doc_id
 """

@@ -17,10 +17,10 @@ def test_bigram_logprob_handcrafted(spark):
     # corpus bigrams: (a,b) x2, (a,c) x1 → P(b|a)=2/3, P(c|a)=1/3
     df = spark.createDataFrame([(1, "a b"), (2, "a b"), (3, "a c")],
                                "doc_id: long, text: string")
-    got = {r["doc_id"]: r["bigram_nll"]
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll_micro_sum"])
            for r in text.bigram_logprob(df).collect()}
-    assert got[1] == got[2] == round(-math.log(2 / 3), 6)
-    assert got[3] == round(-math.log(1 / 3), 6)
+    assert got[1] == got[2] == (1, round(-math.log(2 / 3) * 1e6))
+    assert got[3] == (1, round(-math.log(1 / 3) * 1e6))
 
 
 def test_bigram_logprob_excludes_single_token_docs(spark):
