@@ -247,6 +247,43 @@ def build_minhash_index(
                    num_buckets=num_buckets)
 
 
+def minhash_pairs_from_index(
+    spark,
+    table_prefix: str,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus-internal near-dup pairs served OFF the persisted index —
+    no re-tokenize, no re-minhash, and (the bucketing payoff) the
+    candidate self-join runs on the band table's own bucket key
+    (band, bh): both sides of the join read the SAME co-located,
+    pre-sorted buckets, so the plan has zero Exchange for the
+    candidate generation.  Value-identical to
+    :func:`minhash_lsh_pairs` over the corpus the index was built
+    from (the index stores exactly its band rows and distinct
+    shingle sets)."""
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+
+    buckets = read_bucketed(spark, f"{table_prefix}_bands")
+    sh = read_bucketed(spark, f"{table_prefix}_shingles")
+    l, r = buckets.alias("l"), buckets.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.bh") == F.col("r.bh"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = F.when(union > 0, F.round(inter / union, 6))  # ANSI-safe 0/0
+    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
 def incremental_minhash_dedup(
     spark,
     batch: DataFrame,

@@ -99,11 +99,14 @@ def incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 10 == 0)
 
     with _temp_db(spark, "ldf_r6_comp") as db:
-        # ---- build phase (amortized at scale; in-query for the gate)
+        # ---- build phase (amortized at scale; in-query for the gate).
+        # Corpus pairs come OFF the just-built index (the band-table
+        # self-join runs on its own bucket key — zero Exchange), so
+        # the corpus is tokenized/minhashed exactly once.
         dedup.build_minhash_index(spark, corpus, f"{db}.corpus",
                                   num_hashes=_NUM_HASHES, bands=_BANDS)
-        corpus_pairs = dedup.minhash_lsh_pairs(
-            corpus, num_hashes=_NUM_HASHES, bands=_BANDS,
+        corpus_pairs = dedup.minhash_pairs_from_index(
+            spark, f"{db}.corpus",
             jaccard_threshold=0.5).select("id_a", "id_b")
         build_components_index(spark, corpus_pairs, f"{db}.labels")
         # ---- batch phase

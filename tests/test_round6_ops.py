@@ -155,3 +155,37 @@ def test_compaction_reduces_files_and_is_lossless(spark, tmp_path):
     assert back.count() == 50_000
     assert (back.agg(F.sum("k")).first()[0]
             == df.agg(F.sum("k")).first()[0])
+
+
+def test_minhash_pairs_from_index_matches_direct(spark, tempdb):
+    """Pairs served off the persisted index must equal a direct LSH
+    pass over the same corpus, and the band self-join must read the
+    band table's co-located buckets."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        minhash_pairs_from_index,
+    )
+    from tests.test_plan_quality import plan_of
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "a completely different sentence about spark engines"),
+         (4, "the quick brown fox jumps over the lazy dog"),
+         (5, "a completely different sentence about spark engines")],
+        ["doc_id", "text"])
+    build_minhash_index(spark, docs, f"{tempdb}.c", num_buckets=4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in minhash_pairs_from_index(spark, f"{tempdb}.c").collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(docs).collect()}
+    assert got == want and got
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(minhash_pairs_from_index(spark, f"{tempdb}.c"),
+                       "formatted")
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
