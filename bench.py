@@ -138,6 +138,11 @@ EXTRA = [
     "incremental_components",
     "ann_persisted_search",
     "compaction_roundtrip",
+    "ann_index_insert",
+    "interval_overlap_join",
+    "dq_checks",
+    "trend_per_group",
+    "winsorize_stats",
 ]
 
 

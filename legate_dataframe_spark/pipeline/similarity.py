@@ -979,3 +979,32 @@ def ivf_search_persisted(
     assigned = read_bucketed(spark, f"{table_prefix}_assign")
     return ivf_search(assigned, cen, queries, k=k, n_probe=n_probe,
                       id_col=id_col, vec_col=vec_col)
+
+
+def insert_into_ivf_index(
+    spark,
+    batch: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+) -> None:
+    """Append a NEW vector batch into a persisted IVF index built by
+    :func:`build_ivf_index` — the write-side twin of
+    :func:`ivf_search_persisted`, completing the index lifecycle
+    (build → insert → serve) without ever re-assigning the standing
+    corpus.  The batch is assigned against the PERSISTED centroids
+    (broadcast; one batch scan) and appended into the bucketed
+    assignment table — Spark buckets the appended files with the same
+    hash spec, so each bucket id simply gains files and every later
+    probe join stays co-located.  Per-batch cost is O(batch)."""
+    from legate_dataframe_spark.core.bucketing import write_bucketed
+
+    cen = spark.table(f"{table_prefix}_centroids")
+    assigned = assign_with_payload(batch, cen, [vec_col],
+                                   id_col=id_col, vec_col=vec_col)
+    # num_buckets must match build_ivf_index's spec — Spark validates
+    # the bucket spec on append and fails loudly on a mismatch, so a
+    # wrong value can never silently break co-location
+    write_bucketed(assigned, f"{table_prefix}_assign", ["centroid_id"],
+                   num_buckets=num_buckets, mode="append")

@@ -44,6 +44,17 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # compact_parquet_dir finally gets a driver row (was sink-only)
     "compaction_roundtrip": (r6.compaction_roundtrip,
                              r6.COMPACTION_ROUNDTRIP_SQL),
+    # IVF index lifecycle: build → INSERT batch → serve off the catalog
+    "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
+    # binned interval-overlap range join (no native Spark operator)
+    "interval_overlap_join": (r6.interval_overlap_join,
+                              r6.INTERVAL_OVERLAP_SQL),
+    # declarative data-quality expectations rollup
+    "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
+    # per-group closed-form OLS trend (integer-exact sufficient stats)
+    "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
+    # discrete-percentile outlier capping (rank-pinned thresholds)
+    "winsorize_stats": (r6.winsorize_stats, r6.WINSORIZE_SQL),
     # ---- stalest greens: driver rows still from r01 (missed r05's prefix) --
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),

@@ -33,6 +33,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from legate_dataframe_spark.plans.pipeline_queries import (
@@ -249,4 +250,284 @@ SELECT event_type,
        max(ts) AS max_ts
 FROM events
 GROUP BY event_type
+"""
+
+
+# ============================================== incremental ANN index insert
+def ann_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index LIFECYCLE: build on the standing corpus, INSERT a new
+    vector batch (assigned against the persisted centroids, appended
+    into the bucketed assignment table — Spark buckets the appended
+    files under the same hash spec, so probe joins stay co-located),
+    then serve a search off the updated index.  The standing corpus is
+    never re-assigned; per-batch cost is O(batch).
+
+    Oracle: the post-insert index covers corpus ∪ batch = ALL
+    embeddings, so the search must equal the in-query IVF search over
+    the full table (ANN_IVF_SEARCH_SQL verbatim) — batch-over-union
+    equivalence, same statement shape as incremental_dedup's.
+    """
+    from legate_dataframe_spark.pipeline.similarity import (
+        build_ivf_index,
+        insert_into_ivf_index,
+        ivf_search_persisted,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    batch = e.filter(F.col("vec_id") % 10 == 0)
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+
+    with _temp_db(spark, "ldf_r6_annins") as db:
+        build_ivf_index(spark, corpus, cen, f"{db}.ivf")
+        insert_into_ivf_index(spark, batch, f"{db}.ivf")
+        out = ivf_search_persisted(spark, q, f"{db}.ivf", k=5, n_probe=2)
+        return out.localCheckpoint(eager=True)
+
+
+def _ann_index_insert_sql() -> str:
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        ANN_IVF_SEARCH_SQL,
+    )
+
+    return ANN_IVF_SEARCH_SQL
+
+
+ANN_INDEX_INSERT_SQL = _ann_index_insert_sql()
+
+
+# ===================================================== interval overlap join
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: pairs of SAME-customer orders whose fulfillment
+    intervals [o_orderdate, max l_shipdate] overlap, with overlap
+    length in days — the interval-overlap join Spark has no native
+    operator for (DuckDB plans it as IEJoin).
+
+    Scale shape: a naive self-join on the customer key alone degrades
+    to per-customer cross products under the time predicate; the
+    production pattern used here EQUI-BINS each interval into the
+    months it spans (bounded explode — fulfillment intervals are
+    weeks, not years), joins on (customer, month-bin) so the shuffle
+    key carries time locality, verifies exact overlap, and distincts
+    pairs found in multiple shared bins.  At 100 TB the bin join's
+    key space grows with customers × months — no hot key, no
+    cartesian anywhere (the plan-quality sweep asserts none)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = (li.groupBy(F.col("l_orderkey"))
+          .agg(F.max(F.to_date("l_shipdate")).alias("end_d"))
+          .join(o.select("o_orderkey", "o_custkey",
+                         F.to_date("o_orderdate").alias("start_d")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+          .select("o_orderkey", "o_custkey", "start_d", "end_d"))
+    lo, hi = F.least("start_d", "end_d"), F.greatest("start_d", "end_d")
+    binned = iv.withColumn(
+        "m", F.explode(F.sequence(F.trunc(lo, "month"),
+                                  F.trunc(hi, "month"),
+                                  F.expr("interval 1 month"))))
+    a, b = binned.alias("a"), binned.alias("b")
+    overlap = (F.datediff(F.least(F.col("a.end_d"), F.col("b.end_d")),
+                          F.greatest(F.col("a.start_d"), F.col("b.start_d")))
+               + 1).cast("long")
+    return (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                   & (F.col("a.m") == F.col("b.m"))
+                   & (F.col("a.o_orderkey") < F.col("b.o_orderkey")))
+            .filter((F.col("a.start_d") <= F.col("b.end_d"))
+                    & (F.col("b.start_d") <= F.col("a.end_d")))
+            .select(F.col("a.o_orderkey").alias("key_a"),
+                    F.col("b.o_orderkey").alias("key_b"),
+                    overlap.alias("overlap_days"))
+            .distinct())
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_orderdate AS DATE) AS start_d,
+         max(CAST(l_shipdate AS DATE)) AS end_d
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2, 3)
+SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       CAST(datediff('day', greatest(a.start_d, b.start_d),
+                     least(a.end_d, b.end_d)) + 1 AS BIGINT)
+         AS overlap_days
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.start_d <= b.end_d AND b.start_d <= a.end_d
+"""
+
+
+# ======================================================= data-quality checks
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule rollup (the expectations pass a
+    warehouse runs before publishing a table): null / range /
+    duplicate-key rules fuse into ONE conditional-aggregate scan per
+    table; referential-integrity and cross-column rules are one
+    anti-join resp. one equi-join.  Output: (rule, violations, pass)
+    — the 1-row per-table aggregates cross-join (broadcast, 1×1) and
+    unpivot via stack, so nothing scans twice."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    o_aggs = o.agg(
+        one(F.col("o_totalprice") <= 0).alias("v_price_nonpos"),
+        one(F.col("o_custkey").isNull()).alias("v_null_cust"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .alias("v_dup_orderkey"))
+    li_aggs = li.agg(
+        one((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5))
+        .alias("v_discount_range"),
+        one(F.col("l_quantity") <= 0).alias("v_qty_nonpos"))
+    orphan = (li.join(o.select("o_orderkey"),
+                      li.l_orderkey == F.col("o_orderkey"), "left_anti")
+              .agg(F.count(F.lit(1)).alias("v_orphan_lineitem")))
+    ship_before = (li.join(o, li.l_orderkey == o.o_orderkey)
+                   .agg(one(F.col("l_shipdate") < F.col("o_orderdate"))
+                        .alias("v_ship_before_order")))
+    combined = (o_aggs.join(F.broadcast(li_aggs))
+                .join(F.broadcast(orphan))
+                .join(F.broadcast(ship_before)))
+    rules = ["orders.totalprice_nonpositive", "orders.null_custkey",
+             "orders.duplicate_orderkey", "lineitem.discount_out_of_range",
+             "lineitem.quantity_nonpositive", "lineitem.orphan_orderkey",
+             "lineitem.ship_before_orderdate"]
+    cols = ["v_price_nonpos", "v_null_cust", "v_dup_orderkey",
+            "v_discount_range", "v_qty_nonpos", "v_orphan_lineitem",
+            "v_ship_before_order"]
+    stack_args = ", ".join(f"'{r}', {c}" for r, c in zip(rules, cols))
+    return (combined.select(
+        F.expr(f"stack({len(rules)}, {stack_args}) AS (rule, violations)"))
+        .select("rule", F.col("violations").cast("long").alias("violations"),
+                (F.col("violations") == 0).alias("pass")))
+
+
+DQ_CHECKS_SQL = """
+WITH v AS (
+  SELECT 'orders.totalprice_nonpositive' AS rule,
+         (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS violations
+  UNION ALL SELECT 'orders.null_custkey',
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+  UNION ALL SELECT 'orders.duplicate_orderkey',
+         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+  UNION ALL SELECT 'lineitem.discount_out_of_range',
+         (SELECT count(*) FROM lineitem
+          WHERE l_discount < 0 OR l_discount > 0.5)
+  UNION ALL SELECT 'lineitem.quantity_nonpositive',
+         (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+  UNION ALL SELECT 'lineitem.orphan_orderkey',
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+  UNION ALL SELECT 'lineitem.ship_before_orderdate',
+         (SELECT count(*) FROM lineitem JOIN orders
+            ON l_orderkey = o_orderkey
+          WHERE l_shipdate < o_orderdate))
+SELECT rule, CAST(violations AS BIGINT) AS violations,
+       violations = 0 AS pass
+FROM v
+"""
+
+
+# ==================================================== per-group trend (OLS)
+def trend_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope of event value over time (closed-form
+    least squares from sufficient statistics — one partial-aggregable
+    groupBy, no per-group iteration):
+
+      slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    x = day index (exact int), y = value in micro-units (per-row
+    round, exact BIGINT) — so all five sufficient statistics are
+    order-invariant integer sums and the single closing division is
+    deterministic in any engine (no float-sum flap window by
+    construction).  Groups with a degenerate x-variance (all events
+    one day) drop out."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long").alias("x"),
+        F.round(F.col("value") * 1e6).cast("long").alias("y"))
+    s = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (s.filter(den != 0)
+            .select("user_id", "n",
+                    F.round(num.cast("double") / den.cast("double"), 6)
+                    .alias("slope_micro_per_day")))
+
+
+TREND_PER_GROUP_SQL = """
+WITH base AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS x,
+         CAST(round(value * 1e6) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM base GROUP BY user_id)
+SELECT user_id, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         AS slope_micro_per_day
+FROM s WHERE n * sxx - sx * sx != 0
+"""
+
+
+# ========================================================== winsorization
+def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier capping: clamp event values per type into their
+    [p05, p95] DISCRETE percentiles, report capped-sum stats.  Both
+    thresholds are ACTUAL data values picked by explicit rank
+    arithmetic (rn == floor(p·(n−1)) + 1 over the per-type value
+    sort), stated identically in the oracle — quantile_disc index
+    conventions differ between engines, so the pick is pinned rather
+    than trusted.  Clamped sums are per-row micro-rounded BIGINTs
+    (order-invariant; thresholds are bit-identical data values, so
+    clamp decisions can't diverge)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"))
+    pick = lambda p: F.max(F.when(  # noqa: E731
+        F.col("rn") == F.floor(p * (F.col("n") - 1)) + 1, F.col("value")))
+    th = (ranked.groupBy("event_type")
+          .agg(pick(0.05).alias("p05"), pick(0.95).alias("p95")))
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")),
+                      F.col("p95"))
+    return (ev.join(F.broadcast(th), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("p05").alias("p05"), F.min("p95").alias("p95"),
+                 F.sum(F.round(clamped * 1e6).cast("long"))
+                 .alias("winsorized_micro_sum")))
+
+
+WINSORIZE_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+th AS (
+  SELECT event_type,
+         max(CASE WHEN rn = floor(0.05 * (n - 1)) + 1 THEN value END) AS p05,
+         max(CASE WHEN rn = floor(0.95 * (n - 1)) + 1 THEN value END) AS p95
+  FROM ranked GROUP BY event_type)
+SELECT e.event_type, count(*) AS n, min(p05) AS p05, min(p95) AS p95,
+       CAST(sum(CAST(round(least(greatest(value, p05), p95) * 1e6)
+                     AS BIGINT)) AS BIGINT) AS winsorized_micro_sum
+FROM events e JOIN th USING (event_type)
+GROUP BY e.event_type
 """

@@ -168,6 +168,8 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "embedding_standardize", # vs 1-row per-dim whitening stats
         "hybrid_rrf_search",     # bm25 1-row stats + broadcast query vec
         "ann_recall_audit",      # brute-force + IVF legs, broadcast q/cen
+        "dq_checks",             # four 1-row rule-aggregate frames
+                                 # cross-joined before the stack unpivot
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):

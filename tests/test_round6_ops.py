@@ -189,3 +189,114 @@ def test_minhash_pairs_from_index_matches_direct(spark, tempdb):
         assert "Bucketed: true" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ivf_insert_append_matches_full_build(spark, tempdb):
+    """build(corpus) + insert(batch) must serve identically to
+    build(corpus ∪ batch) — appended files keep bucket co-location."""
+    import random
+
+    from legate_dataframe_spark.pipeline.similarity import (
+        build_ivf_index,
+        insert_into_ivf_index,
+        ivf_search_persisted,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(90)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cen = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.filter(F.col("vec_id") % 15 == 0)
+
+    build_ivf_index(spark, e.filter(F.col("vec_id") % 3 != 0), cen,
+                    f"{tempdb}.inc", num_buckets=4)
+    insert_into_ivf_index(spark, e.filter(F.col("vec_id") % 3 == 0),
+                          f"{tempdb}.inc", num_buckets=4)
+    build_ivf_index(spark, e, cen, f"{tempdb}.full", num_buckets=4)
+    inc = {(r["q_id"], r["rank"]): (r["c_id"], r["cos_sim"])
+           for r in ivf_search_persisted(spark, q, f"{tempdb}.inc",
+                                         k=3, n_probe=2).collect()}
+    full = {(r["q_id"], r["rank"]): (r["c_id"], r["cos_sim"])
+            for r in ivf_search_persisted(spark, q, f"{tempdb}.full",
+                                          k=3, n_probe=2).collect()}
+    assert inc == full and inc
+
+
+def test_interval_overlap_hand_cases(spark, monkeypatch, tmp_path):
+    """Binned overlap join on hand intervals: cross-month overlap
+    found once (distinct), non-overlap excluded, different customers
+    never pair, adjacent single-day overlap counts 1 day."""
+    import datetime as dt
+
+    from legate_dataframe_spark.plans import round6
+
+    orders = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 20)),   # ─┐ overlap Jan20..Feb10
+         (2, 10, dt.datetime(2024, 2, 1)),    # ─┘ (cross-month, 2 bins)
+         (3, 10, dt.datetime(2024, 5, 1)),    # no overlap with 1/2
+         (4, 20, dt.datetime(2024, 1, 25)),   # other customer
+         (5, 30, dt.datetime(2024, 3, 1)),    # ─┐ single shared day
+         (6, 30, dt.datetime(2024, 3, 10))],  # ─┘ (Mar 10)
+        ["o_orderkey", "o_custkey", "o_orderdate"])
+    ship = spark.createDataFrame(
+        [(1, dt.datetime(2024, 2, 10)), (2, dt.datetime(2024, 2, 20)),
+         (3, dt.datetime(2024, 5, 5)), (4, dt.datetime(2024, 2, 5)),
+         (5, dt.datetime(2024, 3, 10)), (6, dt.datetime(2024, 3, 20))],
+        ["l_orderkey", "l_shipdate"])
+    monkeypatch.setattr(
+        round6, "load_table",
+        lambda spark_, sf_, name: {"orders": orders, "lineitem": ship}[name])
+    got = {(r["key_a"], r["key_b"]): r["overlap_days"]
+           for r in round6.interval_overlap_join(spark, "unused").collect()}
+    assert got == {(1, 2): 10, (5, 6): 1}
+
+
+def test_dq_checks_flags_injected_violations(spark, monkeypatch):
+    import datetime as dt
+
+    from legate_dataframe_spark.plans import round6
+
+    orders = spark.createDataFrame(
+        [(1, 10, "O", 100.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+         (1, 11, "O", 50.0, dt.datetime(2024, 1, 2), "1-URGENT"),   # dup key
+         (2, None, "O", -5.0, dt.datetime(2024, 1, 3), "1-URGENT")],  # null + nonpos
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"])
+    li = spark.createDataFrame(
+        [(1, 1.0, 0.9, dt.datetime(2024, 1, 5)),    # discount out of range
+         (99, 2.0, 0.1, dt.datetime(2024, 1, 5)),   # orphan
+         (2, 3.0, 0.1, dt.datetime(2023, 12, 1))],  # ship before order
+        ["l_orderkey", "l_quantity", "l_discount", "l_shipdate"])
+    monkeypatch.setattr(
+        round6, "load_table",
+        lambda spark_, sf_, name: {"orders": orders, "lineitem": li}[name])
+    got = {r["rule"]: (r["violations"], r["pass"])
+           for r in round6.dq_checks(spark, "unused").collect()}
+    assert got["orders.duplicate_orderkey"] == (1, False)
+    assert got["orders.null_custkey"] == (1, False)
+    assert got["orders.totalprice_nonpositive"] == (1, False)
+    assert got["lineitem.discount_out_of_range"] == (1, False)
+    assert got["lineitem.orphan_orderkey"] == (1, False)
+    assert got["lineitem.ship_before_orderdate"] == (1, False)
+    assert got["lineitem.quantity_nonpositive"] == (0, True)
+
+
+def test_trend_slope_hand_values(spark, monkeypatch):
+    import datetime as dt
+
+    from legate_dataframe_spark.plans import round6
+
+    # user 1: y_micro = 2e6·x (slope 2e6/day); user 2: constant days → dropped
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 0.0),
+         (1, dt.datetime(2024, 1, 2), 2.0),
+         (1, dt.datetime(2024, 1, 3), 4.0),
+         (2, dt.datetime(2024, 1, 5), 1.0),
+         (2, dt.datetime(2024, 1, 5), 9.0)],
+        ["user_id", "ts", "value"])
+    monkeypatch.setattr(round6, "load_table",
+                        lambda spark_, sf_, name: ev)
+    got = {r["user_id"]: (r["n"], r["slope_micro_per_day"])
+           for r in round6.trend_per_group(spark, "unused").collect()}
+    assert got == {1: (3, 2_000_000.0)}
