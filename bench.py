@@ -143,6 +143,7 @@ EXTRA = [
     "dq_checks",
     "trend_per_group",
     "winsorize_stats",
+    "stream_dedup_vs_index",
 ]
 
 

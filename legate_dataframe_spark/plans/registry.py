@@ -55,6 +55,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
     # discrete-percentile outlier capping (rank-pinned thresholds)
     "winsorize_stats": (r6.winsorize_stats, r6.WINSORIZE_SQL),
+    # streaming ingest gate: micro-batches deduped vs the persisted index
+    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
+                              r6.STREAM_DEDUP_VS_INDEX_SQL),
     # ---- stalest greens: driver rows still from r01 (missed r05's prefix) --
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),

@@ -323,10 +323,15 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_orderkey") == F.col("o_orderkey"))
           .select("o_orderkey", "o_custkey", "start_d", "end_d"))
     lo, hi = F.least("start_d", "end_d"), F.greatest("start_d", "end_d")
-    binned = iv.withColumn(
+    # both sides of the self-join read this frame — persist so the
+    # lineitem groupBy + orders join + explode runs ONCE (Spark has no
+    # cross-branch CSE; components.py's lesson applied here)
+    from legate_dataframe_spark.core.caching import tracked_persist
+
+    binned = tracked_persist(iv.withColumn(
         "m", F.explode(F.sequence(F.trunc(lo, "month"),
                                   F.trunc(hi, "month"),
-                                  F.expr("interval 1 month"))))
+                                  F.expr("interval 1 month")))))
     a, b = binned.alias("a"), binned.alias("b")
     overlap = (F.datediff(F.least(F.col("a.end_d"), F.col("b.end_d")),
                           F.greatest(F.col("a.start_d"), F.col("b.start_d")))
@@ -531,3 +536,81 @@ SELECT e.event_type, count(*) AS n, min(p05) AS p05, min(p95) AS p95,
 FROM events e JOIN th USING (event_type)
 GROUP BY e.event_type
 """
+
+
+# ======================================== streaming dedup vs persisted index
+def stream_dedup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production INGEST GATE: a document stream where every
+    micro-batch is near-dup-checked against the PERSISTED corpus
+    minhash index inside ``foreachBatch`` — streaming machinery and
+    the bucketed catalog index composed (r05's incremental_dedup was
+    one batch; real pipelines ingest continuously).
+
+    Three staged single-file micro-batches (controlled mtimes +
+    maxFilesPerTrigger=1 ⇒ deterministic trigger order, round-4
+    rig) partition today's docs by (doc_id/10) % 3; each batch runs
+    ``incremental_minhash_dedup`` against the index — only that
+    batch's band rows shuffle, into the index's bucket layout; the
+    corpus is scanned by NO batch.  The drained union must equal the
+    ONE-SHOT incremental dedup of all batch docs (each batch is
+    checked against the same immutable index, and LSH band signatures
+    are per-doc), so the oracle is INCREMENTAL_DEDUP_SQL verbatim.
+    """
+    import glob as _glob
+    import time as _time
+
+    from legate_dataframe_spark.pipeline.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+    )
+    from legate_dataframe_spark.plans.round4 import _stage_single_file
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    with _temp_db(spark, "ldf_r6_sdedup") as db:
+        build_minhash_index(spark, corpus, f"{db}.corpus")
+        stage = tempfile.mkdtemp(prefix="ldf_r6_sdedup_stage_")
+        outdir = tempfile.mkdtemp(prefix="ldf_r6_sdedup_out_")
+        ck = tempfile.mkdtemp(prefix="ldf_r6_sdedup_ck_")
+        try:
+            now = _time.time()
+            for i in range(3):
+                _stage_single_file(
+                    batch.filter(F.floor(F.col("doc_id") / 10) % 3 == i),
+                    stage, f"b{i}.parquet", now - 300 + i * 100)
+            stream = (spark.readStream.schema(batch.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(stage))
+
+            def gate(batch_df: DataFrame, batch_id: int) -> None:
+                (incremental_minhash_dedup(spark, batch_df, f"{db}.corpus")
+                 .write.mode("append").parquet(outdir))
+
+            q = (stream.writeStream.outputMode("append")
+                 .foreachBatch(gate)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError("stream_dedup_vs_index drain > 300s")
+            if not _glob.glob(f"{outdir}/*.parquet"):
+                return spark.createDataFrame(
+                    [], "corpus_id: bigint, batch_id: bigint, jaccard: double")
+            return spark.read.parquet(outdir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(outdir, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_dedup_vs_index_sql() -> str:
+    from legate_dataframe_spark.plans.round5 import INCREMENTAL_DEDUP_SQL
+
+    return INCREMENTAL_DEDUP_SQL
+
+
+STREAM_DEDUP_VS_INDEX_SQL = _stream_dedup_vs_index_sql()
