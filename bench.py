@@ -144,6 +144,7 @@ EXTRA = [
     "trend_per_group",
     "winsorize_stats",
     "stream_dedup_vs_index",
+    "bm25_persisted_search",
 ]
 
 

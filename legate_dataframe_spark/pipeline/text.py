@@ -699,3 +699,86 @@ def inverted_index(
                 F.sort_array(F.collect_list("did")), 1, max_postings)
                 .cast("array<string>")).alias("postings"))
             .select("term", "df", "postings"))
+
+
+def build_bm25_index(
+    spark,
+    docs: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """Persist the BM25 state as catalog tables so keyword searches
+    serve off storage instead of re-tokenizing the corpus per query —
+    the text-retrieval twin of similarity.build_ivf_index:
+
+    - ``{prefix}_postings`` (doc_id, tok, tf) bucketed+sorted on
+      ``tok`` — a search's term filter becomes bucket PRUNING: only
+      the buckets that can hold the query terms are read at all;
+    - ``{prefix}_dl``       (doc_id, dl) bucketed on doc_id;
+    - ``{prefix}_stats``    1-row (n_docs, avgdl), plain.
+
+    df(term) is NOT stored: it is derivable from the fetched postings
+    of the query terms themselves (count of docs per term), so the
+    index never goes stale relative to its own postings.  The
+    O(corpus) tokenize+count shuffle is paid once here; each search
+    costs O(postings of its terms)."""
+    from legate_dataframe_spark.core.bucketing import write_bucketed
+
+    tok = docs.select(F.col(id_col),
+                      F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("tok"))
+    postings = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    write_bucketed(postings, f"{table_prefix}_postings", ["tok"],
+                   num_buckets=num_buckets)
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    write_bucketed(dl, f"{table_prefix}_dl", [id_col],
+                   num_buckets=num_buckets)
+    # round(avg,6) SAFE: dl is an integer count — exact sum ÷ count
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.round(F.avg("dl"), 6).alias("avgdl"))
+    (stats.write.format("parquet").mode("overwrite")
+     .saveAsTable(f"{table_prefix}_stats"))
+
+
+def bm25_search_persisted(
+    spark,
+    query_terms: list[str],
+    table_prefix: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k served from a :func:`build_bm25_index` catalog
+    index: the term filter prunes the postings scan to the buckets
+    that can contain the query terms (SelectedBucketsCount in the
+    plan), df comes from the fetched postings, dl rides a broadcast
+    join against the (never-shuffled) length table, and scoring /
+    ranking match ``bm25_topk`` exactly — value-identical to the
+    in-query search over the same corpus."""
+    from pyspark.sql import Window as _W
+
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+
+    terms = [t.lower() for t in query_terms]
+    postings = (read_bucketed(spark, f"{table_prefix}_postings")
+                .filter(F.col("tok").isin(terms)))  # bucket-pruned scan
+    dl = read_bucketed(spark, f"{table_prefix}_dl")
+    stats = spark.table(f"{table_prefix}_stats")
+    df_ = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    denom = (F.col("tf")
+             + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    term_score = idf * F.col("tf") * (k1 + 1) / denom
+    scored = (dl.join(F.broadcast(postings), id_col)
+              .join(F.broadcast(df_), "tok")
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col)
+              .agg(F.round(F.sum(term_score), 6).alias("bm25")))
+    top = scored.orderBy(F.col("bm25").desc(), id_col).limit(topk)
+    return top.withColumn(
+        "rank", F.row_number().over(
+            _W.orderBy(F.col("bm25").desc(), id_col)).cast("long"))

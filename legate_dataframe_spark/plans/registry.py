@@ -58,6 +58,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # streaming ingest gate: micro-batches deduped vs the persisted index
     "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
                               r6.STREAM_DEDUP_VS_INDEX_SQL),
+    # BM25 served off a persisted inverted index (bucket-pruned postings)
+    "bm25_persisted_search": (r6.bm25_persisted_search,
+                              r6.BM25_PERSISTED_SEARCH_SQL),
     # ---- stalest greens: driver rows still from r01 (missed r05's prefix) --
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),

@@ -614,3 +614,49 @@ def _stream_dedup_vs_index_sql() -> str:
 
 
 STREAM_DEDUP_VS_INDEX_SQL = _stream_dedup_vs_index_sql()
+
+
+# ========================================================= persisted BM25
+def bm25_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search served off a PERSISTED inverted index — the
+    text-retrieval twin of ann_persisted_search, completing the
+    round's persisted-index family (minhash / components / IVF /
+    BM25).  Build (paid once): full postings (doc, term, tf) bucketed
+    on TERM + doc-length table + 1-row stats.  Serve: the query's
+    term filter becomes bucket PRUNING — the in-query plan assertion
+    pins ``SelectedBucketsCount`` in the postings scan, i.e. Spark
+    reads only the buckets that can contain the query terms, not the
+    corpus; at 100 TB that is the difference between a keyword search
+    costing O(postings of 3 terms) and O(corpus).
+
+    Values are identical to the in-query ``bm25_search`` over the
+    same corpus and terms (df is derived from the fetched postings;
+    dl/avgdl are exact integer statistics), so the oracle is that
+    query's SQL verbatim.
+    """
+    from legate_dataframe_spark.pipeline.text import (
+        build_bm25_index,
+        bm25_search_persisted,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    with _temp_db(spark, "ldf_r6_bm25") as db:
+        build_bm25_index(spark, d, f"{db}.idx")
+        out = bm25_search_persisted(
+            spark, ["shuffle", "broadcast", "vector"], f"{db}.idx",
+            topk=10)
+        plan = _plan_of(out, "formatted")
+        if "SelectedBucketsCount" not in plan:
+            raise AssertionError(
+                "persisted BM25 search did not bucket-prune the "
+                f"postings scan:\n{plan}")
+        return out.localCheckpoint(eager=True)
+
+
+def _bm25_persisted_sql() -> str:
+    from legate_dataframe_spark.plans.pipeline_queries import BM25_SEARCH_SQL
+
+    return BM25_SEARCH_SQL
+
+
+BM25_PERSISTED_SEARCH_SQL = _bm25_persisted_sql()

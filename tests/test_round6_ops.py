@@ -300,3 +300,32 @@ def test_trend_slope_hand_values(spark, monkeypatch):
     got = {r["user_id"]: (r["n"], r["slope_micro_per_day"])
            for r in round6.trend_per_group(spark, "unused").collect()}
     assert got == {1: (3, 2_000_000.0)}
+
+
+def test_bm25_persisted_matches_in_query_and_prunes(spark, tempdb):
+    """Persisted BM25 must rank identically to the in-query bm25_topk
+    over the same corpus, and the postings scan must bucket-prune on
+    the term filter (SelectedBucketsCount)."""
+    from legate_dataframe_spark.pipeline.text import (
+        bm25_search_persisted,
+        bm25_topk,
+        build_bm25_index,
+    )
+    from tests.test_plan_quality import plan_of
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join broadcast shuffle"),
+         (2, "vector search with broadcast hash join"),
+         (3, "an unrelated document about cats and dogs"),
+         (4, "shuffle shuffle shuffle everywhere"),
+         (5, "broadcast vector broadcast vector")],
+        ["doc_id", "text"])
+    build_bm25_index(spark, docs, f"{tempdb}.bm", num_buckets=4)
+    out = bm25_search_persisted(
+        spark, ["shuffle", "broadcast", "vector"], f"{tempdb}.bm", topk=3)
+    got = {(r["doc_id"], r["rank"]): r["bm25"] for r in out.collect()}
+    want = {(r["doc_id"], r["rank"]): r["bm25"]
+            for r in bm25_topk(docs, ["shuffle", "broadcast", "vector"],
+                               topk=3).collect()}
+    assert got == want and got
+    assert "SelectedBucketsCount" in plan_of(out, "formatted")
