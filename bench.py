@@ -145,6 +145,7 @@ EXTRA = [
     "winsorize_stats",
     "stream_dedup_vs_index",
     "bm25_persisted_search",
+    "incremental_rollup",
 ]
 
 

@@ -61,6 +61,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # BM25 served off a persisted inverted index (bucket-pruned postings)
     "bm25_persisted_search": (r6.bm25_persisted_search,
                               r6.BM25_PERSISTED_SEARCH_SQL),
+    # materialized-aggregate maintenance vs a persisted bucketed rollup
+    "incremental_rollup": (r6.incremental_rollup,
+                           r6.INCREMENTAL_ROLLUP_SQL),
     # ---- stalest greens: driver rows still from r01 (missed r05's prefix) --
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),

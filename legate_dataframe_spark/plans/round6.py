@@ -28,6 +28,7 @@ import contextlib
 import glob
 import io
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -660,3 +661,78 @@ def _bm25_persisted_sql() -> str:
 
 
 BM25_PERSISTED_SEARCH_SQL = _bm25_persisted_sql()
+
+
+# ================================================== incremental rollup
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance against persisted state —
+    the aggregation member of the persisted-index family
+    (pipeline/rollup.py).  At 100 TB a dashboard refresh cannot
+    re-aggregate the raw event log; the standing state is a bucketed
+    rollup of MERGEABLE partials (count / exact micro-BIGINT sum /
+    min / max per (day, event_type)) and a batch merges in at
+    O(batch + touched groups).
+
+    Split (incremental_dedup's convention): event_id % 10 != 0 is the
+    standing corpus, the rest today's batch.  Build phase (paid once
+    in production): corpus partials bucketed on the group key.  Merge
+    phase: batch partials fold into matched groups, insert otherwise.
+
+    Broadcast is disabled (and restored) around the merge so the plan
+    at gate scale is the 100 TB plan, and the in-query assertions pin
+    the scale shape: the state table reads its co-located buckets
+    (``Bucketed: true``) and the only shuffle Exchanges in the serve
+    plan belong to the (already-aggregated, checkpointed) batch side —
+    the corpus-sized state never moves.  With AQE broadcast left on,
+    Spark ships the tiny batch instead — also zero state shuffle.
+
+    The oracle is the maximal statement: the merged table must equal
+    a full GROUP BY recompute over ALL events (floor-micro
+    integerization is bit-identical across engines, so partial-merge
+    vs recompute cannot differ even in ties).
+    """
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_rollup_index,
+        incremental_rollup_update,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 != 0)
+    batch = e.filter(F.col("event_id") % 10 == 0)
+
+    with _temp_db(spark, "ldf_r6_rollup") as db:
+        build_rollup_index(spark, corpus, f"{db}.state")
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = incremental_rollup_update(spark, f"{db}.state", batch)
+            plan = _plan_of(out, "formatted")
+            if "Bucketed: true" not in plan:
+                raise AssertionError(
+                    "rollup merge did not read the state table "
+                    f"bucket-aware:\n{plan}")
+            # count the formatted plan's "(n) Exchange" detail headers
+            # (each node also appears in the tree sketch — a bare
+            # substring count would double-count every Exchange)
+            shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+            if shuffles > 2:
+                raise AssertionError(
+                    "rollup merge shuffled more than the batch side "
+                    f"({shuffles} Exchanges):\n{plan}")
+            return out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           prev_bc)
+
+
+INCREMENTAL_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_micro,
+       min(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micro,
+       max(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micro
+FROM events
+GROUP BY 1, 2
+"""

@@ -329,3 +329,44 @@ def test_bm25_persisted_matches_in_query_and_prunes(spark, tempdb):
                                topk=3).collect()}
     assert got == want and got
     assert "SelectedBucketsCount" in plan_of(out, "formatted")
+
+
+def test_incremental_rollup_hand_values(spark, tempdb):
+    """Hand-checkable merge of batch partials into persisted state:
+    day A/click matched (counts+sums add, min/max fold), day B/view
+    untouched (must pass through unchanged), day C/click batch-only
+    (must insert).  Result must equal a full recompute over the
+    union."""
+    import datetime as dt
+
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_rollup_index,
+        event_partials,
+        incremental_rollup_update,
+    )
+
+    def ev(day, typ, val):
+        return (dt.datetime(2024, 1, day, 12, 0), typ, val)
+
+    corpus = spark.createDataFrame(
+        [ev(1, "click", 1.5), ev(1, "click", -2.25),
+         ev(2, "view", 10.0)],
+        ["ts", "event_type", "value"])
+    batch = spark.createDataFrame(
+        [ev(1, "click", 7.0), ev(3, "click", 0.125)],
+        ["ts", "event_type", "value"])
+    build_rollup_index(spark, corpus, f"{tempdb}.state", num_buckets=4)
+    out = incremental_rollup_update(spark, f"{tempdb}.state", batch)
+    got = {(r["day"], r["event_type"]):
+           (r["n"], r["sum_micro"], r["min_micro"], r["max_micro"])
+           for r in out.collect()}
+    d = dt.datetime
+    assert got == {
+        (d(2024, 1, 1), "click"): (3, 6_250_000, -2_250_000, 7_000_000),
+        (d(2024, 1, 2), "view"): (1, 10_000_000, 10_000_000, 10_000_000),
+        (d(2024, 1, 3), "click"): (1, 125_000, 125_000, 125_000),
+    }
+    want = {(r["day"], r["event_type"]):
+            (r["n"], r["sum_micro"], r["min_micro"], r["max_micro"])
+            for r in event_partials(corpus.unionByName(batch)).collect()}
+    assert got == want
