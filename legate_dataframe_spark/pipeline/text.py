@@ -713,27 +713,30 @@ def build_bm25_index(
     serve off storage instead of re-tokenizing the corpus per query —
     the text-retrieval twin of similarity.build_ivf_index:
 
-    - ``{prefix}_postings`` (doc_id, tok, tf) bucketed+sorted on
+    - ``{prefix}_postings`` (doc_id, tok, tf, dl) bucketed+sorted on
       ``tok`` — a search's term filter becomes bucket PRUNING: only
-      the buckets that can hold the query terms are read at all;
-    - ``{prefix}_dl``       (doc_id, dl) bucketed on doc_id;
+      the buckets that can hold the query terms are read at all.
+      dl is DENORMALIZED into every posting (one extra int64 per row)
+      precisely so a search never touches a corpus-sized side table:
+      a normalized (doc_id, dl) table would cost an O(n_docs) scan
+      per query to length-normalize the survivors;
     - ``{prefix}_stats``    1-row (n_docs, avgdl), plain.
 
     df(term) is NOT stored: it is derivable from the fetched postings
     of the query terms themselves (count of docs per term), so the
     index never goes stale relative to its own postings.  The
     O(corpus) tokenize+count shuffle is paid once here; each search
-    costs O(postings of its terms)."""
+    costs O(postings of its terms) — no corpus-sized scan anywhere
+    on the serve path."""
     from legate_dataframe_spark.core.bucketing import write_bucketed
 
     tok = docs.select(F.col(id_col),
                       F.explode(tokens(F.lower(F.col(text_col))))
                       .alias("tok"))
     postings = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
-    write_bucketed(postings, f"{table_prefix}_postings", ["tok"],
-                   num_buckets=num_buckets)
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    write_bucketed(dl, f"{table_prefix}_dl", [id_col],
+    write_bucketed(postings.join(dl, id_col),
+                   f"{table_prefix}_postings", ["tok"],
                    num_buckets=num_buckets)
     # round(avg,6) SAFE: dl is an integer count — exact sum ÷ count
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
@@ -754,10 +757,10 @@ def bm25_search_persisted(
     """BM25 top-k served from a :func:`build_bm25_index` catalog
     index: the term filter prunes the postings scan to the buckets
     that can contain the query terms (SelectedBucketsCount in the
-    plan), df comes from the fetched postings, dl rides a broadcast
-    join against the (never-shuffled) length table, and scoring /
-    ranking match ``bm25_topk`` exactly — value-identical to the
-    in-query search over the same corpus."""
+    plan), df comes from the fetched postings, dl rides denormalized
+    on each fetched posting row, and scoring / ranking match
+    ``bm25_topk`` exactly — value-identical to the in-query search
+    over the same corpus, with nothing corpus-sized on the plan."""
     from pyspark.sql import Window as _W
 
     from legate_dataframe_spark.core.bucketing import read_bucketed
@@ -765,7 +768,6 @@ def bm25_search_persisted(
     terms = [t.lower() for t in query_terms]
     postings = (read_bucketed(spark, f"{table_prefix}_postings")
                 .filter(F.col("tok").isin(terms)))  # bucket-pruned scan
-    dl = read_bucketed(spark, f"{table_prefix}_dl")
     stats = spark.table(f"{table_prefix}_stats")
     df_ = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
@@ -773,7 +775,7 @@ def bm25_search_persisted(
     denom = (F.col("tf")
              + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     term_score = idf * F.col("tf") * (k1 + 1) / denom
-    scored = (dl.join(F.broadcast(postings), id_col)
+    scored = (postings
               .join(F.broadcast(df_), "tok")
               .crossJoin(F.broadcast(stats))
               .groupBy(id_col)
