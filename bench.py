@@ -134,6 +134,14 @@ EXTRA = [
     # round-5 additions
     "bucketed_join",
     "incremental_dedup",
+    # real operators with no timing history (VERDICT r06 task 7)
+    "merge_upsert",
+    "funnel_conversion",
+    "cogroup_user_orders",
+    "stream_etl_ingest",
+    "kmeans_centroids",
+    "ann_kmeans_search",
+    "embedding_neardup",
     # round-6 additions
     "incremental_components",
     "ann_persisted_search",
@@ -146,6 +154,18 @@ EXTRA = [
     "stream_dedup_vs_index",
     "bm25_persisted_search",
     "incremental_rollup",
+    # round-7 additions: multi-generation maintenance chains
+    "incremental_rollup_chain",
+    "incremental_components_chain",
+    # round-7 serve-only rows (VERDICT r06 task 8): each builds its
+    # persisted index ONCE (session cache) on the first of the
+    # best-of-N runs; min() therefore reports the pure serve/refresh
+    # latency — the amortization claim, cashed out as a number
+    "dedup_serve_only",
+    "components_serve_only",
+    "ann_serve_only",
+    "bm25_serve_only",
+    "rollup_serve_only",
 ]
 
 
@@ -255,11 +275,20 @@ def main() -> None:
                                 os.path.join(os.path.dirname(
                                     os.path.abspath(__file__)),
                                     "BENCH_EXTRAS.json"))
+    extras_record = {"metric": "extra_queries_seconds", "unit": "sec",
+                     "sf": sf_num if sf_num is not None else sf,
+                     "queries": extra}
     with open(extras_out, "w") as fh:
-        json.dump({"metric": "extra_queries_seconds", "unit": "sec",
-                   "sf": sf_num if sf_num is not None else sf,
-                   "queries": extra}, fh, indent=1, sort_keys=True)
+        json.dump(extras_record, fh, indent=1, sort_keys=True)
         fh.write("\n")
+    # ADVICE r06: BENCH_EXTRAS.json is overwritten per run, so
+    # cross-round extras history only survived via git archaeology.
+    # Append every run to a committed JSONL so history is durable
+    # even if a round forgets to commit the snapshot.
+    hist = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_EXTRAS_HISTORY.jsonl")
+    with open(hist, "a") as fh:
+        fh.write(json.dumps(extras_record, sort_keys=True) + "\n")
     print(json.dumps({"metric": "extra_queries_seconds",
                       "unit": "sec", "queries": extra}))
     print(json.dumps({

@@ -247,6 +247,41 @@ def build_minhash_index(
                    num_buckets=num_buckets)
 
 
+def insert_into_minhash_index(
+    spark,
+    batch: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    num_buckets: int = 16,
+) -> None:
+    """Append a NEW document batch into a persisted minhash index
+    built by :func:`build_minhash_index` — the lifecycle INSERT the
+    IVF index already has (similarity.insert_into_ivf_index): once a
+    batch has been dedup-checked and admitted, its band rows and
+    shingle sets join the index so the NEXT batch is checked against
+    corpus ∪ batch without the corpus ever being re-tokenized.
+
+    The batch is minhashed once (O(batch)) and appended into both
+    bucketed tables under their existing hash specs — Spark validates
+    the bucket spec on append and fails loudly on a mismatch, so each
+    bucket id simply gains files and every later candidate join stays
+    co-located."""
+    from legate_dataframe_spark.core.bucketing import write_bucketed
+
+    sh, buckets = minhash_shingles_and_buckets(
+        batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k)
+    write_bucketed(buckets, f"{table_prefix}_bands", ["band", "bh"],
+                   num_buckets=num_buckets, mode="append")
+    write_bucketed(sh.select("id", F.array_distinct("sh").alias("sh")),
+                   f"{table_prefix}_shingles", ["id"],
+                   num_buckets=num_buckets, mode="append")
+
+
 def minhash_pairs_from_index(
     spark,
     table_prefix: str,

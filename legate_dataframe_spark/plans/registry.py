@@ -18,6 +18,7 @@ from legate_dataframe_spark.plans import relational as r
 from legate_dataframe_spark.plans import round4 as r4
 from legate_dataframe_spark.plans import round5 as r5
 from legate_dataframe_spark.plans import round6 as r6
+from legate_dataframe_spark.plans import round7 as r7
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -26,105 +27,69 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # name → (spark_fn, oracle_sql | None).  None ⇒ rows-only check.
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
-# (r01–r04 each checked exactly the first ~50 entries).  Rotation protocol
-# (r05): the front block holds queries with no green driver row yet —
-# knn_classify (the registry's only r04 red, now integer-exact) and the
-# round-5 additions; the remaining blocks are ordered by round of LAST
-# driver verification, OLDEST FIRST, so the prefix spillover re-checks the
-# stalest greens (the r01 block hasn't had a driver row since round 1).
-# In-repo sf0.001/sf0.01 oracle-parity tests guard every entry meanwhile.
+# (each round checks the first ~50 entries).  Rotation protocol (r05):
+# the front block holds queries with no green driver row yet (round-7
+# additions) plus entries whose implementation CHANGED this round
+# (winsorize_stats, trend_per_group), then kcore_peel (r05
+# done-criterion — its newest row is still r04), then the r02-block
+# tail that missed r06's prefix, then the r03 block with VERDICT r06
+# task 5's named stalest first.  Later blocks are ordered by round of
+# LAST driver verification, oldest first.  In-repo sf0.001 oracle-parity
+# tests guard every entry meanwhile.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-6 front: no driver row yet ----------------------------------
-    # incremental cluster maintenance vs a persisted bucketed label table
-    "incremental_components": (r6.incremental_components,
-                               r6.INCREMENTAL_COMPONENTS_SQL),
-    # ANN served off a bucketBy-persisted IVF catalog index
-    "ann_persisted_search": (r6.ann_persisted_search,
-                             r6.ANN_PERSISTED_SEARCH_SQL),
-    # compact_parquet_dir finally gets a driver row (was sink-only)
-    "compaction_roundtrip": (r6.compaction_roundtrip,
-                             r6.COMPACTION_ROUNDTRIP_SQL),
-    # IVF index lifecycle: build → INSERT batch → serve off the catalog
-    "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
-    # binned interval-overlap range join (no native Spark operator)
-    "interval_overlap_join": (r6.interval_overlap_join,
-                              r6.INTERVAL_OVERLAP_SQL),
-    # declarative data-quality expectations rollup
-    "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
-    # per-group closed-form OLS trend (integer-exact sufficient stats)
-    "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
-    # discrete-percentile outlier capping (rank-pinned thresholds)
+    # ---- round-7 front: no driver row yet ----------------------------------
+    # multi-generation maintenance: batch N+1 merges against state
+    # UPDATED by batch N (bucket-spec-preserving two-phase swap)
+    "incremental_rollup_chain": (r7.incremental_rollup_chain,
+                                 r7.INCREMENTAL_ROLLUP_CHAIN_SQL),
+    "incremental_components_chain": (r7.incremental_components_chain,
+                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
+    # serve-only latency for each persisted index (index built once per
+    # session, cached; bench best-of-N reports the pure serve path)
+    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
+    "components_serve_only": (r7.components_serve_only,
+                              r7.COMPONENTS_SERVE_ONLY_SQL),
+    "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
+    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
+    "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
+    # ---- changed this round — re-verify ------------------------------------
+    # winsorize: per-type single-task window sort (r06 scale flag)
+    # replaced by exact counting-selection; same rank-pinned contract
     "winsorize_stats": (r6.winsorize_stats, r6.WINSORIZE_SQL),
-    # streaming ingest gate: micro-batches deduped vs the persisted index
-    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
-                              r6.STREAM_DEDUP_VS_INDEX_SQL),
-    # BM25 served off a persisted inverted index (bucket-pruned postings)
-    "bm25_persisted_search": (r6.bm25_persisted_search,
-                              r6.BM25_PERSISTED_SEARCH_SQL),
-    # materialized-aggregate maintenance vs a persisted bucketed rollup
-    "incremental_rollup": (r6.incremental_rollup,
-                           r6.INCREMENTAL_ROLLUP_SQL),
-    # ---- stalest greens: driver rows still from r01 (missed r05's prefix) --
-    "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
-    "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
-    "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
-    # ---- driver-verified green in CORRECTNESS_r02.json ----------------------
-    # dedup
-    "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
-    "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
-    "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
-    "dedup_clusters": (pq.dedup_clusters, pq.DEDUP_CLUSTERS_SQL),
-    "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
-    "dedup_levenshtein": (pq.dedup_levenshtein, pq.DEDUP_LEVENSHTEIN_SQL),
-    "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
-    # similarity search
-    "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
-    "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
-    "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
-    "kmeans_centroids": (pq.kmeans_centroids, pq.KMEANS_SQL),
-    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
-    "pq_codes": (pq.pq_codes, pq.PQ_CODES_SQL),
-    "pq_adc_search": (pq.pq_adc_search, pq.PQ_ADC_SEARCH_SQL),
-    "ivfpq_search": (pq.ivfpq_search, pq.IVFPQ_SEARCH_SQL),
-    "embedding_norms": (pq.embedding_norms, pq.EMBEDDING_NORMS_SQL),
-    # text analysis
-    "text_stats": (pq.text_stats, pq.TEXT_STATS_SQL),
-    "token_count": (pq.token_count, pq.TOKEN_COUNT_SQL),
-    "lang_id": (pq.lang_id, pq.LANG_ID_SQL),
-    "doc_fingerprint": (pq.doc_fingerprint, pq.DOC_FINGERPRINT_SQL),
-    "quality_scores": (pq.quality_scores, pq.QUALITY_SCORES_SQL),
-    "doc_chunks": (pq.doc_chunks, pq.DOC_CHUNKS_SQL),
-    "repetition_signals": (pq.repetition_signals_q, pq.REPETITION_SIGNALS_SQL),
-    "decontaminate_overlap": (pq.decontaminate_overlap, pq.DECONTAMINATE_SQL),
-    "stratified_sample": (pq.stratified_sample_q, pq.STRATIFIED_SAMPLE_SQL),
-    "unigram_logprob": (pq.unigram_logprob_q, pq.UNIGRAM_LOGPROB_SQL),
-    "bm25_search": (pq.bm25_search, pq.BM25_SEARCH_SQL),
-    "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
-    # zero-copy task surface (mapInArrow)
-    "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),
-    # multimodal plumbing (binary payloads through mapInPandas)
-    "multimodal_features": (pq.multimodal_features, pq.MULTIMODAL_FEATURES_SQL),
-    "multimodal_frames": (pq.multimodal_frames, pq.MULTIMODAL_FRAMES_SQL),
-    # event windowing / sessionization
-    "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),
-    "events_stream_tumbling": (pq.events_stream_tumbling,
-                               pq.EVENTS_STREAM_TUMBLING_SQL),
-    "user_retention": (pq.user_retention, pq.USER_RETENTION_SQL),
-    "events_sliding": (pq.events_sliding, pq.EVENTS_SLIDING_SQL),
-    "sessionize": (pq.sessionize, pq.SESSIONIZE_SQL),
+    # trend: x centered per group for int64 headroom (values unchanged)
+    "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
+    # ---- r05 done-criterion: kcore_peel's newest driver row is still r04 ---
+    "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
+    # ---- r02-block tail that missed r06's 50-entry prefix ------------------
     "event_pairs_within": (pq.event_pairs_within, pq.EVENT_PAIRS_SQL),
-    # window functions (beyond-reference, native Spark)
     "window_cumall": (r.window_cumall, r.WINDOW_CUMALL_SQL),
     "window_topn_per_group": (r.window_topn_per_group, r.WINDOW_TOPN_SQL),
-    # scalar parity extras
     "replace_nulls": (pq.replace_nulls_q, pq.REPLACE_NULLS_SQL),
     "sort_nulls_first": (pq.sort_nulls_first, pq.SORT_NULLS_FIRST_SQL),
-    # percentiles / arg-extremes / generated sequences / membership
     "quantile_stats": (r.quantile_stats, r.QUANTILE_STATS_SQL),
     "minmax_by": (r.minmax_by, r.MINMAX_BY_SQL),
     "sequence_agg": (r.sequence_agg, r.SEQUENCE_AGG_SQL),
     "contains_column": (r.contains_column_q, r.CONTAINS_COLUMN_SQL),
     # ---- driver-verified green in CORRECTNESS_r03.json ----------------------
+    # (judge-named stalest first — VERDICT r06 task 5's rotation list)
+    "user_event_gaps": (pq.user_event_gaps_q, pq.USER_EVENT_GAPS_SQL),
+    "multimodal_real_decode": (pq.multimodal_real_decode,
+                               pq.MULTIMODAL_REAL_DECODE_SQL),
+    "bigram_fluency": (pq.bigram_fluency, pq.BIGRAM_FLUENCY_SQL),
+    "pii_redaction": (pq.pii_redaction, pq.PII_REDACTION_SQL),
+    "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
+    "stream_user_stats": (pq.stream_user_stats_drain, pq.STREAM_USER_STATS_SQL),
+    "stream_etl_ingest": (pq.stream_etl_ingest, pq.STREAM_ETL_INGEST_SQL),
+    "events_stream_sliding": (pq.events_stream_sliding,
+                              pq.EVENTS_STREAM_SLIDING_SQL),
+    "events_stream_session": (pq.events_stream_session,
+                              pq.EVENTS_STREAM_SESSION_SQL),
+    "semantic_dedup": (pq.semantic_dedup_q, pq.SEMANTIC_DEDUP_SQL),
+    "sq8_search": (pq.sq8_search, pq.SQ8_SEARCH_SQL),
+    "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
+    "pagerank_users": (pq.pagerank_users, pq.PAGERANK_SQL),
+    "correlated_subquery": (r.correlated_subquery, r.CORRELATED_SUBQUERY_SQL),
+    "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
     "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
     # previously rows-only; now emits (exact values, bounded-error booleans)
@@ -134,22 +99,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "csv_roundtrip": (rt.csv_roundtrip, rt.CSV_ROUNDTRIP_SQL),
     "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),
     "arrow_roundtrip": (rt.arrow_roundtrip, rt.ARROW_ROUNDTRIP_SQL),
-    # grouped-task (applyInPandas) surface
-    "user_event_gaps": (pq.user_event_gaps_q, pq.USER_EVENT_GAPS_SQL),
-    # REAL stdlib decode (WAV/BMP) — fake=False branch, driver-verified
-    "multimodal_real_decode": (pq.multimodal_real_decode,
-                               pq.MULTIMODAL_REAL_DECODE_SQL),
     # round-3 pipeline operators
-    "bigram_fluency": (pq.bigram_fluency, pq.BIGRAM_FLUENCY_SQL),
     "ngram_dup_counts": (pq.ngram_dup_counts, pq.NGRAM_DUP_SQL),
-    "pii_redaction": (pq.pii_redaction, pq.PII_REDACTION_SQL),
     "quality_filter": (pq.quality_filter, pq.QUALITY_FILTER_SQL),
     "json_extract_props": (pq.json_extract_props, pq.JSON_EXTRACT_SQL),
     "rolling_range_window": (pq.rolling_range_window, pq.ROLLING_RANGE_SQL),
     "mixture_sample": (pq.mixture_sample_q, pq.MIXTURE_SAMPLE_SQL),
-    "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
-    "stream_user_stats": (pq.stream_user_stats_drain, pq.STREAM_USER_STATS_SQL),
-    "stream_etl_ingest": (pq.stream_etl_ingest, pq.STREAM_ETL_INGEST_SQL),
     "asof_tolerance": (r.asof_tolerance, r.ASOF_TOLERANCE_SQL),
     "ann_projected": (pq.ann_projected, pq.ANN_PROJECTED_SQL),
     "pivot_event_values": (pq.pivot_event_values, pq.PIVOT_EVENT_VALUES_SQL),
@@ -160,14 +115,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "funnel_conversion": (pq.funnel_conversion, pq.FUNNEL_CONVERSION_SQL),
     "merge_upsert": (pq.merge_upsert_customers, pq.MERGE_UPSERT_SQL),
     "event_transitions": (pq.event_transitions, pq.EVENT_TRANSITIONS_SQL),
-    "events_stream_sliding": (pq.events_stream_sliding,
-                              pq.EVENTS_STREAM_SLIDING_SQL),
     "arrow_grouped_stats": (pq.arrow_grouped_stats,
                             pq.ARROW_GROUPED_STATS_SQL),
     "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
     "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
-    "semantic_dedup": (pq.semantic_dedup_q, pq.SEMANTIC_DEDUP_SQL),
-    "sq8_search": (pq.sq8_search, pq.SQ8_SEARCH_SQL),
     "segment_dedup": (pq.segment_dedup, pq.SEGMENT_DEDUP_SQL),
     "tfidf_terms": (pq.tfidf_terms, pq.TFIDF_TERMS_SQL),
     "char_entropy": (pq.char_entropy, pq.CHAR_ENTROPY_SQL),
@@ -176,13 +127,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "source_rollup": (pq.source_rollup, pq.SOURCE_ROLLUP_SQL),
     "weighted_sample": (pq.weighted_sample, pq.WEIGHTED_SAMPLE_SQL),
     "psi_drift": (pq.psi_drift, pq.PSI_DRIFT_SQL),
-    "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
-    "pagerank_users": (pq.pagerank_users, pq.PAGERANK_SQL),
     "window_rank_stats": (pq.window_rank_stats, pq.WINDOW_RANK_STATS_SQL),
-    "events_stream_session": (pq.events_stream_session,
-                              pq.EVENTS_STREAM_SESSION_SQL),
-    "correlated_subquery": (r.correlated_subquery, r.CORRELATED_SUBQUERY_SQL),
-    "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
     "cross_source_overlap": (pq.cross_source_overlap,
                              pq.CROSS_SOURCE_OVERLAP_SQL),
     "cluster_label_purity": (pq.cluster_label_purity,
@@ -224,7 +169,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                                 r4.MINHASH_PRECISION_AUDIT_SQL),
     "label_propagation": (r4.label_propagation, r4.LABEL_PROPAGATION_SQL),
     "bfs_hops": (r4.bfs_hops_q, r4.BFS_HOPS_SQL),
-    "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
     "canonical_best_quality": (r4.canonical_best_quality,
                                r4.CANONICAL_BEST_QUALITY_SQL),
     "blocklist_filter": (r4.blocklist_filter, r4.BLOCKLIST_FILTER_SQL),
@@ -299,6 +243,70 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "isin_filter": (r.isin_filter, r.ISIN_SQL),
     "string_match": (r.string_match, r.STRING_MATCH_SQL),
     "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
+    # ---- re-greened by the r06 driver (freshest — rotate last) ------------
+    # (r02 block re-greened by the r06 prefix)
+    # dedup
+    "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
+    "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
+    "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
+    "dedup_clusters": (pq.dedup_clusters, pq.DEDUP_CLUSTERS_SQL),
+    "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
+    "dedup_levenshtein": (pq.dedup_levenshtein, pq.DEDUP_LEVENSHTEIN_SQL),
+    "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
+    # similarity search
+    "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
+    "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
+    "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
+    "kmeans_centroids": (pq.kmeans_centroids, pq.KMEANS_SQL),
+    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
+    "pq_codes": (pq.pq_codes, pq.PQ_CODES_SQL),
+    "pq_adc_search": (pq.pq_adc_search, pq.PQ_ADC_SEARCH_SQL),
+    "ivfpq_search": (pq.ivfpq_search, pq.IVFPQ_SEARCH_SQL),
+    "embedding_norms": (pq.embedding_norms, pq.EMBEDDING_NORMS_SQL),
+    # text analysis
+    "text_stats": (pq.text_stats, pq.TEXT_STATS_SQL),
+    "token_count": (pq.token_count, pq.TOKEN_COUNT_SQL),
+    "lang_id": (pq.lang_id, pq.LANG_ID_SQL),
+    "doc_fingerprint": (pq.doc_fingerprint, pq.DOC_FINGERPRINT_SQL),
+    "quality_scores": (pq.quality_scores, pq.QUALITY_SCORES_SQL),
+    "doc_chunks": (pq.doc_chunks, pq.DOC_CHUNKS_SQL),
+    "repetition_signals": (pq.repetition_signals_q, pq.REPETITION_SIGNALS_SQL),
+    "decontaminate_overlap": (pq.decontaminate_overlap, pq.DECONTAMINATE_SQL),
+    "stratified_sample": (pq.stratified_sample_q, pq.STRATIFIED_SAMPLE_SQL),
+    "unigram_logprob": (pq.unigram_logprob_q, pq.UNIGRAM_LOGPROB_SQL),
+    "bm25_search": (pq.bm25_search, pq.BM25_SEARCH_SQL),
+    "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
+    # zero-copy task surface (mapInArrow)
+    "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),
+    # multimodal plumbing (binary payloads through mapInPandas)
+    "multimodal_features": (pq.multimodal_features, pq.MULTIMODAL_FEATURES_SQL),
+    "multimodal_frames": (pq.multimodal_frames, pq.MULTIMODAL_FRAMES_SQL),
+    # event windowing / sessionization
+    "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),
+    "events_stream_tumbling": (pq.events_stream_tumbling,
+                               pq.EVENTS_STREAM_TUMBLING_SQL),
+    "user_retention": (pq.user_retention, pq.USER_RETENTION_SQL),
+    "events_sliding": (pq.events_sliding, pq.EVENTS_SLIDING_SQL),
+    "sessionize": (pq.sessionize, pq.SESSIONIZE_SQL),
+    "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
+    "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
+    "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
+    "incremental_components": (r6.incremental_components,
+                               r6.INCREMENTAL_COMPONENTS_SQL),
+    "ann_persisted_search": (r6.ann_persisted_search,
+                             r6.ANN_PERSISTED_SEARCH_SQL),
+    "compaction_roundtrip": (r6.compaction_roundtrip,
+                             r6.COMPACTION_ROUNDTRIP_SQL),
+    "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
+    "interval_overlap_join": (r6.interval_overlap_join,
+                              r6.INTERVAL_OVERLAP_SQL),
+    "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
+    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
+                              r6.STREAM_DEDUP_VS_INDEX_SQL),
+    "bm25_persisted_search": (r6.bm25_persisted_search,
+                              r6.BM25_PERSISTED_SEARCH_SQL),
+    "incremental_rollup": (r6.incremental_rollup,
+                           r6.INCREMENTAL_ROLLUP_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:
