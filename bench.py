@@ -157,6 +157,8 @@ EXTRA = [
     # round-7 additions: multi-generation maintenance chains
     "incremental_rollup_chain",
     "incremental_components_chain",
+    "incremental_rollup_partitioned",
+    "stream_dedup_chain",
     # round-7 serve-only rows (VERDICT r06 task 8): each builds its
     # persisted index ONCE (session cache) on the first of the
     # best-of-N runs; min() therefore reports the pure serve/refresh

@@ -52,6 +52,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
     "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
     "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
+    # day-partitioned rollup maintained by dynamic partition overwrite
+    # (DPP asserted on the state scan: refresh reads O(touched days))
+    "incremental_rollup_partitioned": (
+        r7.incremental_rollup_partitioned,
+        r7.INCREMENTAL_ROLLUP_PARTITIONED_SQL),
+    # streaming ingest loop closed: each admitted micro-batch is
+    # inserted into the index before the next batch is gated
+    "stream_dedup_chain": (r7.stream_dedup_chain,
+                           r7.STREAM_DEDUP_CHAIN_SQL),
     # ---- changed this round — re-verify ------------------------------------
     # winsorize: per-type single-task window sort (r06 scale flag)
     # replaced by exact counting-selection; same rank-pinned contract

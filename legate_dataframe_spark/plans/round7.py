@@ -404,3 +404,175 @@ def _rollup_serve_sql() -> str:
 
 
 ROLLUP_SERVE_ONLY_SQL = _rollup_serve_sql()
+
+
+# ================================= partitioned rollup (dynamic overwrite)
+def incremental_rollup_partitioned(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The SECOND write-back mechanism: day-PARTITIONED rollup state
+    maintained by DYNAMIC PARTITION OVERWRITE — for time-keyed state
+    the production-preferred shape next to the bucketed swap
+    (replace_bucketed rewrites the whole table per generation; the
+    partitioned form rewrites only the day partitions the batch
+    touches, and the overwrite is atomic per partition).
+
+    Two generations run against the same state (corpus → +Monday →
+    +Tuesday, event_id % 10 split as in the chain query).  The merge
+    plan must show Catalyst's DYNAMIC PARTITION PRUNING subquery on
+    the state scan (``dynamicpruningexpression``) — the machine
+    evidence that at 100 TB a refresh reads O(touched partitions) of
+    state, not years of history; the write side touches the same
+    partitions only (``partitionOverwriteMode=dynamic``).
+
+    Oracle (maximal, same as the bucketed chain): the final state
+    must equal a full GROUP BY over ALL events.
+    """
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_rollup_partitioned,
+        incremental_rollup_overwrite,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 >= 2)
+    monday = e.filter(F.col("event_id") % 10 == 0)
+    tuesday = e.filter(F.col("event_id") % 10 == 1)
+
+    with _temp_db(spark, "ldf_r7_rollpart") as db:
+        build_rollup_partitioned(spark, corpus, f"{db}.state")
+        incremental_rollup_overwrite(spark, f"{db}.state", monday)
+        plan = incremental_rollup_overwrite(spark, f"{db}.state", tuesday)
+        if "dynamicpruning" not in plan.lower():
+            raise AssertionError(
+                "partitioned rollup merge did not dynamic-partition-"
+                f"prune the state scan:\n{plan}")
+        return (spark.table(f"{db}.state")
+                .select("day", "event_type", "n", "sum_micro",
+                        "min_micro", "max_micro")
+                .localCheckpoint(eager=True))
+
+
+INCREMENTAL_ROLLUP_PARTITIONED_SQL = _rollup_sql()
+
+
+# ================================== streaming ingest chain (index grows)
+def stream_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingest loop CLOSED: r06's ``stream_dedup_vs_index``
+    checked every micro-batch against an IMMUTABLE corpus index; here
+    each admitted batch is INSERTED into the index inside the same
+    ``foreachBatch`` (dedup.insert_into_minhash_index, bucket-spec-
+    preserving append), so batch i is near-dup-checked against
+    corpus ∪ batches<i — duplicates ARRIVING WITHIN the stream are
+    caught, not just duplicates of the standing corpus.
+
+    Rig: three staged single-file micro-batches (controlled mtimes +
+    maxFilesPerTrigger=1 ⇒ deterministic trigger order) partition
+    today's docs by floor(doc_id/10) % 3.  Per batch: gate against
+    the index, append results, insert the batch.  Per-batch cost is
+    O(batch + collisions) — the corpus is scanned by no batch, and
+    the index grows by exactly the admitted rows.
+
+    Oracle: with stage(corpus) = −1 and stage(batch i) = i, the
+    drained union is exactly the near-dup pairs whose endpoints sit
+    in DIFFERENT stages, oriented (lower stage, higher stage) —
+    batch-internal pairs of one micro-batch are out of scope by
+    design (same contract as r06; the one-shot incremental_dedup
+    states it for a single batch).
+    """
+    import glob as _glob
+    import time as _time
+
+    from legate_dataframe_spark.pipeline.dedup import (
+        build_minhash_index,
+        incremental_minhash_dedup,
+        insert_into_minhash_index,
+    )
+    from legate_dataframe_spark.plans.round4 import _stage_single_file
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    with _temp_db(spark, "ldf_r7_sdchain") as db:
+        build_minhash_index(spark, corpus, f"{db}.corpus")
+        stage = tempfile.mkdtemp(prefix="ldf_r7_sdchain_stage_")
+        outdir = tempfile.mkdtemp(prefix="ldf_r7_sdchain_out_")
+        ck = tempfile.mkdtemp(prefix="ldf_r7_sdchain_ck_")
+        try:
+            now = _time.time()
+            for i in range(3):
+                _stage_single_file(
+                    batch.filter(F.floor(F.col("doc_id") / 10) % 3 == i),
+                    stage, f"b{i}.parquet", now - 300 + i * 100)
+            stream = (spark.readStream.schema(batch.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(stage))
+
+            def gate_and_admit(batch_df: DataFrame, batch_id: int) -> None:
+                # foreachBatch runs on a CLONED SparkSession whose
+                # relation cache still holds the file listing from the
+                # previous gate — refresh both index tables there or
+                # this batch silently misses every row the last batch
+                # inserted (observed: batch-0↔batch-2 pair dropped)
+                sess = batch_df.sparkSession
+                for t in (f"{db}.corpus_bands", f"{db}.corpus_shingles"):
+                    sess.catalog.refreshTable(t)
+                frozen = batch_df.localCheckpoint(eager=True)
+                (incremental_minhash_dedup(sess, frozen, f"{db}.corpus")
+                 .write.mode("append").parquet(outdir))
+                insert_into_minhash_index(sess, frozen, f"{db}.corpus")
+
+            q = (stream.writeStream.outputMode("append")
+                 .foreachBatch(gate_and_admit)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError("stream_dedup_chain drain > 300s")
+            if not _glob.glob(f"{outdir}/*.parquet"):
+                return spark.createDataFrame(
+                    [], "corpus_id: bigint, batch_id: bigint, jaccard: double")
+            return spark.read.parquet(outdir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(outdir, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+def _stream_dedup_chain_sql() -> str:
+    from legate_dataframe_spark.plans.pipeline_queries import _lsh_cand_ctes
+
+    # stage(id): −1 for corpus docs, else the micro-batch number; a
+    # pair is reported iff its endpoints sit in different stages,
+    # oriented (earlier, later) — exactly what "each batch checked
+    # against corpus ∪ earlier batches" produces
+    return "WITH " + _lsh_cand_ctes() + """,
+staged AS (
+  SELECT id_a, id_b,
+         CASE WHEN id_a % 10 != 0 THEN -1
+              ELSE CAST(floor(id_a / 10) AS BIGINT) % 3 END AS sa,
+         CASE WHEN id_b % 10 != 0 THEN -1
+              ELSE CAST(floor(id_b / 10) AS BIGINT) % 3 END AS sb
+  FROM cand),
+cross_pairs AS (
+  SELECT CASE WHEN sa < sb THEN id_a ELSE id_b END AS corpus_id,
+         CASE WHEN sa < sb THEN id_b ELSE id_a END AS batch_id
+  FROM staged WHERE sa != sb),
+v AS (
+  SELECT p.corpus_id, p.batch_id,
+         list_distinct(a.sh) AS sa, list_distinct(b.sh) AS sb
+  FROM cross_pairs p
+  JOIN shg a ON a.id = p.corpus_id
+  JOIN shg b ON b.id = p.batch_id)
+SELECT corpus_id, batch_id, jaccard FROM (
+  SELECT corpus_id, batch_id,
+         round(len(list_intersect(sa, sb))
+               / (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6)
+           AS jaccard
+  FROM v)
+WHERE jaccard >= 0.5
+"""
+
+
+STREAM_DEDUP_CHAIN_SQL = _stream_dedup_chain_sql()
