@@ -159,6 +159,7 @@ EXTRA = [
     "incremental_components_chain",
     "incremental_rollup_partitioned",
     "stream_dedup_chain",
+    "ann_index_compact",
     # round-7 serve-only rows (VERDICT r06 task 8): each builds its
     # persisted index ONCE (session cache) on the first of the
     # best-of-N runs; min() therefore reports the pure serve/refresh

@@ -88,7 +88,32 @@ def replace_bucketed(
     """
     nxt = f"{table_name}__next"
     spark.sql(f"DROP TABLE IF EXISTS {nxt}")
-    write_bucketed(df, nxt, bucket_cols, num_buckets=num_buckets,
-                   sort_cols=sort_cols)
+    # Align write partitions with bucket ids: bucketBy emits one file
+    # per bucket PER TASK, so a generation written from an arbitrarily-
+    # partitioned merge plan would accrete small files every swap.
+    # repartition(n, cols) uses the same Murmur3-pmod assignment as
+    # Spark's bucket id, so each task holds exactly one bucket → one
+    # file per bucket per generation (this is also what makes
+    # replace_bucketed double as the index COMPACTION primitive).
+    #
+    # autoBucketedScan must be pinned OFF for the write: when df reads
+    # the table being replaced, the planner first drops the repartition
+    # as redundant (the bucketed scan satisfies its distribution), then
+    # separately disables the bucketed scan as join-free — leaving a
+    # per-input-file-split plan that re-fragments the output.  With the
+    # scan pinned bucketed, the eliminated exchange is CORRECT and the
+    # rewrite is one task per bucket with no shuffle at all.
+    prev = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false")
+        write_bucketed(df.repartition(num_buckets, *bucket_cols), nxt,
+                       bucket_cols, num_buckets=num_buckets,
+                       sort_cols=sort_cols)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     spark.sql(f"ALTER TABLE {nxt} RENAME TO {table_name}")

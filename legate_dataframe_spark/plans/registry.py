@@ -61,6 +61,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # inserted into the index before the next batch is gated
     "stream_dedup_chain": (r7.stream_dedup_chain,
                            r7.STREAM_DEDUP_CHAIN_SQL),
+    # index lifecycle completed: build → insert ×3 → COMPACT → serve
+    # (small-file pathology repaired in place, co-location preserved)
+    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
     # ---- changed this round — re-verify ------------------------------------
     # winsorize: per-type single-task window sort (r06 scale flag)
     # replaced by exact counting-selection; same rank-pinned contract

@@ -31,6 +31,7 @@ from __future__ import annotations
 import atexit
 import contextlib
 import io
+import os
 import re
 import shutil
 import tempfile
@@ -452,6 +453,86 @@ def incremental_rollup_partitioned(spark: SparkSession,
 
 
 INCREMENTAL_ROLLUP_PARTITIONED_SQL = _rollup_sql()
+
+
+# ===================================================== index compaction
+def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the persisted-index LIFECYCLE: build → insert ×3 →
+    COMPACT → serve.  Every ``insert_into_ivf_index`` append adds a
+    file per bucket, so a long-lived index accumulates small files
+    (the classic streaming-table pathology — at 100 TB, thousands of
+    appends make the probe scan open-file-bound instead of byte-bound).
+    Compaction is ``replace_bucketed`` with the table's own content:
+    one read + one bucketBy write under the same spec, restoring one
+    file per bucket while preserving co-location.
+
+    The query asserts the compaction actually shrank the file count
+    AND that the post-compaction search still reads ``Bucketed: true``
+    — then returns the search, whose oracle (IVF over all embeddings)
+    proves the rewrite lossless.
+    """
+    import glob as _glob
+
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        replace_bucketed,
+    )
+    from legate_dataframe_spark.pipeline.similarity import (
+        build_ivf_index,
+        insert_into_ivf_index,
+        ivf_search_persisted,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 4 == 3)
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+
+    # manual db setup (not _temp_db) — the file-count assertion needs
+    # the table directory, which is {db location}/{table} for managed
+    # tables and survives the rename (rename moves the dir back)
+    db = f"ldf_r7_anncompact_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix="ldf_r7_anncompact_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        build_ivf_index(spark, corpus, cen, f"{db}.ivf")
+        for i in range(3):
+            insert_into_ivf_index(spark, e.filter(F.col("vec_id") % 4 == i),
+                                  f"{db}.ivf")
+
+        def nfiles() -> int:
+            return len(_glob.glob(os.path.join(loc, "ivf_assign",
+                                               "part-*")))
+
+        # 4 file generations (build + 3 appends) → ~4 files/bucket
+        before = nfiles()
+        replace_bucketed(spark, read_bucketed(spark, f"{db}.ivf_assign"),
+                         f"{db}.ivf_assign", ["centroid_id"],
+                         num_buckets=16)
+        after = nfiles()
+        if after >= before:
+            raise AssertionError(
+                f"index compaction did not reduce files: {before} → {after}")
+        # broadcast off so the probe join exercises the bucketed scan
+        # (with AQE broadcast the bucket layout is simply unused and
+        # the scan prints Bucketed: false) — r06 ann_persisted_search
+        # convention
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = ivf_search_persisted(spark, q, f"{db}.ivf", k=5, n_probe=2)
+        plan = _plan_of(out, "formatted")
+        if "Bucketed: true" not in plan:
+            raise AssertionError(
+                "post-compaction search lost bucket awareness:\n" + plan)
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+ANN_INDEX_COMPACT_SQL = _ann_serve_sql()
 
 
 # ================================== streaming ingest chain (index grows)
