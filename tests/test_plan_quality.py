@@ -170,6 +170,12 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         "ann_recall_audit",      # brute-force + IVF legs, broadcast q/cen
         "dq_checks",             # four 1-row rule-aggregate frames
                                  # cross-joined before the stack unpivot
+        "ann_serve_only",        # ivf_search_persisted with AQE on:
+                                 # probes × broadcast centroids (its
+                                 # build+serve twin pins the bucketed
+                                 # no-broadcast plan instead)
+        "bm25_serve_only",       # vs 1-row (N, avgdl) stats aggregate
+        "ann_index_compact",     # post-compaction serve, same shape
     }
     offenders = {}
     for name, fn in sorted(QUERIES.items()):
