@@ -190,6 +190,17 @@ def incremental_rollup_overwrite(
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain(mode="formatted")
+    # Materialize the merge BEFORE the overwrite (ADVICE r07): the lazy
+    # plan reads spark.table(table_name) and insertInto-overwrites the
+    # SAME table in one action — Spark forbids that shape for static
+    # overwrite and it only works in dynamic mode because the commit
+    # protocol stages output before deleting matched partitions.  A
+    # Spark upgrade, Hive-serde table, or non-default commit protocol
+    # could throw or corrupt state mid-refresh.  The checkpoint severs
+    # the read: the write plan scans the checkpointed blocks, never the
+    # table it replaces.  (The plan string above is captured from the
+    # LAZY plan, where the DPP evidence lives.)
+    out = out.localCheckpoint(eager=True)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode",

@@ -542,8 +542,17 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100× each per-type window task holds n/4096 of the type, not
     n — the same single-sort-task avoidance equidepth_histogram
-    documents, applied to an exact (not approximate) selection."""
-    ev = load_table(spark, sf_dir, "events")
+    documents, applied to an exact (not approximate) selection.
+
+    NULL contract (ADVICE r07): NULL values are excluded up front —
+    otherwise they bucket to a NULL bin id, get counted in the
+    histogram cumsum, and then never join back to their target rank
+    (NULL != NULL in the equi-join), silently yielding NULL
+    thresholds.  Winsorization over the non-null domain is the
+    standard statistical semantics; the oracle states the same
+    filter."""
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull()))
     nbins = 4096
     stats = (ev.groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("n"),
@@ -596,11 +605,13 @@ def winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINSORIZE_SQL = """
-WITH ranked AS (
+WITH nn AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+ranked AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events),
+  FROM nn),
 th AS (
   SELECT event_type,
          max(CASE WHEN rn = floor(0.05 * (n - 1)) + 1 THEN value END) AS p05,
@@ -609,7 +620,7 @@ th AS (
 SELECT e.event_type, count(*) AS n, min(p05) AS p05, min(p95) AS p95,
        CAST(sum(CAST(round(least(greatest(value, p05), p95) * 1e6)
                      AS BIGINT)) AS BIGINT) AS winsorized_micro_sum
-FROM events e JOIN th USING (event_type)
+FROM nn e JOIN th USING (event_type)
 GROUP BY e.event_type
 """
 

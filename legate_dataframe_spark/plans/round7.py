@@ -588,6 +588,21 @@ def stream_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .option("maxFilesPerTrigger", 1).parquet(stage))
 
             def gate_and_admit(batch_df: DataFrame, batch_id: int) -> None:
+                # Exactly-once guard (ADVICE r07): foreachBatch gives
+                # at-least-once delivery, so a retry of a processed
+                # batch must be a no-op — otherwise the append re-emits
+                # the batch's pairs AND re-inserts its band/shingle
+                # rows into the index.  (a) a batch whose marker exists
+                # is skipped outright; (b) the pair output goes to a
+                # per-batch_id directory in OVERWRITE mode, so a retry
+                # of a partially-written batch replaces rather than
+                # duplicates.  Residual window: a crash between the
+                # index insert and the marker write re-inserts on
+                # retry — closing that needs a transactional table
+                # format; documented, not hidden.
+                done = os.path.join(ck, f"ldf_batch_{batch_id}.done")
+                if os.path.exists(done):
+                    return
                 # foreachBatch runs on a CLONED SparkSession whose
                 # relation cache still holds the file listing from the
                 # previous gate — refresh both index tables there or
@@ -598,8 +613,10 @@ def stream_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sess.catalog.refreshTable(t)
                 frozen = batch_df.localCheckpoint(eager=True)
                 (incremental_minhash_dedup(sess, frozen, f"{db}.corpus")
-                 .write.mode("append").parquet(outdir))
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(outdir, f"b{batch_id}")))
                 insert_into_minhash_index(sess, frozen, f"{db}.corpus")
+                open(done, "w").close()
 
             q = (stream.writeStream.outputMode("append")
                  .foreachBatch(gate_and_admit)
@@ -611,10 +628,12 @@ def stream_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not finished:
                 q.stop()
                 raise TimeoutError("stream_dedup_chain drain > 300s")
-            if not _glob.glob(f"{outdir}/*.parquet"):
+            if not _glob.glob(f"{outdir}/b*/*.parquet"):
                 return spark.createDataFrame(
                     [], "corpus_id: bigint, batch_id: bigint, jaccard: double")
-            return spark.read.parquet(outdir).localCheckpoint(eager=True)
+            return (spark.read
+                    .option("recursiveFileLookup", "true")
+                    .parquet(outdir).localCheckpoint(eager=True))
         finally:
             shutil.rmtree(ck, ignore_errors=True)
             shutil.rmtree(outdir, ignore_errors=True)

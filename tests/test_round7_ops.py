@@ -175,7 +175,8 @@ def test_rollup_chain_second_merge_sees_first(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", ["dedup_serve_only", "ann_serve_only",
-                                  "bm25_serve_only", "rollup_serve_only"])
+                                  "bm25_serve_only", "rollup_serve_only",
+                                  "components_serve_only"])
 def test_serve_only_reuses_cached_index(spark, sf_dir, name):
     """Second invocation must reuse the session-cached index (no
     rebuild): the cache dict holds exactly one db per (kind, sf_dir)
