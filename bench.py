@@ -169,6 +169,14 @@ EXTRA = [
     "ann_serve_only",
     "bm25_serve_only",
     "rollup_serve_only",
+    # round-8 additions: index DELETE/retract (the lifecycle's missing
+    # quarter), BM25 insert, view-routed atomic generation swap
+    "dedup_index_delete",
+    "ann_index_delete",
+    "rollup_retract",
+    "bm25_index_delete",
+    "bm25_index_insert",
+    "rollup_swap_atomic",
 ]
 
 
@@ -213,6 +221,54 @@ def join_throughput_gibs(spark, nrows: int = 1 << 24, nruns: int = 3) -> float:
     # runs alongside other tenants with multi-second contention bursts;
     # min isolates intrinsic engine cost.
     return round(nbytes / min(times) / 2**30, 3)
+
+
+def run_all() -> None:
+    """Coverage ledger (VERDICT r07 task 7): time EVERY registry entry
+    once — single run, no warm-up amortization, no best-of-N — so no
+    entry has zero timing history.  This is a ledger, not a
+    benchmark: one run under host noise bounds the cost to within
+    ~2×, which is enough to spot a pathological operator.  Output:
+    BENCH_ALL.json (committed) + a line in BENCH_EXTRAS_HISTORY.jsonl."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from legate_dataframe_spark.core.caching import release_caches
+    from legate_dataframe_spark.plans.registry import QUERIES
+    from legate_dataframe_spark.session import get_session
+
+    spark = get_session(app_name="ldf-bench-all",
+                        master=f"local[{cpus}]")
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.path.join(here, "BENCH_ALL.json")
+    times: dict[str, float] = {}
+    for i, name in enumerate(sorted(QUERIES)):
+        t0 = time.perf_counter()
+        try:
+            (QUERIES[name](spark, sf_dir)
+             .write.format("noop").mode("overwrite").save())
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record, don't abort the ledger
+            times[name] = -1.0
+            print(f"ERR {name}: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+        release_caches()
+        print(f"[{i + 1}/{len(QUERIES)}] {name} {times[name]}",
+              file=sys.stderr, flush=True)
+    try:
+        sf_num: float | str = float(sf)
+    except ValueError:
+        sf_num = sf
+    record = {"metric": "all_queries_seconds_single_run", "unit": "sec",
+              "sf": sf_num, "queries": times}
+    with open(out_path, "w") as fh:
+        json.dump(record, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    with open(os.path.join(here, "BENCH_EXTRAS_HISTORY.jsonl"),
+              "a") as fh:
+        fh.write(json.dumps(record, sort_keys=True) + "\n")
+    print(json.dumps(record))
 
 
 def main() -> None:
@@ -308,4 +364,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv[1:]:
+        run_all()
+    else:
+        main()

@@ -88,6 +88,19 @@ def replace_bucketed(
     """
     nxt = f"{table_name}__next"
     spark.sql(f"DROP TABLE IF EXISTS {nxt}")
+    _write_generation(spark, df, nxt, bucket_cols, num_buckets, sort_cols)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    spark.sql(f"ALTER TABLE {nxt} RENAME TO {table_name}")
+
+
+def _write_generation(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None,
+) -> None:
     # Align write partitions with bucket ids: bucketBy emits one file
     # per bucket PER TASK, so a generation written from an arbitrarily-
     # partitioned merge plan would accrete small files every swap.
@@ -109,11 +122,78 @@ def replace_bucketed(
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled",
             "false")
-        write_bucketed(df.repartition(num_buckets, *bucket_cols), nxt,
+        write_bucketed(df.repartition(num_buckets, *bucket_cols), table,
                        bucket_cols, num_buckets=num_buckets,
                        sort_cols=sort_cols)
     finally:
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    spark.sql(f"ALTER TABLE {nxt} RENAME TO {table_name}")
+
+
+# --------------------------- view-routed (catalog-atomic) generation swap
+def _current_generation(spark: SparkSession, view_name: str) -> int:
+    """Highest n for which ``{view_name}__g{n}`` exists (−1 if none)."""
+    db, _, stem = view_name.rpartition(".")
+    rows = spark.sql(
+        f"SHOW TABLES{f' IN {db}' if db else ''} LIKE '{stem}__g*'"
+    ).collect()
+    gens = []
+    for r in rows:
+        tail = r["tableName"].rsplit("__g", 1)
+        if len(tail) == 2 and tail[1].isdigit() and tail[0] == stem:
+            gens.append(int(tail[1]))
+    return max(gens, default=-1)
+
+
+def init_versioned(
+    spark: SparkSession,
+    df: DataFrame,
+    view_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """First generation of a VIEW-ROUTED bucketed table: the physical
+    data lives in ``{view}__g0`` (bucketed — the spec rides on the
+    physical table) and readers go through the stable view
+    ``view_name``.  Catalyst inlines the trivial view, so every later
+    keyed join still plans a co-located, Exchange-free scan."""
+    _write_generation(spark, df, f"{view_name}__g0", bucket_cols,
+                      num_buckets, sort_cols)
+    spark.sql(f"CREATE OR REPLACE VIEW {view_name} AS "
+              f"SELECT * FROM {view_name}__g0")
+
+
+def swap_versioned(
+    spark: SparkSession,
+    df: DataFrame,
+    view_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """ATOMIC generation swap (VERDICT r07 task 8): the plain
+    :func:`replace_bucketed` drop+rename leaves a reader-visible gap
+    where ``table_name`` names nothing — a concurrent read in that
+    window errors.  Here the new generation is written to a fresh
+    versioned physical table ``{view}__g{n+1}`` while the old one
+    stays live, then the stable view is repointed with
+    ``CREATE OR REPLACE VIEW`` — ONE catalog operation, so a reader
+    resolves either the old or the new generation, never a missing
+    table — and only then is the old physical table dropped.
+
+    A reader that resolved generation n just before the drop can
+    still lose files mid-scan on a plain parquet catalog — a true
+    multi-reader lakehouse retires old snapshots after a grace
+    period (table formats call this snapshot expiry); single-writer
+    + repoint-then-drop is the plain-Spark approximation, and the
+    mid-swap window that was previously ERROR-visible is now only
+    grace-period-visible."""
+    cur = _current_generation(spark, view_name)
+    nxt = f"{view_name}__g{cur + 1}"
+    _write_generation(spark, df, nxt, bucket_cols, num_buckets,
+                      sort_cols)
+    spark.sql(f"CREATE OR REPLACE VIEW {view_name} AS "
+              f"SELECT * FROM {nxt}")
+    if cur >= 0:
+        spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{cur}")

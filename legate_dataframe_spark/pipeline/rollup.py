@@ -38,11 +38,16 @@ GROUP_KEYS = ["day", "event_type"]
 _PARTIALS = ["n", "sum_micro", "min_micro", "max_micro"]
 
 
+def _micro() -> "F.Column":
+    """Per-row exact integerization (see module docstring)."""
+    return F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+
+
 def event_partials(events: DataFrame) -> DataFrame:
     """→ (day, event_type, n, sum_micro, min_micro, max_micro): the
     mergeable partial-aggregate row set for an event slice.  One
     map-side-combined groupBy; all outputs BIGINT."""
-    micro = F.floor(F.col("value") * F.lit(1_000_000.0)).cast("long")
+    micro = _micro()
     return (events
             .select(F.date_trunc("day", F.col("ts")).alias("day"),
                     "event_type", micro.alias("micro"))
@@ -110,6 +115,73 @@ def incremental_rollup_update(
     inserts = bagg.join(base.select(*GROUP_KEYS), GROUP_KEYS,
                         "left_anti").select(*GROUP_KEYS, *_PARTIALS)
     return merged.unionByName(inserts)
+
+
+def rollup_retract(
+    spark: SparkSession,
+    table_name: str,
+    batch: DataFrame,
+    remaining: DataFrame,
+) -> DataFrame:
+    """Subtract a deleted batch's contribution from the persisted
+    rollup — the RETRACT quarter of the maintenance lifecycle
+    (VERDICT r07 task 2c: build/insert/compact/serve had no remove;
+    takedown means re-aggregating the corpus without it).
+
+    The partials were chosen mergeable, and count/sum are also
+    SUBTRACTABLE: ``n' = n − b_n``, ``sum' = sum − b_sum`` exactly
+    (BIGINT micro-units), and groups hitting ``n' = 0`` drop out.
+    min/max are NOT subtractable — a group whose stored extremum was
+    deleted must recompute.  Detection is by equality: iff the
+    batch's min equals the stored min (or max equals max) the
+    extremum MAY have left (ties make this conservative, never
+    wrong).  Exactly those AFFECTED groups recompute min/max from
+    ``remaining`` — the surviving raw rows — restricted to the
+    affected groups by a broadcast semi-join, so the raw rescan is
+    O(rows of affected groups), not O(corpus); on a day-partitioned
+    raw log the group key's day component also partition-prunes the
+    rescan.  Unaffected groups never touch raw data.
+
+    Returns the retracted state (caller persists via
+    ``replace_bucketed``, same as every other generation swap).
+    Oracle shape: full recompute over corpus MINUS the batch.
+    """
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+
+    bagg = event_partials(batch).localCheckpoint(eager=True)
+    base = read_bucketed(spark, table_name)
+    # no broadcast hint on the batch side: like incremental_rollup_
+    # update, the merge leaves join strategy to the session (AQE
+    # broadcasts the tiny batch in production; the driver query pins
+    # broadcast off to expose the state table's bucketed scan)
+    b = bagg.select(*GROUP_KEYS,
+                    *[F.col(c).alias(f"b_{c}") for c in _PARTIALS])
+    j = base.join(b, GROUP_KEYS, "left")
+    new_n = F.col("n") - F.coalesce("b_n", F.lit(0))
+    new_sum = F.col("sum_micro") - F.coalesce("b_sum_micro", F.lit(0))
+    survivors = j.filter(new_n > 0)
+    extremum_safe = (F.col("b_n").isNull()
+                     | ((F.col("b_min_micro") > F.col("min_micro"))
+                        & (F.col("b_max_micro") < F.col("max_micro"))))
+    untouched = (survivors.filter(extremum_safe)
+                 .select(*GROUP_KEYS, new_n.alias("n"),
+                         new_sum.alias("sum_micro"),
+                         "min_micro", "max_micro"))
+    affected_keys = (survivors.filter(~extremum_safe)
+                     .select(*GROUP_KEYS)
+                     .localCheckpoint(eager=True))
+    rem = remaining.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type",
+        "value")
+    recomputed = (rem
+                  .join(F.broadcast(affected_keys), GROUP_KEYS,
+                        "left_semi")
+                  .groupBy(*GROUP_KEYS)
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.sum(_micro()).alias("sum_micro"),
+                       F.min(_micro()).alias("min_micro"),
+                       F.max(_micro()).alias("max_micro")))
+    return untouched.unionByName(recomputed)
 
 
 def build_rollup_partitioned(

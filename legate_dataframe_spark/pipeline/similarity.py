@@ -981,6 +981,38 @@ def ivf_search_persisted(
                       id_col=id_col, vec_col=vec_col)
 
 
+def delete_from_ivf_index(
+    spark,
+    vec_ids: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    num_buckets: int = 16,
+) -> None:
+    """Remove vectors from a persisted IVF index — the DELETE quarter
+    of the index lifecycle (VERDICT r07 task 2b), the inverse of
+    :func:`insert_into_ivf_index`.  ``vec_ids`` is a 1-column frame
+    of ids to retract.  The assignment table is anti-joined on id
+    (the id list broadcasts — the corpus-sized side never shuffles)
+    and written back under its ORIGINAL bucket spec via
+    ``replace_bucketed``, so post-delete probe joins still read
+    co-located buckets.  Centroids are untouched: IVF centroids are
+    a trained artifact, not per-vector state — deleting a vector
+    must not move cluster geometry under standing queries (re-train
+    + re-assign is a separate, heavier maintenance operation).
+    Cost is O(index) per delete batch, same as compaction; batch
+    deletes to amortize."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        replace_bucketed,
+    )
+
+    ids = vec_ids.toDF(id_col)
+    assigned = read_bucketed(spark, f"{table_prefix}_assign")
+    keep = assigned.join(F.broadcast(ids), id_col, "left_anti")
+    replace_bucketed(spark, keep, f"{table_prefix}_assign",
+                     ["centroid_id"], num_buckets=num_buckets)
+
+
 def insert_into_ivf_index(
     spark,
     batch: DataFrame,

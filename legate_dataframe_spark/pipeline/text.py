@@ -738,11 +738,119 @@ def build_bm25_index(
     write_bucketed(postings.join(dl, id_col),
                    f"{table_prefix}_postings", ["tok"],
                    num_buckets=num_buckets)
-    # round(avg,6) SAFE: dl is an integer count — exact sum ÷ count
+    # round(avg,6) SAFE: dl is an integer count — exact sum ÷ count.
+    # sum_dl rides along so INSERT/DELETE can fold avgdl exactly
+    # (new avgdl = (sum_dl ± batch_sum) / (n_docs ± batch_n) divides
+    # the same two BIGINTs a fresh build would).
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.round(F.avg("dl"), 6).alias("avgdl"))
+                   F.round(F.avg("dl"), 6).alias("avgdl"),
+                   F.sum("dl").alias("sum_dl"))
     (stats.write.format("parquet").mode("overwrite")
      .saveAsTable(f"{table_prefix}_stats"))
+
+
+def _bm25_batch_postings(batch, text_col: str, id_col: str):
+    """(postings-with-dl, 1-row (b_n, b_sum)) for a document batch —
+    the same tokenize/count shape as the build, O(batch)."""
+    tok = batch.select(F.col(id_col),
+                       F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("tok"))
+    postings = tok.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    bstats = dl.agg(F.count(F.lit(1)).alias("b_n"),
+                    F.sum("dl").alias("b_sum"))
+    return postings.join(dl, id_col), bstats
+
+
+def _write_bm25_stats(spark, table_prefix: str, new_n, new_sum) -> None:
+    """Overwrite the 1-row stats table with folded totals.  avgdl is
+    re-derived from the exact BIGINT totals, so it equals what a
+    fresh build over the same corpus would store.  The checkpoint
+    severs the read of the table being overwritten."""
+    old = spark.table(f"{table_prefix}_stats")
+    new = (old.select(new_n.alias("n_docs"),
+                      F.when(new_n > 0,
+                             F.round(new_sum.cast("double") / new_n, 6))
+                      .alias("avgdl"),
+                      new_sum.alias("sum_dl"))
+           .localCheckpoint(eager=True))
+    (new.write.format("parquet").mode("overwrite")
+     .saveAsTable(f"{table_prefix}_stats"))
+
+
+def insert_into_bm25_index(
+    spark,
+    batch: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """Append a NEW document batch into a persisted BM25 index — the
+    lifecycle INSERT the minhash and IVF indexes already have
+    (VERDICT r07 task 3: BM25 was build-once).  Two bounded steps:
+
+    1. the batch's postings (with denormalized dl) append into the
+       bucketed term table under its existing hash spec — a
+       bucket-preserving O(batch) write; df needs no maintenance
+       because searches derive it from fetched postings, so postings
+       and df cannot diverge by construction;
+    2. the 1-row (n_docs, avgdl, sum_dl) stats fold the batch's
+       exact totals — avgdl re-derives from the folded BIGINTs, so
+       it is bit-identical to a fresh build over corpus ∪ batch.
+
+    Per-batch cost is O(batch); the standing postings are not read."""
+    from legate_dataframe_spark.core.bucketing import write_bucketed
+
+    posted, bstats = _bm25_batch_postings(batch, text_col, id_col)
+    write_bucketed(posted, f"{table_prefix}_postings", ["tok"],
+                   num_buckets=num_buckets, mode="append")
+    b = bstats.localCheckpoint(eager=True)
+    row = b.collect()[0]  # 1 row × 2 ints — not a data collect
+    _write_bm25_stats(spark, table_prefix,
+                      F.col("n_docs") + F.lit(row["b_n"] or 0),
+                      F.col("sum_dl") + F.lit(row["b_sum"] or 0))
+
+
+def delete_from_bm25_index(
+    spark,
+    doc_ids: DataFrame,
+    table_prefix: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+) -> None:
+    """Remove documents from a persisted BM25 index — the DELETE
+    quarter of the lifecycle (takedown/GDPR; VERDICT r07 task 2).
+    The postings table is anti-joined on doc id (the id list
+    broadcasts) and written back under its ORIGINAL (tok) bucket
+    spec via ``replace_bucketed``, so post-delete searches still
+    bucket-prune by term.  The stats row subtracts the deleted
+    docs' exact totals — computed from the index's OWN postings
+    before the rewrite (dl rides denormalized on every posting row,
+    so one per-doc first() recovers it without touching the corpus).
+    Cost is O(index) per delete batch, like compaction; batch
+    deletes to amortize."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        replace_bucketed,
+    )
+
+    ids = doc_ids.toDF(id_col)
+    postings = read_bucketed(spark, f"{table_prefix}_postings")
+    # per-doc dl of the docs being deleted (dl is constant per doc)
+    gone = (postings.join(F.broadcast(ids), id_col, "left_semi")
+            .groupBy(id_col).agg(F.first("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("d_n"),
+                 F.sum("dl").alias("d_sum"))
+            .localCheckpoint(eager=True))  # BEFORE the rewrite
+    row = gone.collect()[0]  # 1 row × 2 ints — not a data collect
+    keep = postings.join(F.broadcast(ids), id_col, "left_anti")
+    replace_bucketed(spark, keep, f"{table_prefix}_postings", ["tok"],
+                     num_buckets=num_buckets)
+    _write_bm25_stats(spark, table_prefix,
+                      F.col("n_docs") - F.lit(row["d_n"] or 0),
+                      F.col("sum_dl") - F.lit(row["d_sum"] or 0))
 
 
 def bm25_search_persisted(

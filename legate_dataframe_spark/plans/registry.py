@@ -19,6 +19,7 @@ from legate_dataframe_spark.plans import round4 as r4
 from legate_dataframe_spark.plans import round5 as r5
 from legate_dataframe_spark.plans import round6 as r6
 from legate_dataframe_spark.plans import round7 as r7
+from legate_dataframe_spark.plans import round8 as r8
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -28,100 +29,51 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (round-7
-# additions) plus entries whose implementation CHANGED this round
-# (winsorize_stats, trend_per_group), then kcore_peel (r05
-# done-criterion — its newest row is still r04), then the r02-block
-# tail that missed r06's prefix, then the r03 block with VERDICT r06
-# task 5's named stalest first.  Later blocks are ordered by round of
-# LAST driver verification, oldest first.  In-repo sf0.001 oracle-parity
-# tests guard every entry meanwhile.
+# the front block holds queries with no green driver row yet (round-8
+# additions), then entries whose implementation CHANGED this round
+# (cogroup_user_orders rebucketed, winsorize_stats NULL contract,
+# incremental_rollup_partitioned write materialization,
+# stream_dedup_chain idempotency guard), then VERDICT r07 task 1's
+# stale verification tail: the 22 entries last driver-greened in r03,
+# then the oldest r04 entries up to the 50-entry prefix.  Later blocks
+# are ordered by round of LAST driver verification, oldest first.
+# In-repo sf0.001 oracle-parity tests guard every entry meanwhile.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-7 front: no driver row yet ----------------------------------
-    # multi-generation maintenance: batch N+1 merges against state
-    # UPDATED by batch N (bucket-spec-preserving two-phase swap)
-    "incremental_rollup_chain": (r7.incremental_rollup_chain,
-                                 r7.INCREMENTAL_ROLLUP_CHAIN_SQL),
-    "incremental_components_chain": (r7.incremental_components_chain,
-                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
-    # serve-only latency for each persisted index (index built once per
-    # session, cached; bench best-of-N reports the pure serve path)
-    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
-    "components_serve_only": (r7.components_serve_only,
-                              r7.COMPONENTS_SERVE_ONLY_SQL),
-    "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
-    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
-    "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
-    # day-partitioned rollup maintained by dynamic partition overwrite
-    # (DPP asserted on the state scan: refresh reads O(touched days))
+    # ---- round-8 front: no driver row yet ----------------------------------
+    # index DELETE/retract — the missing quarter of the lifecycle
+    # (build/insert/compact/serve had no remove; takedown = rebuild)
+    "dedup_index_delete": (r8.dedup_index_delete,
+                           r8.DEDUP_INDEX_DELETE_SQL),
+    "ann_index_delete": (r8.ann_index_delete, r8.ANN_INDEX_DELETE_SQL),
+    "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
+    "bm25_index_delete": (r8.bm25_index_delete,
+                          r8.BM25_INDEX_DELETE_SQL),
+    # BM25 INSERT — the one persisted index that was still build-once
+    "bm25_index_insert": (r8.bm25_index_insert,
+                          r8.BM25_INDEX_INSERT_SQL),
+    # generation swap routed through a stable view (catalog-atomic
+    # repoint — no reader-visible drop+rename gap)
+    "rollup_swap_atomic": (r8.rollup_swap_atomic,
+                           r8.ROLLUP_SWAP_ATOMIC_SQL),
+    # ---- changed this round — re-verify ------------------------------------
+    # cogroup: bounded bucket key + vectorized per-bucket reconcile
+    # (r07 perf flag: per-key single-row pandas, 13.6 s → 1.3 s)
+    "cogroup_user_orders": (pq.cogroup_user_orders,
+                            pq.COGROUP_USER_ORDERS_SQL),
+    # winsorize: NULL values excluded up front (ADVICE r07)
+    "winsorize_stats": (r6.winsorize_stats, r6.WINSORIZE_SQL),
+    # rollup overwrite: merge materialized before insertInto (ADVICE)
     "incremental_rollup_partitioned": (
         r7.incremental_rollup_partitioned,
         r7.INCREMENTAL_ROLLUP_PARTITIONED_SQL),
-    # streaming ingest loop closed: each admitted micro-batch is
-    # inserted into the index before the next batch is gated
+    # stream chain: per-batch_id idempotency guard (ADVICE r07)
     "stream_dedup_chain": (r7.stream_dedup_chain,
                            r7.STREAM_DEDUP_CHAIN_SQL),
-    # index lifecycle completed: build → insert ×3 → COMPACT → serve
-    # (small-file pathology repaired in place, co-location preserved)
-    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
-    # ---- changed this round — re-verify ------------------------------------
-    # winsorize: per-type single-task window sort (r06 scale flag)
-    # replaced by exact counting-selection; same rank-pinned contract
-    "winsorize_stats": (r6.winsorize_stats, r6.WINSORIZE_SQL),
-    # trend: x centered per group for int64 headroom (values unchanged)
-    "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
-    # ---- r05 done-criterion: kcore_peel's newest driver row is still r04 ---
-    "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
-    # ---- r02-block tail that missed r06's 50-entry prefix ------------------
-    "event_pairs_within": (pq.event_pairs_within, pq.EVENT_PAIRS_SQL),
-    "window_cumall": (r.window_cumall, r.WINDOW_CUMALL_SQL),
-    "window_topn_per_group": (r.window_topn_per_group, r.WINDOW_TOPN_SQL),
-    "replace_nulls": (pq.replace_nulls_q, pq.REPLACE_NULLS_SQL),
-    "sort_nulls_first": (pq.sort_nulls_first, pq.SORT_NULLS_FIRST_SQL),
-    "quantile_stats": (r.quantile_stats, r.QUANTILE_STATS_SQL),
-    "minmax_by": (r.minmax_by, r.MINMAX_BY_SQL),
-    "sequence_agg": (r.sequence_agg, r.SEQUENCE_AGG_SQL),
-    "contains_column": (r.contains_column_q, r.CONTAINS_COLUMN_SQL),
-    # ---- driver-verified green in CORRECTNESS_r03.json ----------------------
-    # (judge-named stalest first — VERDICT r06 task 5's rotation list)
-    "user_event_gaps": (pq.user_event_gaps_q, pq.USER_EVENT_GAPS_SQL),
-    "multimodal_real_decode": (pq.multimodal_real_decode,
-                               pq.MULTIMODAL_REAL_DECODE_SQL),
-    "bigram_fluency": (pq.bigram_fluency, pq.BIGRAM_FLUENCY_SQL),
-    "pii_redaction": (pq.pii_redaction, pq.PII_REDACTION_SQL),
-    "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
-    "stream_user_stats": (pq.stream_user_stats_drain, pq.STREAM_USER_STATS_SQL),
-    "stream_etl_ingest": (pq.stream_etl_ingest, pq.STREAM_ETL_INGEST_SQL),
-    "events_stream_sliding": (pq.events_stream_sliding,
-                              pq.EVENTS_STREAM_SLIDING_SQL),
-    "events_stream_session": (pq.events_stream_session,
-                              pq.EVENTS_STREAM_SESSION_SQL),
-    "semantic_dedup": (pq.semantic_dedup_q, pq.SEMANTIC_DEDUP_SQL),
-    "sq8_search": (pq.sq8_search, pq.SQ8_SEARCH_SQL),
-    "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
-    "pagerank_users": (pq.pagerank_users, pq.PAGERANK_SQL),
-    "correlated_subquery": (r.correlated_subquery, r.CORRELATED_SUBQUERY_SQL),
-    "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
-    "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
-    "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
-    # previously rows-only; now emits (exact values, bounded-error booleans)
-    "approx_sketches": (r.approx_sketches, r.APPROX_SKETCHES_SQL),
-    # sink/source roundtrips — §2.1's last driver-verification holes
-    "parquet_roundtrip": (rt.parquet_roundtrip, rt.PARQUET_ROUNDTRIP_SQL),
-    "csv_roundtrip": (rt.csv_roundtrip, rt.CSV_ROUNDTRIP_SQL),
-    "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),
-    "arrow_roundtrip": (rt.arrow_roundtrip, rt.ARROW_ROUNDTRIP_SQL),
-    # round-3 pipeline operators
-    "ngram_dup_counts": (pq.ngram_dup_counts, pq.NGRAM_DUP_SQL),
-    "quality_filter": (pq.quality_filter, pq.QUALITY_FILTER_SQL),
-    "json_extract_props": (pq.json_extract_props, pq.JSON_EXTRACT_SQL),
-    "rolling_range_window": (pq.rolling_range_window, pq.ROLLING_RANGE_SQL),
-    "mixture_sample": (pq.mixture_sample_q, pq.MIXTURE_SAMPLE_SQL),
-    "asof_tolerance": (r.asof_tolerance, r.ASOF_TOLERANCE_SQL),
+    # ---- stale tail: last driver-greened in CORRECTNESS_r03.json -----------
+    # (VERDICT r07 task 1 — all 22 r03 entries in this round's prefix;
+    # cogroup_user_orders is the 22nd, re-verified above as changed)
     "ann_projected": (pq.ann_projected, pq.ANN_PROJECTED_SQL),
     "pivot_event_values": (pq.pivot_event_values, pq.PIVOT_EVENT_VALUES_SQL),
-    "cogroup_user_orders": (pq.cogroup_user_orders,
-                            pq.COGROUP_USER_ORDERS_SQL),
     "unpivot_metrics": (r.unpivot_metrics, r.UNPIVOT_METRICS_SQL),
     "window_lag_lead": (r.window_lag_lead, r.WINDOW_LAG_LEAD_SQL),
     "funnel_conversion": (pq.funnel_conversion, pq.FUNNEL_CONVERSION_SQL),
@@ -144,7 +96,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                              pq.CROSS_SOURCE_OVERLAP_SQL),
     "cluster_label_purity": (pq.cluster_label_purity,
                              pq.CLUSTER_LABEL_PURITY_SQL),
-    # ---- driver-verified green in CORRECTNESS_r04.json (freshest) ----------
+    # ---- stale tail: last driver-greened in CORRECTNESS_r04.json -----------
+    # (oldest 19 fill this round's 50-entry prefix; the remaining 26
+    # lead the r09 rotation)
     "bloom_decontaminate": (pq.bloom_decontaminate,
                             pq.BLOOM_DECONTAMINATE_SQL),
     "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
@@ -168,6 +122,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "filtered_aggs": (r4.filtered_aggs, r4.FILTERED_AGGS_SQL),
     "skyline_orders": (r4.skyline_orders, r4.SKYLINE_ORDERS_SQL),
     "sequence_gaps": (r4.sequence_gaps, r4.SEQUENCE_GAPS_SQL),
+    # ======================== 50-entry prefix boundary =====================
     "time_decay_revenue": (r4.time_decay_revenue, r4.TIME_DECAY_REVENUE_SQL),
     "string_functions2": (r4.string_functions2, r4.STRING_FUNCTIONS2_SQL),
     "date_functions": (r4.date_functions, r4.DATE_FUNCTIONS_SQL),
@@ -319,6 +274,60 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                               r6.BM25_PERSISTED_SEARCH_SQL),
     "incremental_rollup": (r6.incremental_rollup,
                            r6.INCREMENTAL_ROLLUP_SQL),
+    # ---- re-greened by the r07 driver (freshest — rotate last) ------------
+    "incremental_rollup_chain": (r7.incremental_rollup_chain,
+                                 r7.INCREMENTAL_ROLLUP_CHAIN_SQL),
+    "incremental_components_chain": (r7.incremental_components_chain,
+                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
+    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
+    "components_serve_only": (r7.components_serve_only,
+                              r7.COMPONENTS_SERVE_ONLY_SQL),
+    "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
+    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
+    "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
+    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
+    "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
+    "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
+    "event_pairs_within": (pq.event_pairs_within, pq.EVENT_PAIRS_SQL),
+    "window_cumall": (r.window_cumall, r.WINDOW_CUMALL_SQL),
+    "window_topn_per_group": (r.window_topn_per_group, r.WINDOW_TOPN_SQL),
+    "replace_nulls": (pq.replace_nulls_q, pq.REPLACE_NULLS_SQL),
+    "sort_nulls_first": (pq.sort_nulls_first, pq.SORT_NULLS_FIRST_SQL),
+    "quantile_stats": (r.quantile_stats, r.QUANTILE_STATS_SQL),
+    "minmax_by": (r.minmax_by, r.MINMAX_BY_SQL),
+    "sequence_agg": (r.sequence_agg, r.SEQUENCE_AGG_SQL),
+    "contains_column": (r.contains_column_q, r.CONTAINS_COLUMN_SQL),
+    "user_event_gaps": (pq.user_event_gaps_q, pq.USER_EVENT_GAPS_SQL),
+    "multimodal_real_decode": (pq.multimodal_real_decode,
+                               pq.MULTIMODAL_REAL_DECODE_SQL),
+    "bigram_fluency": (pq.bigram_fluency, pq.BIGRAM_FLUENCY_SQL),
+    "pii_redaction": (pq.pii_redaction, pq.PII_REDACTION_SQL),
+    "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
+    "stream_user_stats": (pq.stream_user_stats_drain, pq.STREAM_USER_STATS_SQL),
+    "stream_etl_ingest": (pq.stream_etl_ingest, pq.STREAM_ETL_INGEST_SQL),
+    "events_stream_sliding": (pq.events_stream_sliding,
+                              pq.EVENTS_STREAM_SLIDING_SQL),
+    "events_stream_session": (pq.events_stream_session,
+                              pq.EVENTS_STREAM_SESSION_SQL),
+    "semantic_dedup": (pq.semantic_dedup_q, pq.SEMANTIC_DEDUP_SQL),
+    "sq8_search": (pq.sq8_search, pq.SQ8_SEARCH_SQL),
+    "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
+    "pagerank_users": (pq.pagerank_users, pq.PAGERANK_SQL),
+    "correlated_subquery": (r.correlated_subquery, r.CORRELATED_SUBQUERY_SQL),
+    "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
+    "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
+    "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
+    "approx_sketches": (r.approx_sketches, r.APPROX_SKETCHES_SQL),
+    "parquet_roundtrip": (rt.parquet_roundtrip, rt.PARQUET_ROUNDTRIP_SQL),
+    "csv_roundtrip": (rt.csv_roundtrip, rt.CSV_ROUNDTRIP_SQL),
+    "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),
+    "arrow_roundtrip": (rt.arrow_roundtrip, rt.ARROW_ROUNDTRIP_SQL),
+    "ngram_dup_counts": (pq.ngram_dup_counts, pq.NGRAM_DUP_SQL),
+    "quality_filter": (pq.quality_filter, pq.QUALITY_FILTER_SQL),
+    "json_extract_props": (pq.json_extract_props, pq.JSON_EXTRACT_SQL),
+    "rolling_range_window": (pq.rolling_range_window, pq.ROLLING_RANGE_SQL),
+    "mixture_sample": (pq.mixture_sample_q, pq.MIXTURE_SAMPLE_SQL),
+    "asof_tolerance": (r.asof_tolerance, r.ASOF_TOLERANCE_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:
