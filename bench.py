@@ -172,6 +172,7 @@ EXTRA = [
     # round-8 additions: index DELETE/retract (the lifecycle's missing
     # quarter), BM25 insert, view-routed atomic generation swap
     "dedup_index_delete",
+    "components_index_delete",
     "ann_index_delete",
     "rollup_retract",
     "bm25_index_delete",

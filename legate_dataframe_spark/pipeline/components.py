@@ -160,6 +160,67 @@ def build_components_index(
                    ["node"], num_buckets=num_buckets)
 
 
+def delete_from_components_index(
+    spark,
+    doc_ids: DataFrame,
+    label_table: str,
+    pairs_among,
+    num_buckets: int = 16,
+) -> None:
+    """Remove documents from a persisted component labelling — the
+    hardest DELETE of the index family (VERDICT r07 task 2), because
+    deleting a node can SPLIT its cluster: the remaining members may
+    only have been connected THROUGH it.  Insertion merges clusters
+    (monotone — the contract step handles it); deletion needs
+    recompute, but only a BOUNDED one:
+
+    1. AFFECTED components = those containing any deleted node
+       (broadcast semi-join against the bucketed label table —
+       co-located read, no label-side shuffle);
+    2. their SURVIVING members are re-clustered from the near-dup
+       pairs among exactly those ids — ``pairs_among(ids)`` (the
+       minhash index restricted by broadcast semi-join, see
+       dedup.minhash_pairs_from_index's ``restrict_ids``), so the
+       LSH + components work is O(affected members), never
+       O(corpus).  Deleting a node only removes edges, and every
+       edge among survivors of one old component stays inside it —
+       clusters can split here but never merge across old
+       components, which is what makes the recompute safe to bound;
+    3. survivors left with NO surviving pair leave the labelling
+       (the table's contract is "nodes with at least one near-dup",
+       matching a fresh recompute over the remaining corpus);
+    4. UNTOUCHED components pass through unread-state-only; the new
+       generation swaps in under the original bucket spec.
+
+    The caller is responsible for also deleting the ids from the
+    minhash index itself (dedup.delete_from_minhash_index) so future
+    gates stop matching them — the driver query does both."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        replace_bucketed,
+    )
+
+    ids = doc_ids.toDF("node")
+    labels = read_bucketed(spark, label_table)
+    touched = (labels.join(F.broadcast(ids), "node", "left_semi")
+               .select("component").distinct()
+               .localCheckpoint(eager=True))
+    affected = labels.join(F.broadcast(touched), "component",
+                           "left_semi")
+    survivors = (affected.join(F.broadcast(ids), "node", "left_anti")
+                 .select("node").localCheckpoint(eager=True))
+    pairs = pairs_among(survivors)
+    recomputed = connected_components(pairs,
+                                      pairs.columns[0],
+                                      pairs.columns[1])
+    untouched = labels.join(F.broadcast(touched), "component",
+                            "left_anti")
+    replace_bucketed(spark,
+                     untouched.unionByName(
+                         recomputed.select("node", "component")),
+                     label_table, ["node"], num_buckets=num_buckets)
+
+
 def incremental_components_update(
     spark,
     label_table: str,

@@ -327,6 +327,7 @@ def minhash_pairs_from_index(
     spark,
     table_prefix: str,
     jaccard_threshold: float = 0.5,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-internal near-dup pairs served OFF the persisted index —
     no re-tokenize, no re-minhash, and (the bucketing payoff) the
@@ -336,11 +337,20 @@ def minhash_pairs_from_index(
     candidate generation.  Value-identical to
     :func:`minhash_lsh_pairs` over the corpus the index was built
     from (the index stores exactly its band rows and distinct
-    shingle sets)."""
+    shingle sets).
+
+    ``restrict_ids`` (1-column id frame, optional) limits BOTH pair
+    endpoints to the given ids via a broadcast semi-join on the band
+    table BEFORE the self-join — the bounded-recompute primitive
+    components.delete_from_components_index uses: the candidate work
+    is O(restricted band rows), never O(index)."""
     from legate_dataframe_spark.core.bucketing import read_bucketed
 
     buckets = read_bucketed(spark, f"{table_prefix}_bands")
     sh = read_bucketed(spark, f"{table_prefix}_shingles")
+    if restrict_ids is not None:
+        ids = restrict_ids.toDF("id")
+        buckets = buckets.join(F.broadcast(ids), "id", "left_semi")
     l, r = buckets.alias("l"), buckets.alias("r")
     cand = (
         l.join(r, (F.col("l.band") == F.col("r.band"))

@@ -48,6 +48,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
     "bm25_index_delete": (r8.bm25_index_delete,
                           r8.BM25_INDEX_DELETE_SQL),
+    # cluster-splitting delete: bounded re-cluster of affected
+    # components only; oracle = full recompute minus the deleted set
+    "components_index_delete": (r8.components_index_delete,
+                                r8.COMPONENTS_INDEX_DELETE_SQL),
     # BM25 INSERT — the one persisted index that was still build-once
     "bm25_index_insert": (r8.bm25_index_insert,
                           r8.BM25_INDEX_INSERT_SQL),

@@ -327,6 +327,85 @@ BM25_INDEX_DELETE_SQL = _bm25_sql(
     "(SELECT * FROM documents WHERE doc_id % 10 != 0)")
 
 
+# ============================== components DELETE (cluster splitting)
+def components_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hardest takedown: remove documents from the persisted
+    dup-cluster labelling, where a deletion can SPLIT a cluster whose
+    remaining members were only connected through the deleted doc.
+    Build (paid once): minhash index over ALL documents + label table
+    from its pairs.  Delete doc_id % 10 == 0 from BOTH (the minhash
+    delete keeps future gates honest; the label delete re-clusters
+    ONLY the affected components' survivors, from index pairs
+    restricted to those ids — O(affected), never O(corpus)).  The
+    post-delete label table is served back with ``Bucketed: true``
+    asserted.  Oracle (maximal): the full recursive-CTE components
+    recompute over documents MINUS the deleted set — a cluster the
+    delete failed to split (or split wrongly) flips labels and fails
+    the hash."""
+    from legate_dataframe_spark.pipeline import dedup
+    from legate_dataframe_spark.pipeline.components import (
+        build_components_index,
+        delete_from_components_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    gone = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    with _temp_db(spark, "ldf_r8_compdel") as db:
+        idx, labels = f"{db}.idx", f"{db}.labels"
+        dedup.build_minhash_index(spark, d, idx,
+                                  num_hashes=_NUM_HASHES, bands=_BANDS)
+        pairs = dedup.minhash_pairs_from_index(
+            spark, idx, jaccard_threshold=0.5).select("id_a", "id_b")
+        build_components_index(spark, pairs, labels)
+        # takedown: index first (future gates), then labels (bounded
+        # re-cluster off the post-delete index)
+        dedup.delete_from_minhash_index(spark, gone, idx)
+        delete_from_components_index(
+            spark, gone, labels,
+            lambda ids: dedup.minhash_pairs_from_index(
+                spark, idx, jaccard_threshold=0.5, restrict_ids=ids)
+            .select("id_a", "id_b"))
+        out = spark.table(labels)
+        # post-delete co-location check: a keyed probe join with
+        # broadcast off must read the swapped table's own buckets
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            probe = (out.select(F.col("node"))
+                     .limit(10).repartition(16, "node"))
+            _assert_bucketed(_plan_of(out.join(probe, "node")),
+                             "post-delete label serve")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        return (out.select(F.col("node").alias("doc_id"),
+                           F.col("component").alias("canonical_id"))
+                .localCheckpoint(eager=True))
+
+
+def _components_delete_sql() -> str:
+    filtered = _minhash_sql(
+        "(SELECT * FROM documents WHERE doc_id % 10 != 0)")
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({filtered}) mh
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, min(label) AS canonical_id FROM walk GROUP BY node
+"""
+
+
+COMPONENTS_INDEX_DELETE_SQL = _components_delete_sql()
+
+
 # ============================== view-routed ATOMIC generation swap
 def rollup_swap_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rollup chain re-run on the ATOMIC swap mechanism (VERDICT

@@ -164,6 +164,41 @@ def test_rollup_retract_recomputes_deleted_extrema(spark):
         assert types == {"a", "b", "c"}  # group d dropped entirely
 
 
+def test_components_delete_splits_and_preserves(spark):
+    """Deleting a cut vertex must SPLIT its cluster (survivors with no
+    remaining pair leave the labelling); deleting a non-cut member
+    must keep the rest connected; untouched components pass through."""
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+    from legate_dataframe_spark.pipeline.components import (
+        build_components_index,
+        delete_from_components_index,
+    )
+
+    all_pairs = [(1, 2), (2, 3),            # chain: 2 is a cut vertex
+                 (10, 11), (11, 12), (10, 12),  # triangle
+                 (20, 21)]                  # untouched component
+
+    def pairs_among(ids_df):
+        ids = {r[0] for r in ids_df.collect()}  # test-only oracle fn
+        keep = [(a, b) for a, b in all_pairs if a in ids and b in ids]
+        return spark.createDataFrame(keep or [(None, None)],
+                                     "id_a long, id_b long").filter(
+            F.col("id_a").isNotNull())
+
+    with temp_db(spark, "ldf_t8_cdel") as db:
+        pairs = spark.createDataFrame(all_pairs, "id_a long, id_b long")
+        build_components_index(spark, pairs, f"{db}.labels",
+                               num_buckets=4)
+        # delete 2 (splits the chain: 1 and 3 become pairless) and
+        # 11 (triangle survives as edge 10-12)
+        delete_from_components_index(
+            spark, spark.createDataFrame([(2,), (11,)], "id long"),
+            f"{db}.labels", pairs_among, num_buckets=4)
+        got = {r["node"]: r["component"]
+               for r in read_bucketed(spark, f"{db}.labels").collect()}
+        assert got == {10: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_view_swap_never_exposes_a_gap(spark):
     """The atomic-swap property: a reader of the stable view succeeds
     at EVERY step of the swap — after the new generation is written,
