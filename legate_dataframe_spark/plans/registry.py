@@ -73,6 +73,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # stream chain: per-batch_id idempotency guard (ADVICE r07)
     "stream_dedup_chain": (r7.stream_dedup_chain,
                            r7.STREAM_DEDUP_CHAIN_SQL),
+    # interval join: pairs emitted only from their overlap-start month
+    # bin — the 100×-pair distinct shuffle the r08 10× probe exposed
+    # is gone from the plan entirely
+    "interval_overlap_join": (r6.interval_overlap_join,
+                              r6.INTERVAL_OVERLAP_SQL),
     # ---- stale tail: last driver-greened in CORRECTNESS_r03.json -----------
     # (VERDICT r07 task 1 — all 22 r03 entries in this round's prefix;
     # cogroup_user_orders is the 22nd, re-verified above as changed)
@@ -124,9 +129,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),
     "mode_per_group": (r4.mode_per_group, r4.MODE_PER_GROUP_SQL),
     "filtered_aggs": (r4.filtered_aggs, r4.FILTERED_AGGS_SQL),
+    # ======================== 50-entry prefix boundary =====================
     "skyline_orders": (r4.skyline_orders, r4.SKYLINE_ORDERS_SQL),
     "sequence_gaps": (r4.sequence_gaps, r4.SEQUENCE_GAPS_SQL),
-    # ======================== 50-entry prefix boundary =====================
     "time_decay_revenue": (r4.time_decay_revenue, r4.TIME_DECAY_REVENUE_SQL),
     "string_functions2": (r4.string_functions2, r4.STRING_FUNCTIONS2_SQL),
     "date_functions": (r4.date_functions, r4.DATE_FUNCTIONS_SQL),
@@ -269,8 +274,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "compaction_roundtrip": (r6.compaction_roundtrip,
                              r6.COMPACTION_ROUNDTRIP_SQL),
     "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
-    "interval_overlap_join": (r6.interval_overlap_join,
-                              r6.INTERVAL_OVERLAP_SQL),
     "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
     "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
                               r6.STREAM_DEDUP_VS_INDEX_SQL),

@@ -306,15 +306,25 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     length in days — the interval-overlap join Spark has no native
     operator for (DuckDB plans it as IEJoin).
 
-    Scale shape: a naive self-join on the customer key alone degrades
-    to per-customer cross products under the time predicate; the
-    production pattern used here EQUI-BINS each interval into the
-    months it spans (bounded explode — fulfillment intervals are
-    weeks, not years), joins on (customer, month-bin) so the shuffle
-    key carries time locality, verifies exact overlap, and distincts
-    pairs found in multiple shared bins.  At 100 TB the bin join's
-    key space grows with customers × months — no hot key, no
-    cartesian anywhere (the plan-quality sweep asserts none)."""
+    Scale shape (rewritten after the r08 10× probe): the original
+    symmetric form exploded BOTH sides into every month their
+    intervals span and self-joined on (customer, month) — correct,
+    but with intervals averaging ~8 months the bin fan-out squares:
+    1.29 BILLION candidates at 10× data for a 51M-pair answer (the
+    naive customer-only join would have produced 74M).  The robust
+    production shape is the ASYMMETRIC point-in-interval bin join:
+    two intervals overlap iff the LATER start falls inside the other
+    interval, so one side carries each interval ONCE, keyed by its
+    start month (a point), and only the probe side explodes into its
+    covered months.  Candidates per (customer, month) bin are then
+    starts(k) × covers(k) instead of covers(k)² — ~55M at 10×, ~1.1×
+    the answer itself — and each overlapping pair is found EXACTLY
+    once (at the later start's month, inside the earlier interval's
+    covered bins), so no distinct shuffle exists in the plan.  The
+    later-start tie-break (start, key) keeps self-pairs and double
+    counting out.  At 100 TB the bin key space grows with customers ×
+    months — no hot key, no cartesian anywhere (the plan-quality
+    sweep asserts none)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     iv = (li.groupBy(F.col("l_orderkey"))
@@ -324,28 +334,40 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_orderkey") == F.col("o_orderkey"))
           .select("o_orderkey", "o_custkey", "start_d", "end_d"))
     lo, hi = F.least("start_d", "end_d"), F.greatest("start_d", "end_d")
-    # both sides of the self-join read this frame — persist so the
-    # lineitem groupBy + orders join + explode runs ONCE (Spark has no
+    # both sides derive from this frame — persist so the lineitem
+    # groupBy + orders join + explode runs ONCE (Spark has no
     # cross-branch CSE; components.py's lesson applied here)
     from legate_dataframe_spark.core.caching import tracked_persist
 
-    binned = tracked_persist(iv.withColumn(
+    covers = tracked_persist(iv.withColumn(
         "m", F.explode(F.sequence(F.trunc(lo, "month"),
                                   F.trunc(hi, "month"),
                                   F.expr("interval 1 month")))))
-    a, b = binned.alias("a"), binned.alias("b")
-    overlap = (F.datediff(F.least(F.col("a.end_d"), F.col("b.end_d")),
-                          F.greatest(F.col("a.start_d"), F.col("b.start_d")))
-               + 1).cast("long")
-    return (a.join(b, (F.col("a.o_custkey") == F.col("b.o_custkey"))
-                   & (F.col("a.m") == F.col("b.m"))
-                   & (F.col("a.o_orderkey") < F.col("b.o_orderkey")))
-            .filter((F.col("a.start_d") <= F.col("b.end_d"))
-                    & (F.col("b.start_d") <= F.col("a.end_d")))
-            .select(F.col("a.o_orderkey").alias("key_a"),
-                    F.col("b.o_orderkey").alias("key_b"),
-                    overlap.alias("overlap_days"))
-            .distinct())
+    # the point side: each interval once, at its start month — a
+    # filter of the persisted frame, not a recompute
+    starts = covers.filter(
+        F.col("m") == F.trunc(F.col("start_d"), "month"))
+    s, c = starts.alias("s"), covers.alias("c")
+    later = (  # s is the strictly-later start (key tiebreak on ties)
+        (F.col("c.start_d") < F.col("s.start_d"))
+        | ((F.col("c.start_d") == F.col("s.start_d"))
+           & (F.col("c.o_orderkey") < F.col("s.o_orderkey"))))
+    overlap = (F.datediff(F.least(F.col("s.end_d"), F.col("c.end_d")),
+                          F.col("s.start_d")) + 1).cast("long")
+    return (s.join(c, (F.col("s.o_custkey") == F.col("c.o_custkey"))
+                   & (F.col("s.m") == F.col("c.m"))
+                   & later
+                   # both raw-endpoint checks stay explicit: c.start ≤
+                   # s.start ≤ s.end would imply the second, but only
+                   # for non-INVERTED intervals (the data has orders
+                   # whose max shipdate precedes the orderdate)
+                   & (F.col("s.start_d") <= F.col("c.end_d"))
+                   & (F.col("c.start_d") <= F.col("s.end_d")))
+            .select(F.least(F.col("s.o_orderkey"), F.col("c.o_orderkey"))
+                    .alias("key_a"),
+                    F.greatest(F.col("s.o_orderkey"),
+                               F.col("c.o_orderkey")).alias("key_b"),
+                    overlap.alias("overlap_days")))
 
 
 INTERVAL_OVERLAP_SQL = """
