@@ -178,6 +178,7 @@ EXTRA = [
     "bm25_index_delete",
     "bm25_index_insert",
     "rollup_swap_atomic",
+    "rollup_timetravel",
 ]
 
 

@@ -171,6 +171,7 @@ def swap_versioned(
     bucket_cols: Sequence[str],
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
+    keep_old: bool = False,
 ) -> None:
     """ATOMIC generation swap (VERDICT r07 task 8): the plain
     :func:`replace_bucketed` drop+rename leaves a reader-visible gap
@@ -188,12 +189,55 @@ def swap_versioned(
     period (table formats call this snapshot expiry); single-writer
     + repoint-then-drop is the plain-Spark approximation, and the
     mid-swap window that was previously ERROR-visible is now only
-    grace-period-visible."""
+    grace-period-visible.
+
+    ``keep_old=True`` retains the previous physical generation after
+    the repoint — that IS snapshot retention: old generations stay
+    readable via :func:`read_generation` (time travel) until
+    :func:`vacuum_generations` retires them."""
     cur = _current_generation(spark, view_name)
     nxt = f"{view_name}__g{cur + 1}"
     _write_generation(spark, df, nxt, bucket_cols, num_buckets,
                       sort_cols)
     spark.sql(f"CREATE OR REPLACE VIEW {view_name} AS "
               f"SELECT * FROM {nxt}")
-    if cur >= 0:
+    if cur >= 0 and not keep_old:
         spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{cur}")
+
+
+def list_generations(spark: SparkSession, view_name: str) -> list[int]:
+    """All retained generation numbers, ascending (the last one is
+    what the stable view points at)."""
+    db, _, stem = view_name.rpartition(".")
+    rows = spark.sql(
+        f"SHOW TABLES{f' IN {db}' if db else ''} LIKE '{stem}__g*'"
+    ).collect()
+    gens = []
+    for r in rows:
+        tail = r["tableName"].rsplit("__g", 1)
+        if len(tail) == 2 and tail[1].isdigit() and tail[0] == stem:
+            gens.append(int(tail[1]))
+    return sorted(gens)
+
+
+def read_generation(spark: SparkSession, view_name: str,
+                    gen: int) -> DataFrame:
+    """TIME TRAVEL: read a retained historical generation directly —
+    the bucketed physical table, so keyed joins against a snapshot
+    are as co-located as against the current state.  Raises (catalog
+    AnalysisException) if the generation was vacuumed."""
+    return spark.table(f"{view_name}__g{gen}")
+
+
+def vacuum_generations(spark: SparkSession, view_name: str,
+                       keep_last: int = 2) -> list[int]:
+    """Snapshot retention: drop all but the newest ``keep_last``
+    physical generations (never the current one — ``keep_last`` is
+    clamped to ≥1).  Returns the generation numbers dropped.  The
+    grace-period story from :func:`swap_versioned` applies: run this
+    on the maintenance cadence, not inside the swap."""
+    gens = list_generations(spark, view_name)
+    drop = gens[:-max(1, keep_last)]
+    for g in drop:
+        spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{g}")
+    return drop

@@ -59,6 +59,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # repoint — no reader-visible drop+rename gap)
     "rollup_swap_atomic": (r8.rollup_swap_atomic,
                            r8.ROLLUP_SWAP_ATOMIC_SQL),
+    # snapshot retention + time travel over the versioned state
+    "rollup_timetravel": (r8.rollup_timetravel,
+                          r8.ROLLUP_TIMETRAVEL_SQL),
     # ---- changed this round — re-verify ------------------------------------
     # cogroup: bounded bucket key + vectorized per-bucket reconcile
     # (r07 perf flag: per-key single-row pandas, 13.6 s → 1.3 s)

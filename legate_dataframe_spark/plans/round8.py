@@ -473,3 +473,94 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# ================================ snapshot retention + time travel
+def rollup_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RETENTION over the view-routed state: three
+    generations (corpus → +Monday → +Tuesday) are written with
+    ``keep_old=True``, so past generations stay readable as bucketed
+    physical tables (``read_generation`` — time travel, the audit
+    operation a platform needs to answer "what did the rollup say
+    before yesterday's refresh?").  The query reads ALL THREE
+    retained snapshots and emits one summary row per generation,
+    then ``vacuum_generations(keep_last=1)`` retires history and the
+    in-query assertions pin that (a) exactly the two old generations
+    were dropped and (b) the stable view still serves the newest.
+    Oracle: per-generation totals recomputed from the cumulative
+    event slices — a wrong snapshot (stale pointer, over-eager
+    vacuum, generation bleed) flips a row."""
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        list_generations,
+        read_generation,
+        swap_versioned,
+        vacuum_generations,
+    )
+    from legate_dataframe_spark.pipeline.rollup import (
+        GROUP_KEYS,
+        event_partials,
+        incremental_rollup_update,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 >= 2)
+    monday = e.filter(F.col("event_id") % 10 == 0)
+    tuesday = e.filter(F.col("event_id") % 10 == 1)
+
+    with _temp_db(spark, "ldf_r8_ttravel") as db:
+        state = f"{db}.state"
+        init_versioned(spark, event_partials(corpus), state,
+                       GROUP_KEYS, num_buckets=16)
+        for batch in (monday, tuesday):
+            swap_versioned(spark, incremental_rollup_update(
+                spark, state, batch), state, GROUP_KEYS,
+                num_buckets=16, keep_old=True)
+        gens = list_generations(spark, state)
+        if gens != [0, 1, 2]:
+            raise AssertionError(f"expected 3 retained generations, "
+                                 f"got {gens}")
+        out = None
+        for g in gens:
+            snap = (read_generation(spark, state, g)
+                    .agg(F.lit(g).cast("long").alias("generation"),
+                         F.count(F.lit(1)).alias("n_groups"),
+                         F.sum("n").alias("total_n"),
+                         F.sum("sum_micro").alias("total_sum_micro")))
+            out = snap if out is None else out.unionByName(snap)
+        out = out.localCheckpoint(eager=True)  # BEFORE the vacuum
+        dropped = vacuum_generations(spark, state, keep_last=1)
+        if dropped != [0, 1]:
+            raise AssertionError(f"vacuum dropped {dropped}, "
+                                 "expected [0, 1]")
+        # the stable view survives retention and serves generation 2
+        n_now = spark.table(state).count()
+        n_g2 = read_generation(spark, state, 2).count()
+        if n_now != n_g2:
+            raise AssertionError(
+                f"view ({n_now} rows) != newest generation ({n_g2})")
+        return out
+
+
+ROLLUP_TIMETRAVEL_SQL = """
+WITH slice AS (
+  SELECT 0 AS generation, ts, event_type, value FROM events
+  WHERE event_id % 10 >= 2
+  UNION ALL
+  SELECT 1, ts, event_type, value FROM events
+  WHERE event_id % 10 >= 2 OR event_id % 10 = 0
+  UNION ALL
+  SELECT 2, ts, event_type, value FROM events
+),
+per AS (
+  SELECT generation, date_trunc('day', ts) AS day, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_micro
+  FROM slice GROUP BY 1, 2, 3)
+SELECT CAST(generation AS BIGINT) AS generation,
+       count(*) AS n_groups,
+       CAST(sum(n) AS BIGINT) AS total_n,
+       CAST(sum(sum_micro) AS BIGINT) AS total_sum_micro
+FROM per GROUP BY generation
+"""

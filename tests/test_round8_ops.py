@@ -248,6 +248,44 @@ def test_view_swap_never_exposes_a_gap(spark):
         assert _current_generation(spark, view) == 2
 
 
+def test_generation_retention_and_time_travel(spark):
+    """keep_old=True retains snapshots readable by read_generation;
+    vacuum drops exactly the requested history, never the current
+    generation; the stable view tracks the newest throughout."""
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        list_generations,
+        read_generation,
+        swap_versioned,
+        vacuum_generations,
+    )
+
+    with temp_db(spark, "ldf_t8_ttl") as db:
+        view = f"{db}.state"
+        for gen in range(4):
+            df = spark.range(0, 10 * (gen + 1)).select(
+                F.col("id").alias("k"), F.lit(gen).alias("gen"))
+            if gen == 0:
+                init_versioned(spark, df, view, ["k"], num_buckets=2)
+            else:
+                swap_versioned(spark, df, view, ["k"], num_buckets=2,
+                               keep_old=True)
+        assert list_generations(spark, view) == [0, 1, 2, 3]
+        # time travel: each retained snapshot is intact
+        for gen in range(4):
+            snap = read_generation(spark, view, gen)
+            assert snap.count() == 10 * (gen + 1)
+            assert snap.agg(F.max("gen")).collect()[0][0] == gen
+        assert vacuum_generations(spark, view, keep_last=2) == [0, 1]
+        assert list_generations(spark, view) == [2, 3]
+        # keep_last clamps to >=1 — the current generation survives
+        assert vacuum_generations(spark, view, keep_last=0) == [2]
+        assert spark.table(view).count() == 40
+        with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|"
+                                            "cannot be found"):
+            read_generation(spark, view, 0).count()
+
+
 def test_view_swap_keeps_bucketed_scans(spark):
     """Reads through the stable view must still plan bucket-aware
     scans of the current physical generation (Catalyst inlines the
