@@ -319,6 +319,27 @@ def test_view_swap_keeps_bucketed_scans(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_interval_join_emits_pairs_once_no_distinct(spark, sf_dir):
+    """The r08 rewrite's plan pin: the asymmetric point-in-interval
+    join emits each pair exactly once, so NO aggregation or exchange
+    keyed on the output pair may appear (the old symmetric form's
+    .distinct() shuffled the full pair set — 1.29B candidates at 10×
+    for a 51M answer)."""
+    import contextlib as _ctx
+    import io
+    import re as _re
+
+    from legate_dataframe_spark.plans.registry import QUERIES
+
+    buf = io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        QUERIES["interval_overlap_join"](spark, sf_dir).explain(
+            mode="formatted")
+    plan = buf.getvalue()
+    assert not _re.search(r"hashpartitioning\(key_a", plan), plan
+    assert not _re.search(r"Keys \[3\]: \[key_a", plan), plan
+
+
 @pytest.mark.parametrize("name", ["dedup_index_delete", "ann_index_delete",
                                   "bm25_index_insert"])
 def test_round8_queries_run_on_tiny_sf(spark, sf_dir, name):
