@@ -81,6 +81,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # is gone from the plan entirely
     "interval_overlap_join": (r6.interval_overlap_join,
                               r6.INTERVAL_OVERLAP_SQL),
+    # sketches: distinct-count leg split from the imperative-buffer
+    # leg (fused agg Expand-rewrote every row through the sketches —
+    # 11.7 s → 1.5 s, caught by the r08 bench --all ledger)
+    "approx_sketches": (r.approx_sketches, r.APPROX_SKETCHES_SQL),
     # ---- stale tail: last driver-greened in CORRECTNESS_r03.json -----------
     # (VERDICT r07 task 1 — all 22 r03 entries in this round's prefix;
     # cogroup_user_orders is the 22nd, re-verified above as changed)
@@ -109,8 +113,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cluster_label_purity": (pq.cluster_label_purity,
                              pq.CLUSTER_LABEL_PURITY_SQL),
     # ---- stale tail: last driver-greened in CORRECTNESS_r04.json -----------
-    # (oldest 19 fill this round's 50-entry prefix; the remaining 26
-    # lead the r09 rotation)
+    # (the oldest 15 fill this round's 50-entry prefix; the remaining
+    # 30 lead the r09 rotation)
     "bloom_decontaminate": (pq.bloom_decontaminate,
                             pq.BLOOM_DECONTAMINATE_SQL),
     "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
@@ -130,9 +134,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
     "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
     "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),
+    # ======================== 50-entry prefix boundary =====================
     "mode_per_group": (r4.mode_per_group, r4.MODE_PER_GROUP_SQL),
     "filtered_aggs": (r4.filtered_aggs, r4.FILTERED_AGGS_SQL),
-    # ======================== 50-entry prefix boundary =====================
     "skyline_orders": (r4.skyline_orders, r4.SKYLINE_ORDERS_SQL),
     "sequence_gaps": (r4.sequence_gaps, r4.SEQUENCE_GAPS_SQL),
     "time_decay_revenue": (r4.time_decay_revenue, r4.TIME_DECAY_REVENUE_SQL),
@@ -327,7 +331,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
     "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
-    "approx_sketches": (r.approx_sketches, r.APPROX_SKETCHES_SQL),
     "parquet_roundtrip": (rt.parquet_roundtrip, rt.PARQUET_ROUNDTRIP_SQL),
     "csv_roundtrip": (rt.csv_roundtrip, rt.CSV_ROUNDTRIP_SQL),
     "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),

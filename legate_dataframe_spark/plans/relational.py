@@ -1795,15 +1795,25 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound.  percentile_approx accuracy 10000 ⇒ rank error ≤ n/10000;
     # 5% relative VALUE tolerance is orders looser than that rank slop
     # maps to on this distribution.
-    agg = (
-        l.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", rsd=0.05)
-             .alias("approx_orders"),
-             F.count_distinct("l_orderkey").alias("exact_orders"),
-             F.percentile_approx("l_extendedprice", 0.5, 10000)
-             .alias("approx_median"),
-             F.percentile("l_extendedprice", 0.5).alias("exact_median"))
-    )
+    #
+    # The distinct-count leg runs in its OWN aggregation: mixing
+    # count_distinct with imperative-buffer aggregates (HLL sketch,
+    # percentile digests) makes Catalyst rewrite the whole agg through
+    # an Expand — every input row duplicated per aggregate group, the
+    # sketch buffers then fed the expanded, null-padded stream.
+    # Measured 11.7 s fused vs 0.4-0.9 s per leg at sf0.1 (caught by
+    # the r08 bench --all ledger — this query had no timing row
+    # before); two aggs + a 3-row broadcast join cost ~1 s total.
+    dist = (l.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey", rsd=0.05)
+                 .alias("approx_orders"),
+                 F.count_distinct("l_orderkey").alias("exact_orders")))
+    pct = (l.groupBy("l_returnflag")
+           .agg(F.percentile_approx("l_extendedprice", 0.5, 10000)
+                .alias("approx_median"),
+                F.percentile("l_extendedprice", 0.5)
+                .alias("exact_median")))
+    agg = dist.join(F.broadcast(pct), "l_returnflag")
     return agg.select(
         "l_returnflag", "exact_orders",
         F.round("exact_median", 6).alias("exact_median_price"),
