@@ -179,6 +179,7 @@ EXTRA = [
     "bm25_index_insert",
     "rollup_swap_atomic",
     "rollup_timetravel",
+    "stream_rollup_chain",
 ]
 
 

@@ -62,6 +62,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # snapshot retention + time travel over the versioned state
     "rollup_timetravel": (r8.rollup_timetravel,
                           r8.ROLLUP_TIMETRAVEL_SQL),
+    # streaming ingest loop for aggregate state: every trigger merges
+    # its micro-batch into the day-partitioned rollup (DPP-pruned
+    # refresh), batch_id-guarded against double-counting on retry
+    "stream_rollup_chain": (r8.stream_rollup_chain,
+                            r8.STREAM_ROLLUP_CHAIN_SQL),
     # ---- changed this round — re-verify ------------------------------------
     # cogroup: bounded bucket key + vectorized per-bucket reconcile
     # (r07 perf flag: per-key single-row pandas, 13.6 s → 1.3 s)
@@ -113,8 +118,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cluster_label_purity": (pq.cluster_label_purity,
                              pq.CLUSTER_LABEL_PURITY_SQL),
     # ---- stale tail: last driver-greened in CORRECTNESS_r04.json -----------
-    # (the oldest 15 fill this round's 50-entry prefix; the remaining
-    # 30 lead the r09 rotation)
+    # (the oldest 14 fill this round's 50-entry prefix; the remaining
+    # 31 lead the r09 rotation)
     "bloom_decontaminate": (pq.bloom_decontaminate,
                             pq.BLOOM_DECONTAMINATE_SQL),
     "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
@@ -133,8 +138,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
     "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
     "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
-    "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),
     # ======================== 50-entry prefix boundary =====================
+    "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),
     "mode_per_group": (r4.mode_per_group, r4.MODE_PER_GROUP_SQL),
     "filtered_aggs": (r4.filtered_aggs, r4.FILTERED_AGGS_SQL),
     "skyline_orders": (r4.skyline_orders, r4.SKYLINE_ORDERS_SQL),

@@ -542,6 +542,90 @@ def rollup_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
 
+# ================================ streaming rollup ingest chain
+def stream_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming write-back loop for AGGREGATE state — the rollup
+    twin of ``stream_dedup_chain``: a micro-batch stream of events
+    where every trigger merges its batch into the day-PARTITIONED
+    rollup via dynamic partition overwrite, so trigger i+1 refreshes
+    state that trigger i already updated.  Per-trigger cost is
+    O(batch + touched day partitions): the state scan is DPP-pruned
+    to the batch's days and only those partitions rewrite.
+
+    Rig: three staged single-file micro-batches (controlled mtimes +
+    maxFilesPerTrigger=1 ⇒ deterministic order) partition the
+    event_id % 10 ∈ {0, 1} slice by event_id % 2 and half-split;
+    corpus = the % 10 ≥ 2 remainder.  foreachBatch notes: the cloned
+    session's relation cache must be refreshed per trigger (or the
+    merge silently reads the pre-stream file listing — same failure
+    mode stream_dedup_chain documents), and a batch_id marker makes
+    retries no-ops (dynamic overwrite MERGES state, so a replay would
+    double-count the batch — the same at-least-once pitfall, with a
+    worse failure: wrong numbers, not duplicate rows).
+
+    Oracle (maximal): the drained state must equal a full GROUP BY
+    over ALL events."""
+    import os as _os
+    import time as _time
+
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_rollup_partitioned,
+        incremental_rollup_overwrite,
+    )
+    from legate_dataframe_spark.plans.round4 import _stage_single_file
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 >= 2)
+    todays = e.filter(F.col("event_id") % 10 <= 1)
+
+    with _temp_db(spark, "ldf_r8_srchain") as db:
+        state = f"{db}.state"
+        build_rollup_partitioned(spark, corpus, state)
+        stage = tempfile.mkdtemp(prefix="ldf_r8_srchain_stage_")
+        ck = tempfile.mkdtemp(prefix="ldf_r8_srchain_ck_")
+        try:
+            now = _time.time()
+            for i in range(3):
+                _stage_single_file(
+                    todays.filter(
+                        F.floor((F.col("event_id") % 6) / 2) == i),
+                    stage, f"b{i}.parquet", now - 300 + i * 100)
+            stream = (spark.readStream.schema(todays.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(stage))
+
+            def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+                done = _os.path.join(ck, f"ldf_batch_{batch_id}.done")
+                if _os.path.exists(done):
+                    return
+                sess = batch_df.sparkSession
+                sess.catalog.refreshTable(state)
+                incremental_rollup_overwrite(
+                    sess, state, batch_df.localCheckpoint(eager=True))
+                open(done, "w").close()
+
+            q = (stream.writeStream.outputMode("append")
+                 .foreachBatch(merge_batch)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError("stream_rollup_chain drain > 300s")
+            spark.catalog.refreshTable(state)
+            return (spark.table(state)
+                    .select("day", "event_type", "n", "sum_micro",
+                            "min_micro", "max_micro")
+                    .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_ROLLUP_CHAIN_SQL = ROLLUP_SWAP_ATOMIC_SQL
+
+
 ROLLUP_TIMETRAVEL_SQL = """
 WITH slice AS (
   SELECT 0 AS generation, ts, event_type, value FROM events
