@@ -180,6 +180,7 @@ EXTRA = [
     "rollup_swap_atomic",
     "rollup_timetravel",
     "stream_rollup_chain",
+    "ann_index_retrain",
 ]
 
 

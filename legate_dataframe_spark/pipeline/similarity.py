@@ -1013,6 +1013,64 @@ def delete_from_ivf_index(
                      ["centroid_id"], num_buckets=num_buckets)
 
 
+def retrain_ivf_index(
+    spark,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+) -> None:
+    """One Lloyd refinement of a persisted IVF index — the "heavier
+    maintenance operation" :func:`delete_from_ivf_index` defers to:
+    after enough inserts/deletes the trained centroids drift from the
+    corpus and recall decays, and the fix is to re-center and
+    re-assign, NOT to mutate centroids per delete.
+
+    Everything runs off the index itself — the corpus parquet is
+    never rescanned, because the assignment table carries the vectors
+    as payload (the same denormalization that lets searches skip a
+    corpus join):
+
+    1. new centroids = per-cluster element-wise mean of the STORED
+       assignment (identical arithmetic to ``kmeans_refine``'s
+       iteration body, including the round-6 cross-engine
+       reproducibility contract — the stored assignment IS the
+       current-centroid assignment, so one retrain ≡ one Lloyd
+       iteration, and the k-means SQL oracle unrolls it exactly);
+       clusters that lost all members drop out, deterministic;
+    2. re-assign the index's vectors against the new centroids
+       (broadcast; one index scan) and swap the assignment table
+       under its bucket spec (``replace_bucketed``);
+    3. overwrite the (tiny) centroids table.
+
+    Cost is O(index + k·dim shuffle) per retrain; run on the drift
+    cadence, orders of magnitude rarer than insert/delete."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        replace_bucketed,
+    )
+
+    assigned = read_bucketed(spark, f"{table_prefix}_assign")
+    expl = assigned.select(
+        "centroid_id",
+        F.posexplode(_to_double(F.col(vec_col))).alias("pos", "val"))
+    means = (expl.groupBy("centroid_id", "pos")
+             .agg(F.round(F.avg("val"), 6).alias("m")))
+    cen = (means.groupBy("centroid_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("pos", "m"))),
+               lambda s: s["m"]).alias(vec_col))
+           .localCheckpoint(eager=True))  # severed from both tables
+    new_assign = assign_with_payload(
+        assigned.select(id_col, vec_col), cen, [vec_col],
+        id_col=id_col, vec_col=vec_col)
+    replace_bucketed(spark, new_assign, f"{table_prefix}_assign",
+                     ["centroid_id"], num_buckets=num_buckets)
+    (cen.select("centroid_id", vec_col)
+     .write.format("parquet").mode("overwrite")
+     .saveAsTable(f"{table_prefix}_centroids"))
+
+
 def insert_into_ivf_index(
     spark,
     batch: DataFrame,

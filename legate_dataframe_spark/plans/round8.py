@@ -542,6 +542,54 @@ def rollup_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
 
+# ==================================================== IVF RETRAIN
+def ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid refresh on the persisted IVF index: build from the 8
+    lowest-id seeds, RETRAIN twice (each retrain = one Lloyd
+    iteration computed entirely off the index — per-cluster means
+    from the stored assignment, re-assign, swap), then serve a query
+    batch with broadcast off (``Bucketed: true`` asserted on the
+    post-retrain probe join).  Because build(seeds) + retrain×2 ≡ two
+    unrolled k-means iterations, the oracle is the existing
+    ann_kmeans_search SQL VERBATIM — the strongest statement
+    available that index-resident retraining loses nothing vs
+    training in-query from the raw corpus."""
+    from legate_dataframe_spark.pipeline.similarity import (
+        build_ivf_index,
+        ivf_search_persisted,
+        retrain_ivf_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    q = e.filter(F.col("vec_id") % 50 == 0)
+    with _temp_db(spark, "ldf_r8_retrain") as db:
+        build_ivf_index(spark, e, seeds, f"{db}.ivf")
+        retrain_ivf_index(spark, f"{db}.ivf")
+        retrain_ivf_index(spark, f"{db}.ivf")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = ivf_search_persisted(spark, q, f"{db}.ivf", k=5,
+                                       n_probe=2)
+            _assert_bucketed(_plan_of(out), "post-retrain IVF serve")
+            return out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _retrain_sql() -> str:
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        ANN_KMEANS_SQL,
+    )
+
+    return ANN_KMEANS_SQL
+
+
+ANN_INDEX_RETRAIN_SQL = _retrain_sql()
+
+
 # ================================ streaming rollup ingest chain
 def stream_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming write-back loop for AGGREGATE state — the rollup
