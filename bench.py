@@ -181,6 +181,7 @@ EXTRA = [
     "rollup_timetravel",
     "stream_rollup_chain",
     "ann_index_retrain",
+    "rollup_histogram_chain",
 ]
 
 

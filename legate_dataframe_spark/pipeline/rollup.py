@@ -184,6 +184,127 @@ def rollup_retract(
     return untouched.unionByName(recomputed)
 
 
+# --------------------- mergeable-histogram state (percentile serving)
+_HIST_BINS = 64
+
+
+def _hist_bin(vlo, vhi):
+    """Bin id for ``value`` under fixed [vlo, vhi] bounds: equal-width
+    over _HIST_BINS bins, out-of-range values CLAMP to the edge bins
+    (the fixed-domain contract that makes the histogram mergeable —
+    bounds are frozen at build time, so every batch bins identically
+    and counts simply add)."""
+    span = vhi - vlo
+    raw = F.floor((F.col("value") - vlo) / span * _HIST_BINS)
+    return (F.when(span > 0,
+                   F.greatest(F.lit(0), F.least(F.lit(_HIST_BINS - 1),
+                                                raw.cast("int"))))
+            .otherwise(F.lit(0)))
+
+
+def hist_partials(events: DataFrame, vlo, vhi) -> DataFrame:
+    """→ (event_type, bkt, cnt): per-type fixed-bin value histogram —
+    one map-side-combined groupBy, ≤ types × _HIST_BINS rows."""
+    return (events
+            .filter(F.col("value").isNotNull())
+            .select("event_type", _hist_bin(vlo, vhi).alias("bkt"))
+            .groupBy("event_type", "bkt")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def build_histogram_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    table_prefix: str,
+    num_buckets: int = 8,
+) -> None:
+    """Persist a MERGEABLE per-type value histogram — the sketch
+    member of the rollup family: exact percentiles are not mergeable
+    (a quantile of two groups is not a function of their quantiles),
+    but fixed-bin histogram COUNTS are, so the standing state is
+    (event_type, bkt, cnt) bucketed on event_type plus a 1-row bounds
+    table frozen at build time.  A refresh folds a batch's bin counts
+    at O(batch); percentile queries serve off ≤ types × 64 rows with
+    a bin-width error bound — never a corpus scan or sort.  This is
+    the t-digest/KLL production pattern with a deterministic,
+    oracle-checkable sketch (equal-width bins; both engines bin with
+    the same IEEE arithmetic)."""
+    from legate_dataframe_spark.core.bucketing import write_bucketed
+
+    b = (events.filter(F.col("value").isNotNull())
+         .agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
+         .localCheckpoint(eager=True))
+    row = b.collect()[0]  # 1 row × 2 doubles — not a data collect
+    (b.write.format("parquet").mode("overwrite")
+     .saveAsTable(f"{table_prefix}_bounds"))
+    # bucketed on the FULL fold key (event_type, bkt): the refresh's
+    # outer merge joins on both, so bucket keys == join keys is what
+    # lets the state read its own co-located buckets with no Exchange
+    write_bucketed(hist_partials(events, F.lit(row["vlo"]),
+                                 F.lit(row["vhi"])),
+                   f"{table_prefix}_hist", ["event_type", "bkt"],
+                   num_buckets=num_buckets)
+
+
+def histogram_rollup_update(
+    spark: SparkSession,
+    table_prefix: str,
+    batch: DataFrame,
+) -> DataFrame:
+    """Fold a batch into the persisted histogram: bin under the STORED
+    bounds (out-of-range clamps to edge bins — the frozen-domain
+    contract), outer-merge counts.  O(batch) + a ≤ types × 64-row
+    merge; the raw corpus is never consulted.  Returns the merged
+    state (caller persists via replace_bucketed)."""
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+
+    row = spark.table(f"{table_prefix}_bounds").collect()[0]
+    bagg = (hist_partials(batch, F.lit(row["vlo"]), F.lit(row["vhi"]))
+            .select("event_type", "bkt", F.col("cnt").alias("b_cnt"))
+            .localCheckpoint(eager=True))
+    base = read_bucketed(spark, f"{table_prefix}_hist")
+    return (base.join(bagg, ["event_type", "bkt"], "full")
+            .select("event_type", "bkt",
+                    (F.coalesce("cnt", F.lit(0))
+                     + F.coalesce("b_cnt", F.lit(0))).alias("cnt")))
+
+
+def histogram_percentile_serve(
+    spark: SparkSession,
+    table_prefix: str,
+    p: float = 0.5,
+) -> DataFrame:
+    """Percentile estimate per event_type off the histogram state:
+    the target rank is ceil(p·n); the answer is the first bin whose
+    cumulative count reaches it, reported as (bin, lo, hi, midpoint
+    estimate) — error bounded by one bin width.  The window input is
+    ≤ 64 rows per type: nothing corpus-sized anywhere on the serve
+    path."""
+    from pyspark.sql import Window as W
+
+    hist = spark.table(f"{table_prefix}_hist")
+    bounds = spark.table(f"{table_prefix}_bounds")
+    w = W.partitionBy("event_type").orderBy("bkt")
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(
+               W.partitionBy("event_type"))))
+    target = F.ceil(F.lit(p) * F.col("n"))
+    first = (cum.filter(F.col("cum") >= target)
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1))
+    width = (F.col("vhi") - F.col("vlo")) / _HIST_BINS
+    return (first.crossJoin(F.broadcast(bounds))
+            .select("event_type", F.col("n").cast("long").alias("n"),
+                    F.col("bkt").cast("long").alias("p_bin"),
+                    F.round(F.col("vlo") + F.col("bkt") * width, 6)
+                    .alias("bin_lo"),
+                    F.round(F.col("vlo") + (F.col("bkt") + 1) * width, 6)
+                    .alias("bin_hi"),
+                    F.round(F.col("vlo")
+                            + (F.col("bkt") + 0.5) * width, 6)
+                    .alias("est_p")))
+
+
 def build_rollup_partitioned(
     spark: SparkSession,
     events: DataFrame,

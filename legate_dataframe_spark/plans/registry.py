@@ -71,6 +71,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # === two unrolled Lloyd iterations, oracle = kmeans-search SQL
     "ann_index_retrain": (r8.ann_index_retrain,
                           r8.ANN_INDEX_RETRAIN_SQL),
+    # mergeable-histogram percentile state: O(batch) fold, bin-width
+    # error bar, deterministic sketch (oracle bins identically)
+    "rollup_histogram_chain": (r8.rollup_histogram_chain,
+                               r8.ROLLUP_HISTOGRAM_CHAIN_SQL),
     # ---- changed this round — re-verify ------------------------------------
     # cogroup: bounded bucket key + vectorized per-bucket reconcile
     # (r07 perf flag: per-key single-row pandas, 13.6 s → 1.3 s)
@@ -122,8 +126,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cluster_label_purity": (pq.cluster_label_purity,
                              pq.CLUSTER_LABEL_PURITY_SQL),
     # ---- stale tail: last driver-greened in CORRECTNESS_r04.json -----------
-    # (the oldest 13 fill this round's 50-entry prefix; the remaining
-    # 32 lead the r09 rotation)
+    # (the oldest 12 fill this round's 50-entry prefix; the remaining
+    # 33 lead the r09 rotation)
     "bloom_decontaminate": (pq.bloom_decontaminate,
                             pq.BLOOM_DECONTAMINATE_SQL),
     "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
@@ -140,8 +144,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
     "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
     "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
-    "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
     # ======================== 50-entry prefix boundary =====================
+    "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
     "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
     "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),
     "mode_per_group": (r4.mode_per_group, r4.MODE_PER_GROUP_SQL),

@@ -475,6 +475,78 @@ GROUP BY 1, 2
 """
 
 
+# ============================== mergeable-histogram percentile state
+def rollup_histogram_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-percentile MAINTENANCE — the sketch member of the
+    rollup family: exact percentiles are not mergeable, but fixed-bin
+    histogram counts are, so the standing state is a per-type 64-bin
+    value histogram (bounds frozen at build — the t-digest/KLL
+    production pattern with a deterministic, oracle-checkable
+    sketch).  Build over the corpus, fold today's batch at O(batch),
+    swap the merged state back (``Bucketed: true`` asserted on the
+    merge), serve p50 per event_type off ≤ 64 rows/type — the answer
+    carries its own error bar (bin_lo/bin_hi bracket the true median
+    by construction).  Oracle: identical binning arithmetic in
+    DuckDB over corpus-then-union — a drifted bound, missed clamp,
+    or dropped bin flips a row."""
+    from legate_dataframe_spark.core.bucketing import replace_bucketed
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_histogram_rollup,
+        histogram_percentile_serve,
+        histogram_rollup_update,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 != 0)
+    batch = e.filter(F.col("event_id") % 10 == 0)
+    with _temp_db(spark, "ldf_r8_histroll") as db:
+        build_histogram_rollup(spark, corpus, f"{db}.h")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            merged = histogram_rollup_update(spark, f"{db}.h", batch)
+            _assert_bucketed(_plan_of(merged), "histogram fold")
+            replace_bucketed(spark, merged, f"{db}.h_hist",
+                             ["event_type", "bkt"], num_buckets=8)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        return (histogram_percentile_serve(spark, f"{db}.h", p=0.5)
+                .localCheckpoint(eager=True))
+
+
+ROLLUP_HISTOGRAM_CHAIN_SQL = """
+WITH b AS (
+  SELECT min(value) AS vlo, max(value) AS vhi FROM events
+  WHERE event_id % 10 != 0 AND value IS NOT NULL),
+binned AS (
+  SELECT event_type,
+         CASE WHEN vhi > vlo THEN
+           greatest(0, least(63,
+             CAST(floor((value - vlo) / (vhi - vlo) * 64) AS INT)))
+         ELSE 0 END AS bkt
+  FROM events, b WHERE value IS NOT NULL),
+hist AS (
+  SELECT event_type, bkt, count(*) AS cnt FROM binned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bkt, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist),
+first AS (
+  SELECT * FROM (
+    SELECT event_type, bkt, n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bkt) AS rn
+    FROM cum WHERE cum >= ceil(0.5 * n)) WHERE rn = 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(bkt AS BIGINT) AS p_bin,
+       round(vlo + bkt * (vhi - vlo) / 64, 6) AS bin_lo,
+       round(vlo + (bkt + 1) * (vhi - vlo) / 64, 6) AS bin_hi,
+       round(vlo + (bkt + 0.5) * (vhi - vlo) / 64, 6) AS est_p
+FROM first, b
+"""
+
+
 # ================================ snapshot retention + time travel
 def rollup_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot RETENTION over the view-routed state: three
