@@ -182,6 +182,7 @@ EXTRA = [
     "stream_rollup_chain",
     "ann_index_retrain",
     "rollup_histogram_chain",
+    "tpch_refresh_maintenance",
 ]
 
 

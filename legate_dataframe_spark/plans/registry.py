@@ -75,6 +75,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # error bar, deterministic sketch (oracle bins identically)
     "rollup_histogram_chain": (r8.rollup_histogram_chain,
                                r8.ROLLUP_HISTOGRAM_CHAIN_SQL),
+    # TPC-H refresh streams on the maintained fact table: RF1 append
+    # under the bucket spec, RF2 anti-join rewrite, then Q1 over it
+    "tpch_refresh_maintenance": (r8.tpch_refresh_maintenance,
+                                 r8.TPCH_REFRESH_SQL),
     # ---- changed this round — re-verify ------------------------------------
     # cogroup: bounded bucket key + vectorized per-bucket reconcile
     # (r07 perf flag: per-key single-row pandas, 13.6 s → 1.3 s)
@@ -126,8 +130,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cluster_label_purity": (pq.cluster_label_purity,
                              pq.CLUSTER_LABEL_PURITY_SQL),
     # ---- stale tail: last driver-greened in CORRECTNESS_r04.json -----------
-    # (the oldest 12 fill this round's 50-entry prefix; the remaining
-    # 33 lead the r09 rotation)
+    # (the oldest 11 fill this round's 50-entry prefix; the remaining
+    # 34 lead the r09 rotation)
     "bloom_decontaminate": (pq.bloom_decontaminate,
                             pq.BLOOM_DECONTAMINATE_SQL),
     "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
@@ -143,8 +147,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                               pq.EMBEDDING_STANDARDIZE_SQL),
     "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
     "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
-    "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
     # ======================== 50-entry prefix boundary =====================
+    "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
     "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
     "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
     "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),

@@ -475,6 +475,95 @@ GROUP BY 1, 2
 """
 
 
+# ====================== TPC-H-style refresh streams (RF1 / RF2)
+def tpch_refresh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H refresh functions on the maintained FACT table — the
+    reference's own benchmark spec pairs its query set with RF1
+    (insert new orders' lineitems) and RF2 (delete old orders);
+    cpp has no storage so it never runs them.  Here the lineitem fact
+    lives as a bucketed table (l_orderkey — the fact-fact join key):
+
+    - RF1: the held-out l_orderkey % 10 == 0 slice APPENDS under the
+      bucket spec (the same bucket-preserving append every index
+      insert uses — O(batch), co-location kept);
+    - RF2: l_orderkey % 20 == 1 orders are DELETED by broadcast
+      anti-join + ``replace_bucketed`` write-back (the takedown
+      primitive, now on a raw fact table);
+    - the business query (Q1 pricing summary, exact-cents arithmetic)
+      then runs over the MAINTAINED table.
+
+    Oracle: Q1 over lineitem WHERE l_orderkey % 20 != 1 — the
+    closed-form of (corpus ∪ inserts) MINUS deletes.  A lost insert,
+    leaked delete, or bucket-spec drift flips an aggregate."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        replace_bucketed,
+        write_bucketed,
+    )
+    from legate_dataframe_spark.plans.relational import _cents, _ts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    corpus = li.filter(F.col("l_orderkey") % 10 != 0)
+    rf1_batch = li.filter(F.col("l_orderkey") % 10 == 0)
+    rf2_keys = (li.filter(F.col("l_orderkey") % 20 == 1)
+                .select("l_orderkey").distinct())
+    with _temp_db(spark, "ldf_r8_tpchrf") as db:
+        fact = f"{db}.lineitem"
+        write_bucketed(corpus, fact, ["l_orderkey"], num_buckets=16)
+        # RF1: bucket-preserving append
+        write_bucketed(rf1_batch, fact, ["l_orderkey"], num_buckets=16,
+                       mode="append")
+        # RF2: anti-join rewrite under the original spec
+        kept = read_bucketed(spark, fact).join(
+            F.broadcast(rf2_keys), "l_orderkey", "left_anti")
+        replace_bucketed(spark, kept, fact, ["l_orderkey"],
+                         num_buckets=16)
+        l = spark.table(fact)
+        price_c = _cents(F.col("l_extendedprice"))
+        disc_p = _cents(F.col("l_discount"))
+        tax_p = _cents(F.col("l_tax"))
+        n = F.count(F.lit(1))
+        out = (
+            l.filter(F.col("l_shipdate") <= _ts("1998-09-02 00:00:00"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(price_c) / 100.0, 2)
+                .alias("sum_base_price"),
+                F.round(F.sum(price_c * (100 - disc_p)) / 10000.0, 4)
+                .alias("sum_disc_price"),
+                F.round(F.sum(price_c * (100 - disc_p) * (100 + tax_p))
+                        / 1000000.0, 6).alias("sum_charge"),
+                F.round(F.sum("l_quantity") / n, 6).alias("avg_qty"),
+                F.round(F.sum(price_c) / 100.0 / n, 6)
+                .alias("avg_price"),
+                F.round(F.sum(disc_p) / 100.0 / n, 6).alias("avg_disc"),
+                n.alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+        return out.localCheckpoint(eager=True)
+
+
+TPCH_REFRESH_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS sum_base_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT) / 10000.0, 4) AS sum_disc_price,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS BIGINT) / 1000000.0, 6) AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) / 100.0 / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  AND l_orderkey % 20 != 1
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 # ============================== mergeable-histogram percentile state
 def rollup_histogram_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-percentile MAINTENANCE — the sketch member of the
