@@ -319,6 +319,65 @@ def test_view_swap_keeps_bucketed_scans(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_histogram_fold_matches_fresh_build(spark, sf_dir):
+    """Mergeability pin: build(corpus) + fold(batch) must equal a
+    fresh histogram over corpus ∪ batch binned under the CORPUS
+    bounds (the frozen-domain contract)."""
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_histogram_rollup,
+        hist_partials,
+        histogram_rollup_update,
+    )
+    from legate_dataframe_spark.plans.relational import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 != 0)
+    batch = e.filter(F.col("event_id") % 10 == 0)
+    with temp_db(spark, "ldf_t8_hist") as db:
+        build_histogram_rollup(spark, corpus, f"{db}.h", num_buckets=4)
+        folded = sorted(map(tuple, histogram_rollup_update(
+            spark, f"{db}.h", batch).collect()))
+        row = spark.table(f"{db}.h_bounds").collect()[0]
+        want = sorted(map(tuple, hist_partials(
+            e, F.lit(row["vlo"]), F.lit(row["vhi"])).collect()))
+        assert folded == want and len(want) > 0
+        # out-of-range values clamp to edge bins, counts conserved
+        wild = spark.createDataFrame(
+            [(1, "a", row["vlo"] - 100.0), (2, "a", row["vhi"] + 100.0)],
+            "event_id long, event_type string, value double")
+        got = {r["bkt"]: r["cnt"] for r in hist_partials(
+            wild, F.lit(row["vlo"]), F.lit(row["vhi"])).collect()}
+        assert got == {0: 1, 63: 1}
+        base_total = (read_bucketed(spark, f"{db}.h_hist")
+                      .agg(F.sum("cnt")).collect()[0][0])
+        assert base_total == corpus.filter(
+            F.col("value").isNotNull()).count()
+
+
+def test_bm25_delete_of_absent_ids_is_noop(spark, sf_dir):
+    """Deleting ids that are not in the index must leave postings AND
+    the stats row bit-identical (the subtract leg sees zero rows)."""
+    from legate_dataframe_spark.pipeline.text import (
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+    from legate_dataframe_spark.plans.relational import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    with temp_db(spark, "ldf_t8_bmnoop") as db:
+        build_bm25_index(spark, corpus, f"{db}.idx")
+        before_stats = spark.table(f"{db}.idx_stats").collect()
+        before_n = spark.table(f"{db}.idx_postings").count()
+        delete_from_bm25_index(
+            spark, spark.createDataFrame([(10**9,), (10**9 + 1,)],
+                                         "doc_id long"),
+            f"{db}.idx")
+        assert spark.table(f"{db}.idx_stats").collect() == before_stats
+        assert spark.table(f"{db}.idx_postings").count() == before_n
+
+
 def test_interval_join_emits_pairs_once_no_distinct(spark, sf_dir):
     """The r08 rewrite's plan pin: the asymmetric point-in-interval
     join emits each pair exactly once, so NO aggregation or exchange
