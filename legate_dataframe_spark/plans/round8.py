@@ -519,6 +519,18 @@ def tpch_refresh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         replace_bucketed(spark, kept, fact, ["l_orderkey"],
                          num_buckets=16)
         l = spark.table(fact)
+        # maintenance preserved co-location: a keyed probe join with
+        # broadcast off must read the twice-rewritten table's own
+        # buckets (the fact-fact join readiness RF1/RF2 must not cost)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            probe = (l.select("l_orderkey").limit(10)
+                     .repartition(16, "l_orderkey"))
+            _assert_bucketed(_plan_of(l.join(probe, "l_orderkey")),
+                             "post-RF1/RF2 fact scan")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         price_c = _cents(F.col("l_extendedprice"))
         disc_p = _cents(F.col("l_discount"))
         tax_p = _cents(F.col("l_tax"))
