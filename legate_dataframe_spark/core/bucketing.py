@@ -132,17 +132,32 @@ def _write_generation(
 
 # --------------------------- view-routed (catalog-atomic) generation swap
 def _current_generation(spark: SparkSession, view_name: str) -> int:
-    """Highest n for which ``{view_name}__g{n}`` exists (−1 if none)."""
-    db, _, stem = view_name.rpartition(".")
-    rows = spark.sql(
-        f"SHOW TABLES{f' IN {db}' if db else ''} LIKE '{stem}__g*'"
-    ).collect()
-    gens = []
-    for r in rows:
-        tail = r["tableName"].rsplit("__g", 1)
-        if len(tail) == 2 and tail[1].isdigit() and tail[0] == stem:
-            gens.append(int(tail[1]))
-    return max(gens, default=-1)
+    """The generation readers actually resolve: parsed from the stable
+    VIEW's own definition, not from which physical tables happen to
+    exist (ADVICE r08).  A crash between ``_write_generation`` and the
+    repoint leaves an orphan ``__g{n+1}`` while the view still serves
+    g{n}; deriving "current" from SHOW TABLES would then build g{n+2}
+    from the ORPHAN's lineage-free slot, drop only the orphan, and
+    leak the live g{n}.  Resolving from the view instead makes the
+    next swap overwrite the orphan (``_write_generation`` writes
+    mode=overwrite) and retire g{n} normally — interrupted swaps heal
+    on the next cycle; any orphan that never gets a next cycle is
+    retired by :func:`vacuum_generations`.
+
+    Falls back to ``max(list_generations)`` (−1 if none) when the
+    view does not exist yet — the pre-``init_versioned`` state."""
+    import re as _re
+
+    _, _, stem = view_name.rpartition(".")
+    try:
+        ddl = spark.sql(
+            f"SHOW CREATE TABLE {view_name}").collect()[0][0]
+    except Exception:
+        return max(list_generations(spark, view_name), default=-1)
+    hits = _re.findall(rf"{_re.escape(stem)}__g(\d+)", ddl)
+    if not hits:
+        return max(list_generations(spark, view_name), default=-1)
+    return int(hits[-1])
 
 
 def init_versioned(
@@ -194,7 +209,14 @@ def swap_versioned(
     ``keep_old=True`` retains the previous physical generation after
     the repoint — that IS snapshot retention: old generations stay
     readable via :func:`read_generation` (time travel) until
-    :func:`vacuum_generations` retires them."""
+    :func:`vacuum_generations` retires them.
+
+    Crash recovery: the current generation is resolved from the VIEW
+    DEFINITION (see :func:`_current_generation`), so a crash between
+    the generation write and the repoint is self-healing — the orphan
+    ``__g{n+1}`` is simply overwritten by the next swap; the live
+    generation is never dropped by mistake.  Single-writer remains
+    the contract (two concurrent swaps would race the repoint)."""
     cur = _current_generation(spark, view_name)
     nxt = f"{view_name}__g{cur + 1}"
     _write_generation(spark, df, nxt, bucket_cols, num_buckets,
@@ -232,12 +254,16 @@ def read_generation(spark: SparkSession, view_name: str,
 def vacuum_generations(spark: SparkSession, view_name: str,
                        keep_last: int = 2) -> list[int]:
     """Snapshot retention: drop all but the newest ``keep_last``
-    physical generations (never the current one — ``keep_last`` is
-    clamped to ≥1).  Returns the generation numbers dropped.  The
-    grace-period story from :func:`swap_versioned` applies: run this
-    on the maintenance cadence, not inside the swap."""
+    physical generations (never the one the stable view points at —
+    ``keep_last`` is clamped to ≥1 and the view's own generation is
+    additionally excluded, so an orphan from an interrupted swap can
+    never out-rank the live table into being "the kept one").
+    Returns the generation numbers dropped.  The grace-period story
+    from :func:`swap_versioned` applies: run this on the maintenance
+    cadence, not inside the swap."""
+    cur = _current_generation(spark, view_name)
     gens = list_generations(spark, view_name)
-    drop = gens[:-max(1, keep_last)]
+    drop = [g for g in gens[:-max(1, keep_last)] if g != cur]
     for g in drop:
         spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{g}")
     return drop

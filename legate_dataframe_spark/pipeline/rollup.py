@@ -160,9 +160,24 @@ def rollup_retract(
     new_n = F.col("n") - F.coalesce("b_n", F.lit(0))
     new_sum = F.col("sum_micro") - F.coalesce("b_sum_micro", F.lit(0))
     survivors = j.filter(new_n > 0)
-    extremum_safe = (F.col("b_n").isNull()
-                     | ((F.col("b_min_micro") > F.col("min_micro"))
-                        & (F.col("b_max_micro") < F.col("max_micro"))))
+    # NULL batch extrema are SAFE, not three-valued (ADVICE r08): a
+    # surviving group whose deleted rows are all NULL-valued has
+    # b_min/b_max = NULL — deleting NULL values cannot move min/max,
+    # but a bare `b_min > min` comparison would evaluate NULL and the
+    # group would fail BOTH the safe and the ~safe filter, silently
+    # vanishing from the retracted state.  (A stored-NULL extremum
+    # with a non-NULL batch extremum is unreachable: a group whose
+    # stored min is NULL holds only NULL values, so any batch slice
+    # of it is all-NULL too.)  coalesce(False) is the belt on top:
+    # anything still three-valued routes to the recompute leg, which
+    # is conservative — never wrong, only slower.
+    extremum_safe = F.coalesce(
+        F.col("b_n").isNull()
+        | ((F.col("b_min_micro").isNull()
+            | (F.col("b_min_micro") > F.col("min_micro")))
+           & (F.col("b_max_micro").isNull()
+              | (F.col("b_max_micro") < F.col("max_micro")))),
+        F.lit(False))
     untouched = (survivors.filter(extremum_safe)
                  .select(*GROUP_KEYS, new_n.alias("n"),
                          new_sum.alias("sum_micro"),

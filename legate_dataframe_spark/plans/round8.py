@@ -774,9 +774,10 @@ def stream_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch's days and only those partitions rewrite.
 
     Rig: three staged single-file micro-batches (controlled mtimes +
-    maxFilesPerTrigger=1 ⇒ deterministic order) partition the
-    event_id % 10 ∈ {0, 1} slice by event_id % 2 and half-split;
-    corpus = the % 10 ≥ 2 remainder.  foreachBatch notes: the cloned
+    maxFilesPerTrigger=1 ⇒ deterministic order) split the
+    event_id % 10 ∈ {0, 1} slice three ways by
+    floor((event_id % 6) / 2); corpus = the % 10 ≥ 2 remainder.
+    foreachBatch notes: the cloned
     session's relation cache must be refreshed per trigger (or the
     merge silently reads the pre-stream file listing — same failure
     mode stream_dedup_chain documents), and a batch_id marker makes

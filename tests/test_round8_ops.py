@@ -164,6 +164,88 @@ def test_rollup_retract_recomputes_deleted_extrema(spark):
         assert types == {"a", "b", "c"}  # group d dropped entirely
 
 
+def test_rollup_retract_all_null_batch_keeps_group(spark):
+    """ADVICE r08 (medium): a surviving group whose deleted rows are
+    ALL NULL-valued has NULL batch extrema — three-valued logic in
+    the extremum-safe predicate would make the group fail both merge
+    branches and vanish.  It must survive with n decremented, sum
+    unchanged, min/max untouched; an all-NULL GROUP must also retract
+    cleanly (stored extrema NULL on both sides)."""
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_rollup_index,
+        event_partials,
+        rollup_retract,
+    )
+
+    rows = [
+        # group A: survivors have values; the deleted slice is all-NULL
+        (1, "2024-01-01 01:00:00", "a", 1.0),
+        (2, "2024-01-01 02:00:00", "a", None),   # batch (NULL value)
+        (3, "2024-01-01 03:00:00", "a", 3.0),
+        (4, "2024-01-01 04:00:00", "a", None),   # batch (NULL value)
+        # group B: ALL values NULL, batch deletes one of them
+        (5, "2024-01-01 01:00:00", "b", None),
+        (6, "2024-01-01 02:00:00", "b", None),   # batch
+        # group C: untouched control
+        (7, "2024-01-01 01:00:00", "c", 2.0),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch = e.filter(F.col("event_id").isin(2, 4, 6))
+    remaining = e.filter(~F.col("event_id").isin(2, 4, 6))
+    with temp_db(spark, "ldf_t8_retnull") as db:
+        build_rollup_index(spark, e, f"{db}.state", num_buckets=4)
+        got = sorted(
+            map(tuple, rollup_retract(
+                spark, f"{db}.state", batch, remaining).collect()),
+            key=lambda t: (t[1],))
+        want = sorted(map(tuple, event_partials(remaining).collect()),
+                      key=lambda t: (t[1],))
+        assert got == want
+        assert {t[1] for t in got} == {"a", "b", "c"}  # nothing vanished
+
+
+def test_current_generation_resolves_from_view_not_orphans(spark):
+    """ADVICE r08: an interrupted swap leaves an orphan __g{n+1} while
+    the view still serves g{n}.  The next swap must overwrite the
+    orphan and retire the real old generation — not fork from the
+    orphan's number and leak the live table; vacuum must never drop
+    the generation the view points at, even when an orphan outnumbers
+    it."""
+    from legate_dataframe_spark.core.bucketing import (
+        _current_generation,
+        _write_generation,
+        init_versioned,
+        list_generations,
+        swap_versioned,
+        vacuum_generations,
+    )
+
+    with temp_db(spark, "ldf_t8_orphan") as db:
+        view = f"{db}.state"
+        g0 = spark.range(0, 10).select(F.col("id").alias("k"),
+                                       F.lit(0).alias("gen"))
+        init_versioned(spark, g0, view, ["k"], num_buckets=2)
+        # simulate a crash: generation 1 written, repoint never ran
+        orphan = spark.range(0, 99).select(F.col("id").alias("k"),
+                                           F.lit(99).alias("gen"))
+        _write_generation(spark, orphan, f"{view}__g1", ["k"], 2, None)
+        assert _current_generation(spark, view) == 0  # view, not orphan
+        # vacuum with an out-ranking orphan never drops the live gen
+        assert vacuum_generations(spark, view, keep_last=1) == []
+        assert spark.table(view).count() == 10
+        # the next swap overwrites the orphan slot and heals
+        g1 = spark.range(0, 20).select(F.col("id").alias("k"),
+                                       F.lit(1).alias("gen"))
+        swap_versioned(spark, g1, view, ["k"], num_buckets=2)
+        assert _current_generation(spark, view) == 1
+        assert list_generations(spark, view) == [1]  # g0 retired
+        assert spark.table(view).count() == 20
+        assert spark.table(view).agg(
+            F.max("gen")).collect()[0][0] == 1  # orphan data gone
+
+
 def test_components_delete_splits_and_preserves(spark):
     """Deleting a cut vertex must SPLIT its cluster (survivors with no
     remaining pair leave the labelling); deleting a non-cut member
