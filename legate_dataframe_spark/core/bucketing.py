@@ -173,10 +173,46 @@ def init_versioned(
     physical table) and readers go through the stable view
     ``view_name``.  Catalyst inlines the trivial view, so every later
     keyed join still plans a co-located, Exchange-free scan."""
+    # fresh-build semantics (matches write_bucketed's overwrite): any
+    # generations a previous lifetime of this name left behind are
+    # retired so the new index starts a clean lineage at g0
+    for g in list_generations(spark, view_name):
+        spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{g}")
     _write_generation(spark, df, f"{view_name}__g0", bucket_cols,
                       num_buckets, sort_cols)
     spark.sql(f"CREATE OR REPLACE VIEW {view_name} AS "
               f"SELECT * FROM {view_name}__g0")
+
+
+def current_generation_table(spark: SparkSession, view_name: str) -> str:
+    """Fully-qualified PHYSICAL table behind the stable view — what a
+    reader resolves right now.  Appends and cache refreshes target
+    this; everything else goes through the view."""
+    cur = _current_generation(spark, view_name)
+    if cur < 0:
+        raise ValueError(f"{view_name} has no generations")
+    return f"{view_name}__g{cur}"
+
+
+def append_versioned(
+    spark: SparkSession,
+    df: DataFrame,
+    view_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Bucket-spec-preserving APPEND into the live generation — the
+    O(batch) insert path of a view-routed index.  The append targets
+    the physical table the view currently points at (Spark validates
+    the bucket spec on append and fails loudly on a mismatch, so each
+    bucket id simply gains files).  No repoint happens: the view
+    definition is unchanged and readers see the new files on their
+    next scan — the same visibility semantics as any parquet append,
+    and strictly no worse than the pre-versioned direct append."""
+    write_bucketed(df, current_generation_table(spark, view_name),
+                   bucket_cols, num_buckets=num_buckets,
+                   sort_cols=sort_cols, mode="append")
 
 
 def swap_versioned(

@@ -152,12 +152,16 @@ def build_components_index(
     and the clusters they collide with.  Bucketing on ``node`` makes
     every later per-node join/anti-join against the label table read
     co-located, pre-sorted buckets with no Exchange on the label side.
+
+    The name is a stable VIEW over versioned bucketed physical tables
+    (core/bucketing.py::init_versioned) so every later label swap is
+    a catalog-atomic repoint (VERDICT r08 task 2).
     """
-    from legate_dataframe_spark.core.bucketing import write_bucketed
+    from legate_dataframe_spark.core.bucketing import init_versioned
 
     labels = connected_components(pairs, *pair_cols)
-    write_bucketed(labels.select("node", "component"), table_name,
-                   ["node"], num_buckets=num_buckets)
+    init_versioned(spark, labels.select("node", "component"),
+                   table_name, ["node"], num_buckets=num_buckets)
 
 
 def delete_from_components_index(
@@ -190,14 +194,15 @@ def delete_from_components_index(
        (the table's contract is "nodes with at least one near-dup",
        matching a fresh recompute over the remaining corpus);
     4. UNTOUCHED components pass through unread-state-only; the new
-       generation swaps in under the original bucket spec.
+       generation swaps in under the original bucket spec via the
+       catalog-atomic view repoint (``swap_versioned``).
 
     The caller is responsible for also deleting the ids from the
     minhash index itself (dedup.delete_from_minhash_index) so future
     gates stop matching them — the driver query does both."""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
-        replace_bucketed,
+        swap_versioned,
     )
 
     ids = doc_ids.toDF("node")
@@ -215,10 +220,10 @@ def delete_from_components_index(
                                       pairs.columns[1])
     untouched = labels.join(F.broadcast(touched), "component",
                             "left_anti")
-    replace_bucketed(spark,
-                     untouched.unionByName(
-                         recomputed.select("node", "component")),
-                     label_table, ["node"], num_buckets=num_buckets)
+    swap_versioned(spark,
+                   untouched.unionByName(
+                       recomputed.select("node", "component")),
+                   label_table, ["node"], num_buckets=num_buckets)
 
 
 def incremental_components_update(

@@ -944,14 +944,19 @@ def build_ivf_index(
     The O(corpus) assignment pass (one scan, centroids broadcast, one
     bucketBy shuffle) is paid once here; each search batch then costs
     O(queries × probed-cluster rows).  Same catalog discipline as
-    dedup.build_minhash_index.
+    dedup.build_minhash_index — the assignment name is a stable VIEW
+    over versioned bucketed physical tables (core/bucketing.py::
+    init_versioned), so delete/retrain write-backs repoint the
+    catalog atomically with no reader-visible gap (VERDICT r08
+    task 2); the probe join's bucket co-location pushes through the
+    inlined view unchanged.
     """
-    from legate_dataframe_spark.core.bucketing import write_bucketed
+    from legate_dataframe_spark.core.bucketing import init_versioned
 
     assigned = assign_with_payload(corpus, centroids, [vec_col],
                                    id_col=id_col, vec_col=vec_col)
-    write_bucketed(assigned, f"{table_prefix}_assign", ["centroid_id"],
-                   num_buckets=num_buckets)
+    init_versioned(spark, assigned, f"{table_prefix}_assign",
+                   ["centroid_id"], num_buckets=num_buckets)
     (centroids.select(F.col("centroid_id"), F.col(vec_col))
      .write.format("parquet").mode("overwrite")
      .saveAsTable(f"{table_prefix}_centroids"))
@@ -993,9 +998,11 @@ def delete_from_ivf_index(
     :func:`insert_into_ivf_index`.  ``vec_ids`` is a 1-column frame
     of ids to retract.  The assignment table is anti-joined on id
     (the id list broadcasts — the corpus-sized side never shuffles)
-    and written back under its ORIGINAL bucket spec via
-    ``replace_bucketed``, so post-delete probe joins still read
-    co-located buckets.  Centroids are untouched: IVF centroids are
+    and written back under its ORIGINAL bucket spec as a new
+    generation behind the stable view (``swap_versioned`` —
+    catalog-atomic repoint, no reader-visible gap), so post-delete
+    probe joins still read co-located buckets.  Centroids are
+    untouched: IVF centroids are
     a trained artifact, not per-vector state — deleting a vector
     must not move cluster geometry under standing queries (re-train
     + re-assign is a separate, heavier maintenance operation).
@@ -1003,14 +1010,14 @@ def delete_from_ivf_index(
     deletes to amortize."""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
-        replace_bucketed,
+        swap_versioned,
     )
 
     ids = vec_ids.toDF(id_col)
     assigned = read_bucketed(spark, f"{table_prefix}_assign")
     keep = assigned.join(F.broadcast(ids), id_col, "left_anti")
-    replace_bucketed(spark, keep, f"{table_prefix}_assign",
-                     ["centroid_id"], num_buckets=num_buckets)
+    swap_versioned(spark, keep, f"{table_prefix}_assign",
+                   ["centroid_id"], num_buckets=num_buckets)
 
 
 def retrain_ivf_index(
@@ -1040,14 +1047,15 @@ def retrain_ivf_index(
        clusters that lost all members drop out, deterministic;
     2. re-assign the index's vectors against the new centroids
        (broadcast; one index scan) and swap the assignment table
-       under its bucket spec (``replace_bucketed``);
+       under its bucket spec (``swap_versioned`` — atomic repoint
+       behind the stable view);
     3. overwrite the (tiny) centroids table.
 
     Cost is O(index + k·dim shuffle) per retrain; run on the drift
     cadence, orders of magnitude rarer than insert/delete."""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
-        replace_bucketed,
+        swap_versioned,
     )
 
     assigned = read_bucketed(spark, f"{table_prefix}_assign")
@@ -1064,8 +1072,8 @@ def retrain_ivf_index(
     new_assign = assign_with_payload(
         assigned.select(id_col, vec_col), cen, [vec_col],
         id_col=id_col, vec_col=vec_col)
-    replace_bucketed(spark, new_assign, f"{table_prefix}_assign",
-                     ["centroid_id"], num_buckets=num_buckets)
+    swap_versioned(spark, new_assign, f"{table_prefix}_assign",
+                   ["centroid_id"], num_buckets=num_buckets)
     (cen.select("centroid_id", vec_col)
      .write.format("parquet").mode("overwrite")
      .saveAsTable(f"{table_prefix}_centroids"))
@@ -1087,8 +1095,10 @@ def insert_into_ivf_index(
     (broadcast; one batch scan) and appended into the bucketed
     assignment table — Spark buckets the appended files with the same
     hash spec, so each bucket id simply gains files and every later
-    probe join stays co-located.  Per-batch cost is O(batch)."""
-    from legate_dataframe_spark.core.bucketing import write_bucketed
+    probe join stays co-located.  Per-batch cost is O(batch); the
+    append targets the assignment view's LIVE physical generation
+    (core/bucketing.py::append_versioned)."""
+    from legate_dataframe_spark.core.bucketing import append_versioned
 
     cen = spark.table(f"{table_prefix}_centroids")
     assigned = assign_with_payload(batch, cen, [vec_col],
@@ -1096,5 +1106,5 @@ def insert_into_ivf_index(
     # num_buckets must match build_ivf_index's spec — Spark validates
     # the bucket spec on append and fails loudly on a mismatch, so a
     # wrong value can never silently break co-location
-    write_bucketed(assigned, f"{table_prefix}_assign", ["centroid_id"],
-                   num_buckets=num_buckets, mode="append")
+    append_versioned(spark, assigned, f"{table_prefix}_assign",
+                     ["centroid_id"], num_buckets=num_buckets)

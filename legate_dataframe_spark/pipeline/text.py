@@ -727,15 +727,21 @@ def build_bm25_index(
     index never goes stale relative to its own postings.  The
     O(corpus) tokenize+count shuffle is paid once here; each search
     costs O(postings of its terms) — no corpus-sized scan anywhere
-    on the serve path."""
-    from legate_dataframe_spark.core.bucketing import write_bucketed
+    on the serve path.
+
+    The postings name is a stable VIEW over versioned bucketed
+    physical tables (core/bucketing.py::init_versioned), so delete
+    write-backs repoint the catalog atomically — no reader-visible
+    drop+rename gap (VERDICT r08 task 2); term-filter bucket pruning
+    pushes through the inlined view unchanged."""
+    from legate_dataframe_spark.core.bucketing import init_versioned
 
     tok = docs.select(F.col(id_col),
                       F.explode(tokens(F.lower(F.col(text_col))))
                       .alias("tok"))
     postings = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    write_bucketed(postings.join(dl, id_col),
+    init_versioned(spark, postings.join(dl, id_col),
                    f"{table_prefix}_postings", ["tok"],
                    num_buckets=num_buckets)
     # round(avg,6) SAFE: dl is an integer count — exact sum ÷ count.
@@ -800,12 +806,14 @@ def insert_into_bm25_index(
        exact totals — avgdl re-derives from the folded BIGINTs, so
        it is bit-identical to a fresh build over corpus ∪ batch.
 
-    Per-batch cost is O(batch); the standing postings are not read."""
-    from legate_dataframe_spark.core.bucketing import write_bucketed
+    Per-batch cost is O(batch); the standing postings are not read.
+    The append targets the postings view's LIVE physical generation
+    (core/bucketing.py::append_versioned)."""
+    from legate_dataframe_spark.core.bucketing import append_versioned
 
     posted, bstats = _bm25_batch_postings(batch, text_col, id_col)
-    write_bucketed(posted, f"{table_prefix}_postings", ["tok"],
-                   num_buckets=num_buckets, mode="append")
+    append_versioned(spark, posted, f"{table_prefix}_postings", ["tok"],
+                     num_buckets=num_buckets)
     b = bstats.localCheckpoint(eager=True)
     row = b.collect()[0]  # 1 row × 2 ints — not a data collect
     _write_bm25_stats(spark, table_prefix,
@@ -824,16 +832,17 @@ def delete_from_bm25_index(
     quarter of the lifecycle (takedown/GDPR; VERDICT r07 task 2).
     The postings table is anti-joined on doc id (the id list
     broadcasts) and written back under its ORIGINAL (tok) bucket
-    spec via ``replace_bucketed``, so post-delete searches still
-    bucket-prune by term.  The stats row subtracts the deleted
-    docs' exact totals — computed from the index's OWN postings
-    before the rewrite (dl rides denormalized on every posting row,
-    so one per-doc first() recovers it without touching the corpus).
-    Cost is O(index) per delete batch, like compaction; batch
-    deletes to amortize."""
+    spec as a new generation behind the stable view
+    (``swap_versioned`` — catalog-atomic repoint, no reader-visible
+    gap), so post-delete searches still bucket-prune by term.  The
+    stats row subtracts the deleted docs' exact totals — computed
+    from the index's OWN postings before the rewrite (dl rides
+    denormalized on every posting row, so one per-doc first()
+    recovers it without touching the corpus).  Cost is O(index) per
+    delete batch, like compaction; batch deletes to amortize."""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
-        replace_bucketed,
+        swap_versioned,
     )
 
     ids = doc_ids.toDF(id_col)
@@ -846,8 +855,8 @@ def delete_from_bm25_index(
             .localCheckpoint(eager=True))  # BEFORE the rewrite
     row = gone.collect()[0]  # 1 row × 2 ints — not a data collect
     keep = postings.join(F.broadcast(ids), id_col, "left_anti")
-    replace_bucketed(spark, keep, f"{table_prefix}_postings", ["tok"],
-                     num_buckets=num_buckets)
+    swap_versioned(spark, keep, f"{table_prefix}_postings", ["tok"],
+                   num_buckets=num_buckets)
     _write_bm25_stats(spark, table_prefix,
                       F.col("n_docs") - F.lit(row["d_n"] or 0),
                       F.col("sum_dl") - F.lit(row["d_sum"] or 0))

@@ -160,7 +160,8 @@ def incremental_components_chain(spark: SparkSession,
     BOTH write-back surfaces a real ingest loop needs:
 
     - the LABEL TABLE is re-pointed each generation
-      (``replace_bucketed`` two-phase swap, bucketed on node);
+      (``swap_versioned`` catalog-atomic view repoint, bucketed on
+      node);
     - the MINHASH INDEX gains Monday's band/shingle rows via
       ``dedup.insert_into_minhash_index`` (bucket-spec-preserving
       append) so Tuesday's batch is checked against corpus ∪ Monday —
@@ -178,7 +179,7 @@ def incremental_components_chain(spark: SparkSession,
     over ALL documents' near-dup pairs (DEDUP_CLUSTERS_SQL verbatim —
     same maximal statement as r06's one-shot query).
     """
-    from legate_dataframe_spark.core.bucketing import replace_bucketed
+    from legate_dataframe_spark.core.bucketing import swap_versioned
     from legate_dataframe_spark.pipeline import dedup
     from legate_dataframe_spark.pipeline.components import (
         build_components_index,
@@ -212,8 +213,8 @@ def incremental_components_chain(spark: SparkSession,
             if i < len(days) - 1:
                 # write-back: swap the merged labelling in as the new
                 # state, admit the day's docs into the minhash index
-                replace_bucketed(spark, out, labels, ["node"],
-                                 num_buckets=16)
+                swap_versioned(spark, out, labels, ["node"],
+                               num_buckets=16)
                 dedup.insert_into_minhash_index(
                     spark, day, idx, num_hashes=_NUM_HASHES,
                     bands=_BANDS)
@@ -462,20 +463,23 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     file per bucket, so a long-lived index accumulates small files
     (the classic streaming-table pathology — at 100 TB, thousands of
     appends make the probe scan open-file-bound instead of byte-bound).
-    Compaction is ``replace_bucketed`` with the table's own content:
-    one read + one bucketBy write under the same spec, restoring one
-    file per bucket while preserving co-location.
+    Compaction is ``swap_versioned`` with the table's own content:
+    one read + one bucketBy write of a fresh generation under the
+    same spec, then the catalog-atomic view repoint — restoring one
+    file per bucket while preserving co-location, with no
+    reader-visible gap (a serving index is exactly the table a
+    concurrent reader hits mid-maintenance).
 
-    The query asserts the compaction actually shrank the file count
-    AND that the post-compaction search still reads ``Bucketed: true``
-    — then returns the search, whose oracle (IVF over all embeddings)
-    proves the rewrite lossless.
+    The query asserts the compaction actually shrank the LIVE file
+    count AND that the post-compaction search still reads
+    ``Bucketed: true`` — then returns the search, whose oracle (IVF
+    over all embeddings) proves the rewrite lossless.
     """
     import glob as _glob
 
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
-        replace_bucketed,
+        swap_versioned,
     )
     from legate_dataframe_spark.pipeline.similarity import (
         build_ivf_index,
@@ -503,14 +507,16 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   f"{db}.ivf")
 
         def nfiles() -> int:
-            return len(_glob.glob(os.path.join(loc, "ivf_assign",
+            # the LIVE generation's files — versioned physicals live
+            # in ivf_assign__g{n} directories under the db location
+            return len(_glob.glob(os.path.join(loc, "ivf_assign__g*",
                                                "part-*")))
 
         # 4 file generations (build + 3 appends) → ~4 files/bucket
         before = nfiles()
-        replace_bucketed(spark, read_bucketed(spark, f"{db}.ivf_assign"),
-                         f"{db}.ivf_assign", ["centroid_id"],
-                         num_buckets=16)
+        swap_versioned(spark, read_bucketed(spark, f"{db}.ivf_assign"),
+                       f"{db}.ivf_assign", ["centroid_id"],
+                       num_buckets=16)
         after = nfiles()
         if after >= before:
             raise AssertionError(
@@ -607,10 +613,17 @@ def stream_dedup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # relation cache still holds the file listing from the
                 # previous gate — refresh both index tables there or
                 # this batch silently misses every row the last batch
-                # inserted (observed: batch-0↔batch-2 pair dropped)
+                # inserted (observed: batch-0↔batch-2 pair dropped).
+                # The index names are stable views now; the listing
+                # cache is keyed on the PHYSICAL generation table, so
+                # resolve and refresh that.
+                from legate_dataframe_spark.core.bucketing import (
+                    current_generation_table,
+                )
                 sess = batch_df.sparkSession
                 for t in (f"{db}.corpus_bands", f"{db}.corpus_shingles"):
-                    sess.catalog.refreshTable(t)
+                    sess.catalog.refreshTable(
+                        current_generation_table(sess, t))
                 frozen = batch_df.localCheckpoint(eager=True)
                 (incremental_minhash_dedup(sess, frozen, f"{db}.corpus")
                  .write.mode("overwrite")

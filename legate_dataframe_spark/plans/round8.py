@@ -74,7 +74,8 @@ def dedup_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Takedown against the persisted minhash index: build over ALL
     documents, DELETE doc_id % 10 == 0 (dedup.delete_from_minhash_
     index: broadcast anti-join per table + write-back under the
-    ORIGINAL bucket specs via replace_bucketed), then serve the
+    ORIGINAL bucket specs via the catalog-atomic swap_versioned
+    repoint), then serve the
     corpus-internal pair set off the post-delete index.  The serve
     plan must still read ``Bucketed: true`` — deletion preserved
     co-location.  Oracle: the full LSH pair recompute over documents
