@@ -364,6 +364,7 @@ def minhash_pairs_from_index(
     table_prefix: str,
     jaccard_threshold: float = 0.5,
     restrict_ids: DataFrame | None = None,
+    generation: int | None = None,
 ) -> DataFrame:
     """Corpus-internal near-dup pairs served OFF the persisted index —
     no re-tokenize, no re-minhash, and (the bucketing payoff) the
@@ -379,11 +380,27 @@ def minhash_pairs_from_index(
     endpoints to the given ids via a broadcast semi-join on the band
     table BEFORE the self-join — the bounded-recompute primitive
     components.delete_from_components_index uses: the candidate work
-    is O(restricted band rows), never O(index)."""
-    from legate_dataframe_spark.core.bucketing import read_bucketed
+    is O(restricted band rows), never O(index).
 
-    buckets = read_bucketed(spark, f"{table_prefix}_bands")
-    sh = read_bucketed(spark, f"{table_prefix}_shingles")
+    ``generation`` (optional) serves off a RETAINED historical
+    snapshot instead of the live view — time travel for audit
+    questions like "what did the index pair before yesterday's
+    takedown?" (both tables read the same generation number; raises
+    if it was vacuumed).  Snapshot physicals are bucketed, so the
+    historical serve is as co-located as the live one."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        read_generation,
+    )
+
+    if generation is None:
+        buckets = read_bucketed(spark, f"{table_prefix}_bands")
+        sh = read_bucketed(spark, f"{table_prefix}_shingles")
+    else:
+        buckets = read_generation(spark, f"{table_prefix}_bands",
+                                  generation)
+        sh = read_generation(spark, f"{table_prefix}_shingles",
+                             generation)
     if restrict_ids is not None:
         ids = restrict_ids.toDF("id")
         buckets = buckets.join(F.broadcast(ids), "id", "left_semi")

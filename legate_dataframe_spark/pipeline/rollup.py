@@ -284,6 +284,85 @@ def histogram_rollup_update(
                      + F.coalesce("b_cnt", F.lit(0))).alias("cnt")))
 
 
+def histogram_batch_clamp_stats(
+    spark: SparkSession,
+    table_prefix: str,
+    batch: DataFrame,
+) -> DataFrame:
+    """→ (event_type, batch_n, clamped_n, clamp_frac): how much of a
+    batch fell OUTSIDE the frozen bounds and was edge-clamped by the
+    fold — the drift signal VERDICT r08 flagged as missing: the
+    frozen-domain contract keeps the histogram mergeable, but under
+    real distribution drift the clamped mass silently biases
+    percentile serving, and nothing measured it.  One extra O(batch)
+    map-side-combined agg next to the fold; a maintenance loop
+    triggers :func:`rebin_histogram` when clamp_frac exceeds its
+    threshold."""
+    bounds = spark.table(f"{table_prefix}_bounds")
+    v = F.col("value")
+    clamped = ((v < F.col("vlo")) | (v > F.col("vhi"))).cast("long")
+    return (batch.filter(v.isNotNull())
+            .crossJoin(F.broadcast(bounds))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("batch_n"),
+                 F.sum(clamped).alias("clamped_n"))
+            .select("event_type", "batch_n", "clamped_n",
+                    F.round(F.col("clamped_n")
+                            / F.col("batch_n"), 6).alias("clamp_frac")))
+
+
+def rebin_histogram(
+    spark: SparkSession,
+    table_prefix: str,
+    widen: float = 0.5,
+    num_buckets: int = 8,
+) -> None:
+    """REBIN maintenance op (VERDICT r08 task 4): widen the frozen
+    domain by ``widen``·span on each side and re-bin the STANDING
+    state by bin-midpoint approximation — each old bin's count moves
+    to the new bin containing the old bin's midpoint.  Error stays
+    bounded by one (old) bin width, the same error bar the serve path
+    already carries; when the clamp fraction is so high that midpoint
+    error is unacceptable (the edge bins hold mass that was never
+    really at the edge), rebuild from raw instead
+    (:func:`build_histogram_rollup` — the documented escape hatch,
+    O(corpus) like any build).
+
+    Deterministic on purpose: the new bounds derive from the STORED
+    bounds by pure arithmetic (no data dependence) and the midpoint
+    mapping is the same IEEE expression in Spark and DuckDB, so the
+    rebin is oracle-checkable end to end.  Cost is O(state) —
+    ≤ types × 64 rows — plus the bounds-row overwrite; the raw corpus
+    is never consulted."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        replace_bucketed,
+    )
+
+    bounds = spark.table(f"{table_prefix}_bounds")
+    hist = read_bucketed(spark, f"{table_prefix}_hist")
+    vlo, vhi = F.col("vlo"), F.col("vhi")
+    span = vhi - vlo
+    nlo = vlo - F.lit(widen) * span
+    nhi = vhi + F.lit(widen) * span
+    mid = vlo + (F.col("bkt") + F.lit(0.5)) * span / F.lit(_HIST_BINS)
+    nbkt = F.greatest(
+        F.lit(0),
+        F.least(F.lit(_HIST_BINS - 1),
+                F.floor((mid - nlo) / (nhi - nlo) * F.lit(_HIST_BINS))
+                .cast("int")))
+    rebinned = (hist.crossJoin(F.broadcast(bounds))
+                .select("event_type", nbkt.alias("bkt"), "cnt")
+                .groupBy("event_type", "bkt")
+                .agg(F.sum("cnt").alias("cnt")))
+    new_bounds = (bounds.select(nlo.alias("vlo"), nhi.alias("vhi"))
+                  .localCheckpoint(eager=True))  # BEFORE the overwrite
+    replace_bucketed(spark, rebinned, f"{table_prefix}_hist",
+                     ["event_type", "bkt"], num_buckets=num_buckets)
+    (new_bounds.write.format("parquet").mode("overwrite")
+     .saveAsTable(f"{table_prefix}_bounds"))
+
+
 def histogram_percentile_serve(
     spark: SparkSession,
     table_prefix: str,

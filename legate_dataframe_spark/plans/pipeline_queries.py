@@ -144,6 +144,15 @@ WHERE jaccard >= 0.3
 
 _NUM_HASHES = 16
 _BANDS = 4
+
+# FIXED ANN query sample (VERDICT r08 task 5): search workloads are
+# queries × corpus, and only the corpus side should scale — a %-only
+# query filter makes probe rows measure query-set growth instead of
+# serving latency (ann_serve_only read 29× at 10× for exactly this
+# reason).  The cap is a no-op at the test scales (sf0.01 has 500
+# ids, sf0.1 has 2000); it pins the batch size beyond them.  Same
+# contract as plans/round4.py::_QUERY_ID_CAP.
+_ANN_QUERY_ID_CAP = 2000
 _ROWS = _NUM_HASHES // _BANDS
 
 
@@ -952,7 +961,13 @@ def ann_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     chained, so even the trained-index search is value-exact."""
     e = load_table(spark, sf_dir, "embeddings")
     cen = similarity.kmeans_refine(e, k=8, n_iter=2)
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    # FIXED query sample (VERDICT r08 task 5, the round4 _QUERY_ID_CAP
+    # contract): a %-only filter makes the query set grow WITH the
+    # corpus, so a probe row measures query-set growth, not serving
+    # latency.  The cap is a no-op at the test scales (sf0.01 has 500
+    # ids, sf0.1 has 2000) and pins the batch size beyond them.
+    q = e.filter((F.col("vec_id") % 50 == 0)
+                 & (F.col("vec_id") < _ANN_QUERY_ID_CAP))
     # single-pass assignment carrying the vector (one corpus shuffle;
     # the old ivf_assign + id re-join shuffled the corpus twice)
     assigned = similarity.assign_with_payload(e, cen, ["embedding"])
@@ -969,7 +984,8 @@ assign AS (
              round(list_cosine_similarity(e.v, cv), 6) DESC,
              cent_id) AS rn
     FROM emb e, c2) WHERE rn = 1),
-q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS q_id, v AS qv FROM emb
+      WHERE vec_id % 50 = 0 AND vec_id < 2000),
 probe AS (
   SELECT q_id, cent_id FROM (
     SELECT q_id, cent_id,
@@ -999,7 +1015,9 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cen = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    # fixed query sample — see ann_kmeans_search's contract note
+    q = e.filter((F.col("vec_id") % 50 == 0)
+                 & (F.col("vec_id") < _ANN_QUERY_ID_CAP))
     # single-pass assignment carrying the vector (one corpus shuffle;
     # the old ivf_assign + id re-join shuffled the corpus twice)
     assigned = similarity.assign_with_payload(e, cen, ["embedding"])
@@ -1017,7 +1035,7 @@ assign AS (
              cent_id) AS rn
     FROM embeddings e, cen) WHERE rn = 1),
 q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id % 50 = 0),
+      FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
 probe AS (
   SELECT q_id, cent_id FROM (
     SELECT q_id, cent_id,

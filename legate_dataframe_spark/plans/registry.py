@@ -20,6 +20,7 @@ from legate_dataframe_spark.plans import round5 as r5
 from legate_dataframe_spark.plans import round6 as r6
 from legate_dataframe_spark.plans import round7 as r7
 from legate_dataframe_spark.plans import round8 as r8
+from legate_dataframe_spark.plans import round9 as r9
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -29,125 +30,62 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (round-8
-# additions), then entries whose implementation CHANGED this round
-# (cogroup_user_orders rebucketed, winsorize_stats NULL contract,
-# incremental_rollup_partitioned write materialization,
-# stream_dedup_chain idempotency guard), then VERDICT r07 task 1's
-# stale verification tail: the 22 entries last driver-greened in r03,
-# then the oldest r04 entries up to the 50-entry prefix.  Later blocks
-# are ordered by round of LAST driver verification, oldest first.
-# In-repo sf0.001 oracle-parity tests guard every entry meanwhile.
+# the front block holds queries with no green driver row yet (round-9
+# additions), then entries whose implementation CHANGED this round,
+# then VERDICT r08 task 1's FINAL stale-verification tranche: all 34
+# entries last driver-greened in r04 (hybrid_rrf_search through
+# harmonic_geo_means) — 3 + 13 + 34 = exactly the 50-entry prefix.
+# The swap-adoption change touched more entries than the 13 prefix
+# slots hold; the remainder lead the post-boundary region (all have
+# green sf0.001 oracle-parity tests and the sf0.01 strict-parity
+# sweep, STRICT_PARITY_r09.log) and rotate into the r10 prefix first.
+# Later blocks are ordered by round of LAST driver verification,
+# oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-8 front: no driver row yet ----------------------------------
-    # index DELETE/retract — the missing quarter of the lifecycle
-    # (build/insert/compact/serve had no remove; takedown = rebuild)
+    # ---- round-9 front: no driver row yet ----------------------------------
+    # index snapshot retention + time travel across a takedown, with
+    # the compliance interaction (pre-delete generations still hold
+    # the taken-down docs) vacuumed and asserted in-query
+    "dedup_index_timetravel": (r9.dedup_index_timetravel,
+                               r9.DEDUP_INDEX_TIMETRAVEL_SQL),
+    # histogram bounds maintenance: clamp-fraction drift signal + the
+    # REBIN op (midpoint re-bin of the standing state, O(state))
+    "rollup_histogram_rebin": (r9.rollup_histogram_rebin,
+                               r9.ROLLUP_HISTOGRAM_REBIN_SQL),
+    # ADVICE r08 medium, driver-gated: all-NULL-value slice retraction
+    # must not vanish surviving groups (NULL extrema are safe)
+    "rollup_retract_nulls": (r9.rollup_retract_nulls,
+                             r9.ROLLUP_RETRACT_NULLS_SQL),
+    # ---- changed this round — re-verify -------------------------------------
+    # NULL-safe extremum detection in the retract merge (ADVICE r08)
+    "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
+    # the whole index family now writes back through the view-routed
+    # catalog-atomic generation swap (VERDICT r08 task 2); deletes,
+    # retrain, compaction = swap_versioned, inserts = append into the
+    # live physical generation, builds = init_versioned views
     "dedup_index_delete": (r8.dedup_index_delete,
                            r8.DEDUP_INDEX_DELETE_SQL),
     "ann_index_delete": (r8.ann_index_delete, r8.ANN_INDEX_DELETE_SQL),
-    "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
     "bm25_index_delete": (r8.bm25_index_delete,
                           r8.BM25_INDEX_DELETE_SQL),
-    # cluster-splitting delete: bounded re-cluster of affected
-    # components only; oracle = full recompute minus the deleted set
-    "components_index_delete": (r8.components_index_delete,
-                                r8.COMPONENTS_INDEX_DELETE_SQL),
-    # BM25 INSERT — the one persisted index that was still build-once
     "bm25_index_insert": (r8.bm25_index_insert,
                           r8.BM25_INDEX_INSERT_SQL),
-    # generation swap routed through a stable view (catalog-atomic
-    # repoint — no reader-visible drop+rename gap)
-    "rollup_swap_atomic": (r8.rollup_swap_atomic,
-                           r8.ROLLUP_SWAP_ATOMIC_SQL),
-    # snapshot retention + time travel over the versioned state
-    "rollup_timetravel": (r8.rollup_timetravel,
-                          r8.ROLLUP_TIMETRAVEL_SQL),
-    # streaming ingest loop for aggregate state: every trigger merges
-    # its micro-batch into the day-partitioned rollup (DPP-pruned
-    # refresh), batch_id-guarded against double-counting on retry
-    "stream_rollup_chain": (r8.stream_rollup_chain,
-                            r8.STREAM_ROLLUP_CHAIN_SQL),
-    # centroid refresh off the index itself: build(seeds)+retrain x2
-    # === two unrolled Lloyd iterations, oracle = kmeans-search SQL
+    "components_index_delete": (r8.components_index_delete,
+                                r8.COMPONENTS_INDEX_DELETE_SQL),
     "ann_index_retrain": (r8.ann_index_retrain,
                           r8.ANN_INDEX_RETRAIN_SQL),
-    # mergeable-histogram percentile state: O(batch) fold, bin-width
-    # error bar, deterministic sketch (oracle bins identically)
-    "rollup_histogram_chain": (r8.rollup_histogram_chain,
-                               r8.ROLLUP_HISTOGRAM_CHAIN_SQL),
-    # TPC-H refresh streams on the maintained fact table: RF1 append
-    # under the bucket spec, RF2 anti-join rewrite, then Q1 over it
-    "tpch_refresh_maintenance": (r8.tpch_refresh_maintenance,
-                                 r8.TPCH_REFRESH_SQL),
-    # ---- changed this round — re-verify ------------------------------------
-    # cogroup: bounded bucket key + vectorized per-bucket reconcile
-    # (r07 perf flag: per-key single-row pandas, 13.6 s → 1.3 s)
-    "cogroup_user_orders": (pq.cogroup_user_orders,
-                            pq.COGROUP_USER_ORDERS_SQL),
-    # winsorize: NULL values excluded up front (ADVICE r07)
-    "winsorize_stats": (r6.winsorize_stats, r6.WINSORIZE_SQL),
-    # rollup overwrite: merge materialized before insertInto (ADVICE)
-    "incremental_rollup_partitioned": (
-        r7.incremental_rollup_partitioned,
-        r7.INCREMENTAL_ROLLUP_PARTITIONED_SQL),
-    # stream chain: per-batch_id idempotency guard (ADVICE r07)
-    "stream_dedup_chain": (r7.stream_dedup_chain,
-                           r7.STREAM_DEDUP_CHAIN_SQL),
-    # interval join: pairs emitted only from their overlap-start month
-    # bin — the 100×-pair distinct shuffle the r08 10× probe exposed
-    # is gone from the plan entirely
-    "interval_overlap_join": (r6.interval_overlap_join,
-                              r6.INTERVAL_OVERLAP_SQL),
-    # sketches: distinct-count leg split from the imperative-buffer
-    # leg (fused agg Expand-rewrote every row through the sketches —
-    # 11.7 s → 1.5 s, caught by the r08 bench --all ledger)
-    "approx_sketches": (r.approx_sketches, r.APPROX_SKETCHES_SQL),
-    # ---- stale tail: last driver-greened in CORRECTNESS_r03.json -----------
-    # (VERDICT r07 task 1 — all 22 r03 entries in this round's prefix;
-    # cogroup_user_orders is the 22nd, re-verified above as changed)
-    "ann_projected": (pq.ann_projected, pq.ANN_PROJECTED_SQL),
-    "pivot_event_values": (pq.pivot_event_values, pq.PIVOT_EVENT_VALUES_SQL),
-    "unpivot_metrics": (r.unpivot_metrics, r.UNPIVOT_METRICS_SQL),
-    "window_lag_lead": (r.window_lag_lead, r.WINDOW_LAG_LEAD_SQL),
-    "funnel_conversion": (pq.funnel_conversion, pq.FUNNEL_CONVERSION_SQL),
-    "merge_upsert": (pq.merge_upsert_customers, pq.MERGE_UPSERT_SQL),
-    "event_transitions": (pq.event_transitions, pq.EVENT_TRANSITIONS_SQL),
-    "arrow_grouped_stats": (pq.arrow_grouped_stats,
-                            pq.ARROW_GROUPED_STATS_SQL),
-    "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
-    "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
-    "segment_dedup": (pq.segment_dedup, pq.SEGMENT_DEDUP_SQL),
-    "tfidf_terms": (pq.tfidf_terms, pq.TFIDF_TERMS_SQL),
-    "char_entropy": (pq.char_entropy, pq.CHAR_ENTROPY_SQL),
-    "lang_mismatch": (pq.lang_mismatch, pq.LANG_MISMATCH_SQL),
-    "zipf_fit": (pq.zipf_fit, pq.ZIPF_FIT_SQL),
-    "source_rollup": (pq.source_rollup, pq.SOURCE_ROLLUP_SQL),
-    "weighted_sample": (pq.weighted_sample, pq.WEIGHTED_SAMPLE_SQL),
-    "psi_drift": (pq.psi_drift, pq.PSI_DRIFT_SQL),
-    "window_rank_stats": (pq.window_rank_stats, pq.WINDOW_RANK_STATS_SQL),
-    "cross_source_overlap": (pq.cross_source_overlap,
-                             pq.CROSS_SOURCE_OVERLAP_SQL),
-    "cluster_label_purity": (pq.cluster_label_purity,
-                             pq.CLUSTER_LABEL_PURITY_SQL),
-    # ---- stale tail: last driver-greened in CORRECTNESS_r04.json -----------
-    # (the oldest 11 fill this round's 50-entry prefix; the remaining
-    # 34 lead the r09 rotation)
-    "bloom_decontaminate": (pq.bloom_decontaminate,
-                            pq.BLOOM_DECONTAMINATE_SQL),
-    "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
-    "scd2_intervals": (r.scd2_intervals, r.SCD2_INTERVALS_SQL),
-    "heavy_hitter_tokens": (pq.heavy_hitter_tokens,
-                            pq.HEAVY_HITTER_TOKENS_SQL),
-    "bpe_merges": (pq.bpe_merges, pq.BPE_MERGES_SQL),
-    "bpe_encode_stats": (pq.bpe_encode_stats, pq.BPE_ENCODE_STATS_SQL),
-    "equidepth_histogram": (r.equidepth_histogram,
-                            r.EQUIDEPTH_HISTOGRAM_SQL),
-    "profile_table": (r.profile_table, r.PROFILE_TABLE_SQL),
-    "embedding_standardize": (pq.embedding_standardize,
-                              pq.EMBEDDING_STANDARDIZE_SQL),
-    "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
-    "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
-    # ======================== 50-entry prefix boundary =====================
+    # fixed ANN query sample (VERDICT r08 task 5): the serving batch
+    # is capped so probe rows measure latency, not query-set growth
+    "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
+    "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
+    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
+    "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
+    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
+    "bm25_persisted_search": (r6.bm25_persisted_search,
+                              r6.BM25_PERSISTED_SEARCH_SQL),
+    # ---- stale tail, FINAL tranche: last driver-greened in r04 --------------
+    # (VERDICT r08 task 1 — all 34 remaining r04 entries; after this
+    # round no entry's latest green predates r05)
     "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
     "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
     "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
@@ -192,10 +130,34 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "url_stats": (r4.url_stats, r4.URL_STATS_SQL),
     "harmonic_geo_means": (r4.harmonic_geo_means,
                            r4.HARMONIC_GEO_MEANS_SQL),
-    # ---- re-greened by the r05 driver (freshest — rotate last) ------------
+    # ======================== 50-entry prefix boundary =====================
+    # ---- also changed this round (swap adoption / capped ANN sample) -------
+    # (overflow past the 50 prefix slots — strict-parity-swept r09,
+    # rotate into the r10 prefix first)
+    "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
+    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
+    "ann_persisted_search": (r6.ann_persisted_search,
+                             r6.ANN_PERSISTED_SEARCH_SQL),
+    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
+    "components_serve_only": (r7.components_serve_only,
+                              r7.COMPONENTS_SERVE_ONLY_SQL),
+    "incremental_components": (r6.incremental_components,
+                               r6.INCREMENTAL_COMPONENTS_SQL),
+    "incremental_components_chain": (r7.incremental_components_chain,
+                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
+    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
+                              r6.STREAM_DEDUP_VS_INDEX_SQL),
+    "stream_dedup_chain": (r7.stream_dedup_chain,
+                           r7.STREAM_DEDUP_CHAIN_SQL),
+    "rollup_swap_atomic": (r8.rollup_swap_atomic,
+                           r8.ROLLUP_SWAP_ATOMIC_SQL),
+    "rollup_timetravel": (r8.rollup_timetravel,
+                          r8.ROLLUP_TIMETRAVEL_SQL),
+    "rollup_histogram_chain": (r8.rollup_histogram_chain,
+                               r8.ROLLUP_HISTOGRAM_CHAIN_SQL),
+    # ---- re-greened by the r05 driver (oldest remaining — rotate next) ----
     "knn_classify": (r4.knn_classify_q, r4.KNN_CLASSIFY_SQL),
     "bucketed_join": (r5.bucketed_join, r5.BUCKETED_JOIN_SQL),
-    "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
     "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
     "q03_shipping_priority": (r.q03_shipping_priority, r.Q03_SQL),
     "q05_nation_revenue": (r.q05_nation_revenue, r.Q05_SQL),
@@ -243,8 +205,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "isin_filter": (r.isin_filter, r.ISIN_SQL),
     "string_match": (r.string_match, r.STRING_MATCH_SQL),
     "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
-    # ---- re-greened by the r06 driver (freshest — rotate last) ------------
-    # (r02 block re-greened by the r06 prefix)
+    # ---- re-greened by the r06 driver --------------------------------------
     # dedup
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
     "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
@@ -256,9 +217,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # similarity search
     "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
     "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
-    "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
     "kmeans_centroids": (pq.kmeans_centroids, pq.KMEANS_SQL),
-    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
     "pq_codes": (pq.pq_codes, pq.PQ_CODES_SQL),
     "pq_adc_search": (pq.pq_adc_search, pq.PQ_ADC_SEARCH_SQL),
     "ivfpq_search": (pq.ivfpq_search, pq.IVFPQ_SEARCH_SQL),
@@ -291,32 +250,15 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
     "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
-    "incremental_components": (r6.incremental_components,
-                               r6.INCREMENTAL_COMPONENTS_SQL),
-    "ann_persisted_search": (r6.ann_persisted_search,
-                             r6.ANN_PERSISTED_SEARCH_SQL),
     "compaction_roundtrip": (r6.compaction_roundtrip,
                              r6.COMPACTION_ROUNDTRIP_SQL),
-    "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
     "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
-    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
-                              r6.STREAM_DEDUP_VS_INDEX_SQL),
-    "bm25_persisted_search": (r6.bm25_persisted_search,
-                              r6.BM25_PERSISTED_SEARCH_SQL),
     "incremental_rollup": (r6.incremental_rollup,
                            r6.INCREMENTAL_ROLLUP_SQL),
-    # ---- re-greened by the r07 driver (freshest — rotate last) ------------
+    # ---- re-greened by the r07 driver --------------------------------------
     "incremental_rollup_chain": (r7.incremental_rollup_chain,
                                  r7.INCREMENTAL_ROLLUP_CHAIN_SQL),
-    "incremental_components_chain": (r7.incremental_components_chain,
-                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
-    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
-    "components_serve_only": (r7.components_serve_only,
-                              r7.COMPONENTS_SERVE_ONLY_SQL),
-    "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
-    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
     "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
-    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
     "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
     "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
     "event_pairs_within": (pq.event_pairs_within, pq.EVENT_PAIRS_SQL),
@@ -358,6 +300,59 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rolling_range_window": (pq.rolling_range_window, pq.ROLLING_RANGE_SQL),
     "mixture_sample": (pq.mixture_sample_q, pq.MIXTURE_SAMPLE_SQL),
     "asof_tolerance": (r.asof_tolerance, r.ASOF_TOLERANCE_SQL),
+    # ---- re-greened by the r08 driver (freshest — rotate last) -------------
+    "stream_rollup_chain": (r8.stream_rollup_chain,
+                            r8.STREAM_ROLLUP_CHAIN_SQL),
+    "tpch_refresh_maintenance": (r8.tpch_refresh_maintenance,
+                                 r8.TPCH_REFRESH_SQL),
+    "cogroup_user_orders": (pq.cogroup_user_orders,
+                            pq.COGROUP_USER_ORDERS_SQL),
+    "winsorize_stats": (r6.winsorize_stats, r6.WINSORIZE_SQL),
+    "incremental_rollup_partitioned": (
+        r7.incremental_rollup_partitioned,
+        r7.INCREMENTAL_ROLLUP_PARTITIONED_SQL),
+    "interval_overlap_join": (r6.interval_overlap_join,
+                              r6.INTERVAL_OVERLAP_SQL),
+    "approx_sketches": (r.approx_sketches, r.APPROX_SKETCHES_SQL),
+    "ann_projected": (pq.ann_projected, pq.ANN_PROJECTED_SQL),
+    "pivot_event_values": (pq.pivot_event_values, pq.PIVOT_EVENT_VALUES_SQL),
+    "unpivot_metrics": (r.unpivot_metrics, r.UNPIVOT_METRICS_SQL),
+    "window_lag_lead": (r.window_lag_lead, r.WINDOW_LAG_LEAD_SQL),
+    "funnel_conversion": (pq.funnel_conversion, pq.FUNNEL_CONVERSION_SQL),
+    "merge_upsert": (pq.merge_upsert_customers, pq.MERGE_UPSERT_SQL),
+    "event_transitions": (pq.event_transitions, pq.EVENT_TRANSITIONS_SQL),
+    "arrow_grouped_stats": (pq.arrow_grouped_stats,
+                            pq.ARROW_GROUPED_STATS_SQL),
+    "pmi_collocations": (pq.pmi_collocations_q, pq.PMI_COLLOCATIONS_SQL),
+    "vocab_coverage": (pq.vocab_coverage_q, pq.VOCAB_COVERAGE_SQL),
+    "segment_dedup": (pq.segment_dedup, pq.SEGMENT_DEDUP_SQL),
+    "tfidf_terms": (pq.tfidf_terms, pq.TFIDF_TERMS_SQL),
+    "char_entropy": (pq.char_entropy, pq.CHAR_ENTROPY_SQL),
+    "lang_mismatch": (pq.lang_mismatch, pq.LANG_MISMATCH_SQL),
+    "zipf_fit": (pq.zipf_fit, pq.ZIPF_FIT_SQL),
+    "source_rollup": (pq.source_rollup, pq.SOURCE_ROLLUP_SQL),
+    "weighted_sample": (pq.weighted_sample, pq.WEIGHTED_SAMPLE_SQL),
+    "psi_drift": (pq.psi_drift, pq.PSI_DRIFT_SQL),
+    "window_rank_stats": (pq.window_rank_stats, pq.WINDOW_RANK_STATS_SQL),
+    "cross_source_overlap": (pq.cross_source_overlap,
+                             pq.CROSS_SOURCE_OVERLAP_SQL),
+    "cluster_label_purity": (pq.cluster_label_purity,
+                             pq.CLUSTER_LABEL_PURITY_SQL),
+    "bloom_decontaminate": (pq.bloom_decontaminate,
+                            pq.BLOOM_DECONTAMINATE_SQL),
+    "triangle_count": (pq.triangle_count, pq.TRIANGLE_COUNT_SQL),
+    "scd2_intervals": (r.scd2_intervals, r.SCD2_INTERVALS_SQL),
+    "heavy_hitter_tokens": (pq.heavy_hitter_tokens,
+                            pq.HEAVY_HITTER_TOKENS_SQL),
+    "bpe_merges": (pq.bpe_merges, pq.BPE_MERGES_SQL),
+    "bpe_encode_stats": (pq.bpe_encode_stats, pq.BPE_ENCODE_STATS_SQL),
+    "equidepth_histogram": (r.equidepth_histogram,
+                            r.EQUIDEPTH_HISTOGRAM_SQL),
+    "profile_table": (r.profile_table, r.PROFILE_TABLE_SQL),
+    "embedding_standardize": (pq.embedding_standardize,
+                              pq.EMBEDDING_STANDARDIZE_SQL),
+    "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
+    "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

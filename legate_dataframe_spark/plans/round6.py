@@ -166,7 +166,8 @@ def ann_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cen = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    # fixed query sample — see pipeline_queries._ANN_QUERY_ID_CAP
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
 
     with _temp_db(spark, "ldf_r6_ann") as db:
         build_ivf_index(spark, e, cen, f"{db}.ivf")
@@ -279,7 +280,8 @@ def ann_index_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = e.filter(F.col("vec_id") % 10 == 0)
     cen = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    # fixed query sample — see pipeline_queries._ANN_QUERY_ID_CAP
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
 
     with _temp_db(spark, "ldf_r6_annins") as db:
         build_ivf_index(spark, corpus, cen, f"{db}.ivf")

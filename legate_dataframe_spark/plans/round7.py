@@ -337,7 +337,11 @@ def ann_serve_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cen = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    # fixed query sample (VERDICT r08 task 5): the r08 probe row
+    # read 29x at 10x because this %-filter query set scaled WITH the
+    # probe data; the cap pins the serving batch size so the ledger
+    # row measures serving latency (no-op at sf0.01/sf0.1 scales)
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     db = _served_db(spark, sf_dir, "ivf",
                     lambda db: build_ivf_index(spark, e, cen,
                                                f"{db}.ivf"))
@@ -491,7 +495,8 @@ def ann_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") % 4 == 3)
     cen = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    # fixed query sample — see pipeline_queries._ANN_QUERY_ID_CAP
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
 
     # manual db setup (not _temp_db) — the file-count assertion needs
     # the table directory, which is {db location}/{table} for managed

@@ -123,7 +123,8 @@ def ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     cen = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    # fixed query sample — see pipeline_queries._ANN_QUERY_ID_CAP
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     with _temp_db(spark, "ldf_r8_ivfdel") as db:
         build_ivf_index(spark, e, cen, f"{db}.ivf")
         delete_from_ivf_index(
@@ -152,7 +153,7 @@ assign AS (
              cent_id) AS rn
     FROM corpus e, cen) WHERE rn = 1),
 q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
-      FROM embeddings WHERE vec_id % 50 = 0),
+      FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 2000),
 probe AS (
   SELECT q_id, cent_id FROM (
     SELECT q_id, cent_id,
@@ -737,7 +738,8 @@ def ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     seeds = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), "embedding")
-    q = e.filter(F.col("vec_id") % 50 == 0)
+    # fixed query sample — see pipeline_queries._ANN_QUERY_ID_CAP
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
     with _temp_db(spark, "ldf_r8_retrain") as db:
         build_ivf_index(spark, e, seeds, f"{db}.ivf")
         retrain_ivf_index(spark, f"{db}.ivf")

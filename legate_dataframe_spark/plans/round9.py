@@ -1,0 +1,318 @@
+"""Round-9 driver queries (VERDICT r08 "Next round" tasks 3, 4 +
+ADVICE r08 medium).
+
+- ``dedup_index_timetravel`` — snapshot retention + time travel on a
+  DOCUMENT INDEX (r08 had it for rollup state only): a takedown with
+  ``keep_old=True`` retains the pre-delete generation, the audit
+  question "what did the index pair before yesterday's delete?" is
+  answered off the retained snapshot, and takedown-COMPLIANT vacuum
+  retires every pre-delete generation (a retained snapshot still
+  contains the taken-down documents — retention policy must say so,
+  and here it is machine-asserted).
+
+- ``rollup_histogram_rebin`` — bounds maintenance for the mergeable
+  histogram: the frozen-domain contract clamps out-of-range batch
+  values to edge bins, which keeps folds mergeable but silently
+  biases percentiles under distribution drift.  The fold now exposes
+  the CLAMPED FRACTION (the drift signal), and a REBIN op widens the
+  domain and re-bins the standing state by bin-midpoint
+  approximation — O(state), never a corpus rescan, error still one
+  (old) bin width.
+
+- ``rollup_retract_nulls`` — driver-gates the ADVICE r08 medium fix:
+  retracting an all-NULL-value slice must not vanish surviving
+  groups (NULL batch extrema are extremum-safe, not three-valued).
+
+Catalog hygiene matches round-7/8: uuid-suffixed session-temp
+databases dropped (CASCADE) before returning.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.plans.pipeline_queries import (
+    _BANDS,
+    _NUM_HASHES,
+    _minhash_sql,
+)
+from legate_dataframe_spark.plans.relational import load_table
+
+
+def _plan_of(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def _temp_db(spark: SparkSession, stem: str):
+    db = f"{stem}_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix=f"{stem}_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    try:
+        yield db
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def _assert_bucketed(plan: str, what: str) -> None:
+    if "Bucketed: true" not in plan:
+        raise AssertionError(
+            f"{what} did not read the index bucket-aware:\n{plan}")
+
+
+# ===================== index snapshot retention + time travel
+def dedup_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-index TIME TRAVEL across a takedown: build over ALL
+    documents (generation 0 of both index tables), DELETE
+    doc_id % 10 == 0 with ``keep_old=True`` (generation 1 behind the
+    stable views; generation 0 retained for audit), then answer the
+    audit question by serving the corpus-internal pair set off BOTH
+    generations — one summary row each.  Afterwards the
+    takedown-COMPLIANT vacuum runs in-query: the retained pre-delete
+    snapshot still CONTAINS the taken-down documents, so compliance
+    means retiring every generation older than the delete
+    (vacuum keep_last=1); assertions pin that exactly generation 0
+    was dropped from both tables and that the live view still serves
+    the post-delete pair set.  Oracle: the full LSH pair recompute
+    over documents (generation 0) and over documents MINUS the
+    deleted set (generation 1) — a snapshot that bled rows either way
+    flips a count or the jaccard mass and fails the hash."""
+    from legate_dataframe_spark.core.bucketing import vacuum_generations
+    from legate_dataframe_spark.pipeline.dedup import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        minhash_pairs_from_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    gone = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    with _temp_db(spark, "ldf_r9_ttl") as db:
+        build_minhash_index(spark, d, f"{db}.idx",
+                            num_hashes=_NUM_HASHES, bands=_BANDS)
+        delete_from_minhash_index(spark, gone, f"{db}.idx",
+                                  keep_old=True)
+        out = None
+        for g in (0, 1):
+            snap = (minhash_pairs_from_index(
+                spark, f"{db}.idx", jaccard_threshold=0.5, generation=g)
+                .agg(F.lit(g).cast("long").alias("generation"),
+                     F.count(F.lit(1)).alias("n_pairs"),
+                     F.round(F.sum("jaccard"), 4).alias("sum_jaccard")))
+            out = snap if out is None else out.unionByName(snap)
+        out = out.localCheckpoint(eager=True)  # BEFORE the vacuum
+        for t in ("idx_bands", "idx_shingles"):
+            dropped = vacuum_generations(spark, f"{db}.{t}",
+                                         keep_last=1)
+            if dropped != [0]:
+                raise AssertionError(
+                    f"takedown vacuum on {t} dropped {dropped}, "
+                    "expected [0]")
+        n_live = minhash_pairs_from_index(
+            spark, f"{db}.idx", jaccard_threshold=0.5).count()
+        n_g1 = {r["generation"]: r["n_pairs"] for r in out.collect()}[1]
+        if n_live != n_g1:
+            raise AssertionError(
+                f"post-vacuum live serve ({n_live} pairs) != retained "
+                f"generation 1 ({n_g1})")
+        return out
+
+
+DEDUP_INDEX_TIMETRAVEL_SQL = f"""
+SELECT 0 AS generation, count(*) AS n_pairs,
+       round(sum(jaccard), 4) AS sum_jaccard
+FROM ({_minhash_sql("documents")}) g0
+UNION ALL
+SELECT 1 AS generation, count(*) AS n_pairs,
+       round(sum(jaccard), 4) AS sum_jaccard
+FROM ({_minhash_sql(
+    "(SELECT * FROM documents WHERE doc_id % 10 != 0)")}) g1
+"""
+
+
+# ============================ histogram clamp signal + REBIN
+def rollup_histogram_rebin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram BOUNDS MAINTENANCE under distribution drift: build
+    the per-type 64-bin histogram over the corpus (bounds frozen at
+    corpus min/max), then fold a DRIFTED batch — the % 10 == 0 slice
+    with values scaled 8x, simulating the upstream scale change that
+    breaks every frozen-domain sketch — and measure the CLAMPED
+    FRACTION per type (pipeline/rollup.py::histogram_batch_clamp_
+    stats, the signal that was missing).  The fraction exceeds the
+    rebin threshold (asserted), so ``rebin_histogram`` widens the
+    domain by 50% of the span on each side and re-bins the standing
+    state by bin-midpoint approximation — O(≤ types × 64 rows), no
+    corpus rescan.  p50 is then served off the rebinned state; the
+    output carries the per-type clamp fraction alongside.  Oracle:
+    identical IEEE arithmetic in DuckDB — corpus binning, clamped
+    batch fold, midpoint rebin, percentile walk, clamp fraction —
+    any drifted bound or misrouted bin flips a row."""
+    from legate_dataframe_spark.core.bucketing import replace_bucketed
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_histogram_rollup,
+        histogram_batch_clamp_stats,
+        histogram_percentile_serve,
+        histogram_rollup_update,
+        rebin_histogram,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 != 0)
+    batch = (e.filter(F.col("event_id") % 10 == 0)
+             .withColumn("value", F.col("value") * F.lit(8.0)))
+    with _temp_db(spark, "ldf_r9_rebin") as db:
+        build_histogram_rollup(spark, corpus, f"{db}.h")
+        clamp = (histogram_batch_clamp_stats(spark, f"{db}.h", batch)
+                 .localCheckpoint(eager=True))  # before bounds change
+        mx = clamp.agg(F.max("clamp_frac")).collect()[0][0]
+        if mx is None or mx <= 0.05:
+            raise AssertionError(
+                f"drifted batch did not clamp (max clamp_frac={mx}) — "
+                "the rebin trigger never fired")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            merged = histogram_rollup_update(spark, f"{db}.h", batch)
+            _assert_bucketed(_plan_of(merged), "histogram fold")
+            replace_bucketed(spark, merged, f"{db}.h_hist",
+                             ["event_type", "bkt"], num_buckets=8)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        rebin_histogram(spark, f"{db}.h", widen=0.5)
+        serve = histogram_percentile_serve(spark, f"{db}.h", p=0.5)
+        out = serve.join(clamp.select("event_type", "clamp_frac"),
+                         "event_type")
+        return out.localCheckpoint(eager=True)
+
+
+ROLLUP_HISTOGRAM_REBIN_SQL = """
+WITH b AS (
+  SELECT min(value) AS vlo, max(value) AS vhi FROM events
+  WHERE event_id % 10 != 0 AND value IS NOT NULL),
+corpus_binned AS (
+  SELECT event_type,
+         CASE WHEN vhi > vlo THEN
+           greatest(0, least(63,
+             CAST(floor((value - vlo) / (vhi - vlo) * 64) AS INT)))
+         ELSE 0 END AS bkt
+  FROM events, b WHERE event_id % 10 != 0 AND value IS NOT NULL),
+batch AS (
+  SELECT event_type, value * 8.0 AS value FROM events
+  WHERE event_id % 10 = 0 AND value IS NOT NULL),
+batch_binned AS (
+  SELECT event_type,
+         CASE WHEN vhi > vlo THEN
+           greatest(0, least(63,
+             CAST(floor((value - vlo) / (vhi - vlo) * 64) AS INT)))
+         ELSE 0 END AS bkt
+  FROM batch, b),
+hist AS (
+  SELECT event_type, bkt, count(*) AS cnt
+  FROM (SELECT * FROM corpus_binned
+        UNION ALL SELECT * FROM batch_binned)
+  GROUP BY 1, 2),
+clamp AS (
+  SELECT event_type,
+         round(sum(CASE WHEN value < vlo OR value > vhi
+                        THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS clamp_frac
+  FROM batch, b GROUP BY event_type),
+nb AS (
+  SELECT vlo, vhi,
+         vlo - 0.5 * (vhi - vlo) AS nlo,
+         vhi + 0.5 * (vhi - vlo) AS nhi
+  FROM b),
+rebinned AS (
+  SELECT event_type,
+         greatest(0, least(63, CAST(floor(
+           ((vlo + (bkt + 0.5) * (vhi - vlo) / 64) - nlo)
+           / (nhi - nlo) * 64) AS INT))) AS bkt,
+         cnt
+  FROM hist, nb),
+rhist AS (
+  SELECT event_type, bkt, sum(cnt) AS cnt FROM rebinned GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bkt, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bkt) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM rhist),
+first AS (
+  SELECT * FROM (
+    SELECT event_type, bkt, n,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bkt) AS rn
+    FROM cum WHERE cum >= ceil(0.5 * n)) WHERE rn = 1)
+SELECT f.event_type, CAST(n AS BIGINT) AS n,
+       CAST(bkt AS BIGINT) AS p_bin,
+       round(nlo + bkt * (nhi - nlo) / 64, 6) AS bin_lo,
+       round(nlo + (bkt + 1) * (nhi - nlo) / 64, 6) AS bin_hi,
+       round(nlo + (bkt + 0.5) * (nhi - nlo) / 64, 6) AS est_p,
+       c.clamp_frac
+FROM first f JOIN clamp c ON f.event_type = c.event_type, nb
+"""
+
+
+# ===================== retraction of an all-NULL-value slice
+def rollup_retract_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate for the ADVICE r08 medium fix: the % 10 == 0 slice
+    is NULLIFIED (value := NULL) before the rollup is built, then
+    RETRACTED — so every surviving group's deleted batch extrema are
+    NULL, exactly the three-valued trap that silently vanished groups
+    from the retracted state.  Post-fix, NULL batch extrema are
+    extremum-safe: n decrements, sum is untouched (NULLs contribute
+    nothing), min/max stay.  Oracle (maximal): full GROUP BY over
+    events MINUS the slice — a vanished group is a missing row."""
+    from legate_dataframe_spark.core.bucketing import replace_bucketed
+    from legate_dataframe_spark.pipeline.rollup import (
+        GROUP_KEYS,
+        build_rollup_index,
+        rollup_retract,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    e2 = e.withColumn(
+        "value",
+        F.when(F.col("event_id") % 10 == 0,
+               F.lit(None).cast("double")).otherwise(F.col("value")))
+    batch = e2.filter(F.col("event_id") % 10 == 0)
+    remaining = e2.filter(F.col("event_id") % 10 != 0)
+    with _temp_db(spark, "ldf_r9_retnull") as db:
+        state = f"{db}.state"
+        build_rollup_index(spark, e2, state)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = rollup_retract(spark, state, batch, remaining)
+            _assert_bucketed(_plan_of(out), "all-NULL retract merge")
+            replace_bucketed(spark, out, state, GROUP_KEYS,
+                             num_buckets=16)
+            return (spark.table(state)
+                    .select("day", "event_type", "n", "sum_micro",
+                            "min_micro", "max_micro")
+                    .localCheckpoint(eager=True))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+ROLLUP_RETRACT_NULLS_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_micro,
+       min(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micro,
+       max(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micro
+FROM events
+WHERE event_id % 10 != 0
+GROUP BY 1, 2
+"""

@@ -168,6 +168,58 @@ def test_minhash_retention_time_travel_and_takedown_vacuum(spark, sf_dir):
         assert still == post
 
 
+def test_histogram_clamp_stats_and_rebin_conserve_counts(spark):
+    """The clamp signal counts exactly the out-of-range batch rows,
+    and the midpoint REBIN conserves total counts per type while
+    relocating mass into the widened domain (the old edge bins'
+    midpoints land strictly inside the new bounds)."""
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_histogram_rollup,
+        histogram_batch_clamp_stats,
+        histogram_rollup_update,
+        rebin_histogram,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "a", float(i % 100)) for i in range(1, 400)],
+        "event_id long, event_type string, value double")
+    # 2 of 4 batch rows out of range → clamp_frac exactly 0.5
+    batch = spark.createDataFrame(
+        [(1001, "a", -50.0), (1002, "a", 500.0),
+         (1003, "a", 10.0), (1004, "a", 20.0)],
+        "event_id long, event_type string, value double")
+    with temp_db(spark, "ldf_t9_rebin") as db:
+        build_histogram_rollup(spark, corpus, f"{db}.h", num_buckets=4)
+        stats = histogram_batch_clamp_stats(
+            spark, f"{db}.h", batch).collect()
+        assert len(stats) == 1
+        assert stats[0]["batch_n"] == 4
+        assert stats[0]["clamped_n"] == 2
+        assert abs(stats[0]["clamp_frac"] - 0.5) < 1e-9
+        merged = histogram_rollup_update(spark, f"{db}.h", batch)
+        from legate_dataframe_spark.core.bucketing import (
+            replace_bucketed,
+        )
+        replace_bucketed(spark, merged, f"{db}.h_hist",
+                         ["event_type", "bkt"], num_buckets=4)
+        total_before = (read_bucketed(spark, f"{db}.h_hist")
+                        .agg(F.sum("cnt")).collect()[0][0])
+        old_bounds = spark.table(f"{db}.h_bounds").collect()[0]
+        rebin_histogram(spark, f"{db}.h", widen=0.5, num_buckets=4)
+        after = read_bucketed(spark, f"{db}.h_hist")
+        assert (after.agg(F.sum("cnt")).collect()[0][0]
+                == total_before)  # counts conserved
+        nb = spark.table(f"{db}.h_bounds").collect()[0]
+        span = old_bounds["vhi"] - old_bounds["vlo"]
+        assert abs(nb["vlo"] - (old_bounds["vlo"] - 0.5 * span)) < 1e-9
+        assert abs(nb["vhi"] - (old_bounds["vhi"] + 0.5 * span)) < 1e-9
+        # old domain maps to the middle half of the new domain: no
+        # mass may sit in the outer quarter bins after a pure rebin
+        bkts = {r["bkt"] for r in after.collect()}
+        assert bkts <= set(range(16, 48)), bkts
+
+
 def test_concurrent_reader_survives_swap_vacuum_cycles(spark):
     """VERDICT r08 task 8: a second thread loops reads of the stable
     view while the writer cycles swap_versioned + vacuum_generations
