@@ -183,7 +183,45 @@ EXTRA = [
     "ann_index_retrain",
     "rollup_histogram_chain",
     "tpch_refresh_maintenance",
+    # round-9 additions: index retention/time-travel, histogram
+    # clamp-signal + rebin, NULL-slice retraction
+    "dedup_index_timetravel",
+    "rollup_histogram_rebin",
+    "rollup_retract_nulls",
 ]
+
+
+def _run_tags() -> dict:
+    """Round/commit provenance for every persisted bench record
+    (VERDICT r08 task 6: BENCH_EXTRAS_HISTORY.jsonl lines carried
+    identical keys, so cross-round regression diffs relied on line
+    order).  ``round`` comes from $SPARK_GRAFT_ROUND when the driver
+    sets it, else is inferred as 1 + the highest committed
+    BENCH_r{N}.json — correct whenever round N runs with snapshots
+    up to N−1 present, which is the driver's cadence."""
+    import datetime
+    import glob as _glob
+    import re as _re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        seen = [int(m.group(1)) for p in _glob.glob(
+            os.path.join(here, "BENCH_r*.json"))
+            if (m := _re.search(r"BENCH_r(\d+)\.json$", p))]
+        rnd = str(max(seen, default=0) + 1)
+    try:
+        commit = subprocess.run(
+            ["git", "-C", here, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        commit = None
+    return {"round": int(rnd) if rnd.isdigit() else rnd,
+            "commit": commit,
+            "ts_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds")}
 
 
 def join_throughput_gibs(spark, nrows: int = 1 << 24, nruns: int = 3) -> float:
@@ -267,7 +305,7 @@ def run_all() -> None:
     except ValueError:
         sf_num = sf
     record = {"metric": "all_queries_seconds_single_run", "unit": "sec",
-              "sf": sf_num, "queries": times}
+              "sf": sf_num, "queries": times, **_run_tags()}
     with open(out_path, "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -342,7 +380,7 @@ def main() -> None:
                                     "BENCH_EXTRAS.json"))
     extras_record = {"metric": "extra_queries_seconds", "unit": "sec",
                      "sf": sf_num if sf_num is not None else sf,
-                     "queries": extra}
+                     "queries": extra, **_run_tags()}
     with open(extras_out, "w") as fh:
         json.dump(extras_record, fh, indent=1, sort_keys=True)
         fh.write("\n")
