@@ -188,6 +188,7 @@ EXTRA = [
     "dedup_index_timetravel",
     "rollup_histogram_rebin",
     "rollup_retract_nulls",
+    "rollup_generation_diff",
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -285,6 +286,54 @@ def read_generation(spark: SparkSession, view_name: str,
     are as co-located as against the current state.  Raises (catalog
     AnalysisException) if the generation was vacuumed."""
     return spark.table(f"{view_name}__g{gen}")
+
+
+def generation_diff(
+    spark: SparkSession,
+    view_name: str,
+    gen_old: int,
+    gen_new: int,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CHANGE DATA FEED between two retained generations — the audit
+    companion to time travel: retention answers "what did the state
+    say?", the diff answers "what did the refresh DO?".  Table
+    formats call this a changelog/CDF read; here it falls out of the
+    versioned layout for free.
+
+    Full outer join of the two snapshots on ``keys``:
+    only-in-new ⇒ ``insert``, only-in-old ⇒ ``delete``, present in
+    both with any ``compare_cols`` difference (null-safe) ⇒
+    ``update``; unchanged rows are dropped.  Returns
+    (keys…, change_type, old_<c>…, new_<c>…).
+
+    Scale shape: both generations carry the SAME bucket spec on the
+    same physical layout, so when ``keys`` == the bucket columns the
+    outer join reads both snapshots' co-located buckets with no
+    Exchange on either side — an arbitrarily large state diffs
+    shuffle-free, cost O(changed + unchanged rows scanned), never a
+    join shuffle.
+    """
+    old = read_generation(spark, view_name, gen_old).select(
+        *keys, F.lit(True).alias("_o"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    new = read_generation(spark, view_name, gen_new).select(
+        *keys, F.lit(True).alias("_n"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    j = old.join(new, list(keys), "full")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(
+            F.col(f"new_{c}"))
+    change_type = (F.when(F.col("_o").isNull(), F.lit("insert"))
+                   .when(F.col("_n").isNull(), F.lit("delete"))
+                   .when(changed, F.lit("update")))
+    return (j.withColumn("change_type", change_type)
+            .filter(F.col("change_type").isNotNull())
+            .select(*keys, "change_type",
+                    *[f"old_{c}" for c in compare_cols],
+                    *[f"new_{c}" for c in compare_cols]))
 
 
 def vacuum_generations(spark: SparkSession, view_name: str,

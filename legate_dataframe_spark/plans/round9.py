@@ -262,6 +262,111 @@ FROM first f JOIN clamp c ON f.event_type = c.event_type, nb
 """
 
 
+# ============================ change data feed (generation diff)
+def rollup_generation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the versioned rollup — the audit
+    companion to time travel (retention answers "what did the state
+    say?"; the diff answers "what did the maintenance DO?").  Three
+    generations: g0 = corpus rollup (event_id % 10 ≥ 2, EXCLUDING the
+    lexicographically-LAST event_type — so the ingest genuinely
+    creates groups), g1 = g0 + Monday's batch (% 10 == 0, all types;
+    swap keep_old), g2 = g1 RETRACTING every event of the
+    lexicographically-FIRST event_type (whole groups vanish).
+    ``generation_diff(g0, g2)`` then classifies every group: the
+    last type's Monday groups are ``insert``s, the first type's g0
+    groups are ``delete``s, Monday-touched surviving groups are
+    ``update``s — unchanged groups are absent.  Both snapshots
+    share the bucket spec, so the diff's outer join reads co-located
+    buckets (``Bucketed: true`` asserted, broadcast off).  Oracle:
+    the same full-outer-join classification over the two slices'
+    GROUP BYs, computed from raw events."""
+    from legate_dataframe_spark.core.bucketing import (
+        generation_diff,
+        init_versioned,
+        swap_versioned,
+    )
+    from legate_dataframe_spark.pipeline.rollup import (
+        GROUP_KEYS,
+        event_partials,
+        incremental_rollup_update,
+        rollup_retract,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    # 1-row deterministic picks — not a data collect
+    row = e.agg(F.min("event_type").alias("lo"),
+                F.max("event_type").alias("hi")).collect()[0]
+    gone_type, new_type = row["lo"], row["hi"]
+    corpus = e.filter((F.col("event_id") % 10 >= 2)
+                      & (F.col("event_type") != new_type))
+    monday = e.filter(F.col("event_id") % 10 == 0)
+    with _temp_db(spark, "ldf_r9_cdf") as db:
+        state = f"{db}.state"
+        init_versioned(spark, event_partials(corpus), state,
+                       GROUP_KEYS, num_buckets=16)
+        swap_versioned(spark,
+                       incremental_rollup_update(spark, state, monday),
+                       state, GROUP_KEYS, num_buckets=16, keep_old=True)
+        both = corpus.unionByName(monday)
+        batch = both.filter(F.col("event_type") == gone_type)
+        remaining = both.filter(F.col("event_type") != gone_type)
+        swap_versioned(spark,
+                       rollup_retract(spark, state, batch, remaining),
+                       state, GROUP_KEYS, num_buckets=16, keep_old=True)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = generation_diff(spark, state, 0, 2, GROUP_KEYS,
+                                  ["n", "sum_micro"])
+            _assert_bucketed(_plan_of(out), "generation diff join")
+            kinds = {r[0] for r in out.select("change_type")
+                     .distinct().collect()}
+            if kinds != {"insert", "delete", "update"}:
+                raise AssertionError(
+                    f"diff missing a change class: {kinds}")
+            return out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+ROLLUP_GENERATION_DIFF_SQL = """
+WITH picks AS (SELECT min(event_type) AS lo, max(event_type) AS hi
+               FROM events),
+old AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_micro
+  FROM events, picks
+  WHERE event_id % 10 >= 2 AND event_type != hi
+  GROUP BY 1, 2),
+new AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_micro
+  FROM events, picks
+  WHERE ((event_id % 10 >= 2 AND event_type != hi)
+         OR event_id % 10 = 0)
+    AND event_type != lo
+  GROUP BY 1, 2),
+d AS (
+  SELECT coalesce(o.day, n2.day) AS day,
+         coalesce(o.event_type, n2.event_type) AS event_type,
+         CASE WHEN o.day IS NULL THEN 'insert'
+              WHEN n2.day IS NULL THEN 'delete'
+              WHEN o.n != n2.n OR o.sum_micro != n2.sum_micro
+                THEN 'update' END AS change_type,
+         o.n AS old_n, n2.n AS new_n,
+         o.sum_micro AS old_sum_micro, n2.sum_micro AS new_sum_micro
+  FROM old o
+  FULL JOIN new n2 ON o.day = n2.day AND o.event_type = n2.event_type)
+SELECT CAST(day AS TIMESTAMP) AS day, event_type, change_type,
+       old_n, old_sum_micro, new_n, new_sum_micro
+FROM d WHERE change_type IS NOT NULL
+"""
+
+
 # ===================== retraction of an all-NULL-value slice
 def rollup_retract_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver gate for the ADVICE r08 medium fix: the % 10 == 0 slice

@@ -168,6 +168,50 @@ def test_minhash_retention_time_travel_and_takedown_vacuum(spark, sf_dir):
         assert still == post
 
 
+def test_generation_diff_classifies_and_drops_unchanged(spark):
+    """insert = only-in-new, delete = only-in-old, update = null-safe
+    payload difference (including NULL→value transitions); unchanged
+    rows never appear; and with keys == bucket cols the diff join
+    reads both snapshots' co-located buckets (Bucketed: true,
+    broadcast off)."""
+    import contextlib as _ctx
+    import io
+
+    from legate_dataframe_spark.core.bucketing import (
+        generation_diff,
+        init_versioned,
+        swap_versioned,
+    )
+
+    with temp_db(spark, "ldf_t9_cdf") as db:
+        view = f"{db}.state"
+        g0 = spark.createDataFrame(
+            [(1, 10, None), (2, 20, 5.0), (3, 30, 6.0), (4, 40, 7.0)],
+            "k long, n long, x double")
+        g1 = spark.createDataFrame(
+            [(2, 20, 5.0),        # unchanged → absent
+             (3, 31, 6.0),        # n changed → update
+             (4, 40, None),       # value→NULL → update (null-safe)
+             (5, 50, 8.0)],       # only-in-new → insert
+            "k long, n long, x double")                 # 1 → delete
+        init_versioned(spark, g0, view, ["k"], num_buckets=2)
+        swap_versioned(spark, g1, view, ["k"], num_buckets=2,
+                       keep_old=True)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            d = generation_diff(spark, view, 0, 1, ["k"], ["n", "x"])
+            buf = io.StringIO()
+            with _ctx.redirect_stdout(buf):
+                d.explain(mode="formatted")
+            assert "Bucketed: true" in buf.getvalue()
+            got = {r["k"]: r["change_type"] for r in d.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert got == {1: "delete", 3: "update", 4: "update",
+                       5: "insert"}
+
+
 def test_histogram_clamp_stats_and_rebin_conserve_counts(spark):
     """The clamp signal counts exactly the out-of-range batch rows,
     and the midpoint REBIN conserves total counts per type while
