@@ -339,16 +339,23 @@ def generation_diff(
 def vacuum_generations(spark: SparkSession, view_name: str,
                        keep_last: int = 2) -> list[int]:
     """Snapshot retention: drop all but the newest ``keep_last``
-    physical generations (never the one the stable view points at —
-    ``keep_last`` is clamped to ≥1 and the view's own generation is
-    additionally excluded, so an orphan from an interrupted swap can
-    never out-rank the live table into being "the kept one").
-    Returns the generation numbers dropped.  The grace-period story
-    from :func:`swap_versioned` applies: run this on the maintenance
-    cadence, not inside the swap."""
+    RETAINED generations (``keep_last`` clamped to ≥1; the generation
+    the stable view points at is never dropped).  Generations
+    numbered ABOVE the view's are crash ORPHANS — an interrupted
+    swap's write that never got its repoint — and are reclaimed too:
+    under the single-writer contract nothing else can legitimately be
+    writing ahead of the view, and a maintenance cadence that never
+    swaps again would otherwise leak the orphan forever.  Returns the
+    generation numbers dropped.  The grace-period story from
+    :func:`swap_versioned` applies: run this on the maintenance
+    cadence, not inside the swap (a vacuum racing a live swap would
+    see its half-written generation as an orphan)."""
     cur = _current_generation(spark, view_name)
     gens = list_generations(spark, view_name)
-    drop = [g for g in gens[:-max(1, keep_last)] if g != cur]
+    history = [g for g in gens if g <= cur]
+    orphans = [g for g in gens if g > cur]
+    drop = [g for g in history[:-max(1, keep_last)] if g != cur]
+    drop += orphans
     for g in drop:
         spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{g}")
     return drop

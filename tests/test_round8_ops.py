@@ -232,10 +232,12 @@ def test_current_generation_resolves_from_view_not_orphans(spark):
                                            F.lit(99).alias("gen"))
         _write_generation(spark, orphan, f"{view}__g1", ["k"], 2, None)
         assert _current_generation(spark, view) == 0  # view, not orphan
-        # vacuum with an out-ranking orphan never drops the live gen
-        assert vacuum_generations(spark, view, keep_last=1) == []
+        # vacuum reclaims the out-ranking orphan, never the live gen
+        assert vacuum_generations(spark, view, keep_last=1) == [1]
         assert spark.table(view).count() == 10
-        # the next swap overwrites the orphan slot and heals
+        # re-create the orphan: the next swap must also heal WITHOUT
+        # a vacuum (the overwrite path)
+        _write_generation(spark, orphan, f"{view}__g1", ["k"], 2, None)
         g1 = spark.range(0, 20).select(F.col("id").alias("k"),
                                        F.lit(1).alias("gen"))
         swap_versioned(spark, g1, view, ["k"], num_buckets=2)
