@@ -170,6 +170,7 @@ def delete_from_components_index(
     label_table: str,
     pairs_among,
     num_buckets: int = 16,
+    keep_old: bool = False,
 ) -> None:
     """Remove documents from a persisted component labelling — the
     hardest DELETE of the index family (VERDICT r07 task 2), because
@@ -199,7 +200,11 @@ def delete_from_components_index(
 
     The caller is responsible for also deleting the ids from the
     minhash index itself (dedup.delete_from_minhash_index) so future
-    gates stop matching them — the driver query does both."""
+    gates stop matching them — the driver query does both.
+
+    ``keep_old=True`` retains the pre-delete labelling (single-table
+    state, so the snapshot is self-consistent); the takedown/vacuum
+    interaction from dedup.delete_from_minhash_index applies."""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
         swap_versioned,
@@ -223,7 +228,8 @@ def delete_from_components_index(
     swap_versioned(spark,
                    untouched.unionByName(
                        recomputed.select("node", "component")),
-                   label_table, ["node"], num_buckets=num_buckets)
+                   label_table, ["node"], num_buckets=num_buckets,
+                   keep_old=keep_old)
 
 
 def incremental_components_update(

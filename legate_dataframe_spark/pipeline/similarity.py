@@ -992,6 +992,7 @@ def delete_from_ivf_index(
     table_prefix: str,
     id_col: str = "vec_id",
     num_buckets: int = 16,
+    keep_old: bool = False,
 ) -> None:
     """Remove vectors from a persisted IVF index — the DELETE quarter
     of the index lifecycle (VERDICT r07 task 2b), the inverse of
@@ -1007,7 +1008,18 @@ def delete_from_ivf_index(
     must not move cluster geometry under standing queries (re-train
     + re-assign is a separate, heavier maintenance operation).
     Cost is O(index) per delete batch, same as compaction; batch
-    deletes to amortize."""
+    deletes to amortize.
+
+    ``keep_old=True`` retains the pre-delete assignment generation
+    for audit time travel — CONSISTENT on its own because deletes
+    never touch the centroids, so the retained snapshot pairs with
+    the same (current) centroid table it was assigned against.  The
+    takedown/vacuum interaction from dedup.delete_from_minhash_index
+    applies verbatim.  (A retained snapshot taken across a RETRAIN
+    would not have this property — retrain rewrites both tables; its
+    pre-retrain assignment is only meaningful with the pre-retrain
+    centroids, which are overwritten, so retrain does not offer
+    keep_old.)"""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
         swap_versioned,
@@ -1017,7 +1029,8 @@ def delete_from_ivf_index(
     assigned = read_bucketed(spark, f"{table_prefix}_assign")
     keep = assigned.join(F.broadcast(ids), id_col, "left_anti")
     swap_versioned(spark, keep, f"{table_prefix}_assign",
-                   ["centroid_id"], num_buckets=num_buckets)
+                   ["centroid_id"], num_buckets=num_buckets,
+                   keep_old=keep_old)
 
 
 def retrain_ivf_index(

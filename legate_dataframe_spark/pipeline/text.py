@@ -839,7 +839,16 @@ def delete_from_bm25_index(
     from the index's OWN postings before the rewrite (dl rides
     denormalized on every posting row, so one per-doc first()
     recovers it without touching the corpus).  Cost is O(index) per
-    delete batch, like compaction; batch deletes to amortize."""
+    delete batch, like compaction; batch deletes to amortize.
+
+    No ``keep_old`` here on purpose: a BM25 snapshot is only
+    consistent as (postings, stats) TOGETHER, and the 1-row stats
+    table is overwritten in place — a retained pre-delete postings
+    generation would pair with post-delete stats and score wrongly.
+    BM25 time travel needs the stats row versioned alongside (or
+    folded into the postings table's metadata); until then the
+    retention instance of record is the minhash index
+    (dedup.delete_from_minhash_index / dedup_index_timetravel)."""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
         swap_versioned,
