@@ -129,11 +129,11 @@ def dedup_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_INDEX_TIMETRAVEL_SQL = f"""
-SELECT 0 AS generation, count(*) AS n_pairs,
+SELECT CAST(0 AS BIGINT) AS generation, count(*) AS n_pairs,
        round(sum(jaccard), 4) AS sum_jaccard
 FROM ({_minhash_sql("documents")}) g0
 UNION ALL
-SELECT 1 AS generation, count(*) AS n_pairs,
+SELECT CAST(1 AS BIGINT) AS generation, count(*) AS n_pairs,
        round(sum(jaccard), 4) AS sum_jaccard
 FROM ({_minhash_sql(
     "(SELECT * FROM documents WHERE doc_id % 10 != 0)")}) g1
