@@ -264,6 +264,45 @@ def test_histogram_clamp_stats_and_rebin_conserve_counts(spark):
         assert bkts <= set(range(16, 48)), bkts
 
 
+def test_histogram_rebuild_from_raw_resets_clamped_state(spark):
+    """The documented escape hatch for clamp fractions too high for
+    midpoint rebinning: rebuilding from raw (build_histogram_rollup
+    over the current corpus) must reset the bounds to the new data's
+    true min/max and leave a state identical to a from-scratch build
+    — the clamped mass is re-binned exactly, not approximately."""
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_histogram_rollup,
+        histogram_batch_clamp_stats,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "a", float(i % 50)) for i in range(1, 300)],
+        "event_id long, event_type string, value double")
+    # heavy drift: most of the batch is far outside the corpus domain
+    batch = spark.createDataFrame(
+        [(1000 + i, "a", 500.0 + i) for i in range(20)]
+        + [(2000, "a", 10.0)],
+        "event_id long, event_type string, value double")
+    with temp_db(spark, "ldf_t9_rebuild") as db:
+        build_histogram_rollup(spark, corpus, f"{db}.h", num_buckets=4)
+        frac = histogram_batch_clamp_stats(
+            spark, f"{db}.h", batch).collect()[0]["clamp_frac"]
+        assert frac > 0.9  # midpoint rebin would be garbage here
+        # escape hatch: rebuild over the grown corpus
+        grown = corpus.unionByName(batch)
+        build_histogram_rollup(spark, grown, f"{db}.h", num_buckets=4)
+        nb = spark.table(f"{db}.h_bounds").collect()[0]
+        assert nb["vlo"] == 0.0 and nb["vhi"] == 519.0
+        total = (read_bucketed(spark, f"{db}.h_hist")
+                 .agg(F.sum("cnt")).collect()[0][0])
+        assert total == grown.count()
+        # and a fresh clamp check against the new bounds reads zero
+        frac2 = histogram_batch_clamp_stats(
+            spark, f"{db}.h", batch).collect()[0]["clamp_frac"]
+        assert frac2 == 0.0
+
+
 def test_concurrent_reader_survives_swap_vacuum_cycles(spark):
     """VERDICT r08 task 8: a second thread loops reads of the stable
     view while the writer cycles swap_versioned + vacuum_generations
