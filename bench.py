@@ -189,6 +189,7 @@ EXTRA = [
     "rollup_histogram_rebin",
     "rollup_retract_nulls",
     "rollup_generation_diff",
+    "bm25_index_timetravel",
 ]
 
 

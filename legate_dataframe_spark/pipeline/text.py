@@ -827,6 +827,7 @@ def delete_from_bm25_index(
     table_prefix: str,
     id_col: str = "doc_id",
     num_buckets: int = 16,
+    keep_old: bool = False,
 ) -> None:
     """Remove documents from a persisted BM25 index — the DELETE
     quarter of the lifecycle (takedown/GDPR; VERDICT r07 task 2).
@@ -841,14 +842,14 @@ def delete_from_bm25_index(
     recovers it without touching the corpus).  Cost is O(index) per
     delete batch, like compaction; batch deletes to amortize.
 
-    No ``keep_old`` here on purpose: a BM25 snapshot is only
-    consistent as (postings, stats) TOGETHER, and the 1-row stats
-    table is overwritten in place — a retained pre-delete postings
-    generation would pair with post-delete stats and score wrongly.
-    BM25 time travel needs the stats row versioned alongside (or
-    folded into the postings table's metadata); until then the
-    retention instance of record is the minhash index
-    (dedup.delete_from_minhash_index / dedup_index_timetravel)."""
+    ``keep_old=True`` retains the pre-delete POSTINGS generation for
+    audit time travel.  A BM25 snapshot is only consistent as
+    (postings, stats) together and the 1-row stats table is live-only
+    (overwritten in place) — so historical serves never read it:
+    ``bm25_search_persisted(generation=…)`` DERIVES the stats from
+    the snapshot's own postings (dl rides denormalized on every row),
+    which is consistent by construction.  The takedown/vacuum
+    interaction from dedup.delete_from_minhash_index applies."""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
         swap_versioned,
@@ -865,7 +866,7 @@ def delete_from_bm25_index(
     row = gone.collect()[0]  # 1 row × 2 ints — not a data collect
     keep = postings.join(F.broadcast(ids), id_col, "left_anti")
     swap_versioned(spark, keep, f"{table_prefix}_postings", ["tok"],
-                   num_buckets=num_buckets)
+                   num_buckets=num_buckets, keep_old=keep_old)
     _write_bm25_stats(spark, table_prefix,
                       F.col("n_docs") - F.lit(row["d_n"] or 0),
                       F.col("sum_dl") - F.lit(row["d_sum"] or 0))
@@ -879,6 +880,7 @@ def bm25_search_persisted(
     b: float = 0.75,
     topk: int = 10,
     id_col: str = "doc_id",
+    generation: int | None = None,
 ) -> DataFrame:
     """BM25 top-k served from a :func:`build_bm25_index` catalog
     index: the term filter prunes the postings scan to the buckets
@@ -886,15 +888,40 @@ def bm25_search_persisted(
     plan), df comes from the fetched postings, dl rides denormalized
     on each fetched posting row, and scoring / ranking match
     ``bm25_topk`` exactly — value-identical to the in-query search
-    over the same corpus, with nothing corpus-sized on the plan."""
+    over the same corpus, with nothing corpus-sized on the plan.
+
+    ``generation`` (optional) serves off a RETAINED postings snapshot
+    (time travel — the audit read across a takedown).  The 1-row
+    stats table is live-only (overwritten in place), so a historical
+    serve DERIVES (n_docs, avgdl) from the snapshot's own postings —
+    dl rides denormalized on every row, so one per-doc first() + avg
+    reproduces the stats a fresh build over that corpus would store,
+    bit-identically (same exact-BIGINT division).  Consistency by
+    construction: the snapshot can never pair with the wrong stats.
+    The derivation is an O(snapshot) aggregate — fine for audit
+    reads; the LIVE path keeps its O(1) stats row."""
     from pyspark.sql import Window as _W
 
-    from legate_dataframe_spark.core.bucketing import read_bucketed
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        read_generation,
+    )
 
     terms = [t.lower() for t in query_terms]
-    postings = (read_bucketed(spark, f"{table_prefix}_postings")
+    if generation is None:
+        all_postings = read_bucketed(spark, f"{table_prefix}_postings")
+        stats = spark.table(f"{table_prefix}_stats")
+    else:
+        all_postings = read_generation(
+            spark, f"{table_prefix}_postings", generation)
+        dl = (all_postings.groupBy(id_col)
+              .agg(F.first("dl").alias("dl")))
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+            F.sum("dl").alias("sum_dl"))
+    postings = (all_postings
                 .filter(F.col("tok").isin(terms)))  # bucket-pruned scan
-    stats = spark.table(f"{table_prefix}_stats")
     df_ = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1)

@@ -60,6 +60,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # co-located on the shared bucket spec (insert/delete/update)
     "rollup_generation_diff": (r9.rollup_generation_diff,
                                r9.ROLLUP_GENERATION_DIFF_SQL),
+    # BM25 time travel: historical serve derives (n_docs, avgdl) from
+    # the retained postings snapshot itself — cross-table consistency
+    # by construction (the live stats row is never read historically)
+    "bm25_index_timetravel": (r9.bm25_index_timetravel,
+                              r9.BM25_INDEX_TIMETRAVEL_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # NULL-safe extremum detection in the retract merge (ADVICE r08)
     "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
@@ -84,7 +89,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
     "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
     "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
-    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
     # ---- stale tail, FINAL tranche: last driver-greened in r04 --------------
     # (VERDICT r08 task 1 — all 34 remaining r04 entries; after this
     # round no entry's latest green predates r05)
@@ -136,6 +140,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- also changed this round (swap adoption / capped ANN sample) -------
     # (overflow past the 50 prefix slots — strict-parity-swept r09,
     # rotate into the r10 prefix first)
+    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
     "bm25_persisted_search": (r6.bm25_persisted_search,
                               r6.BM25_PERSISTED_SEARCH_SQL),
     "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),

@@ -140,6 +140,78 @@ FROM ({_minhash_sql(
 """
 
 
+# ===================== BM25 index time travel (derived stats)
+def bm25_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 TIME TRAVEL across a takedown — the cross-table-
+    consistency case the minhash instance doesn't cover: a BM25
+    snapshot is only meaningful as (postings, stats) TOGETHER, and
+    the 1-row stats table is live-only, so the historical serve
+    DERIVES the stats from the retained postings snapshot itself
+    (dl rides denormalized on every posting row — consistency by
+    construction; see text.bm25_search_persisted).  Build over ALL
+    documents, DELETE doc_id % 10 == 0 with ``keep_old=True``, serve
+    the same top-10 search off generation 0 (pre-delete) and the
+    live view (post-delete), then run the takedown-compliant vacuum
+    and assert generation 0 is gone with the live serve unchanged.
+    Oracle: the in-query BM25 over ALL documents (generation 0) and
+    over documents MINUS the deleted set (live) — stale or drifted
+    derived stats flip scores and fail the hash."""
+    from legate_dataframe_spark.core.bucketing import vacuum_generations
+    from legate_dataframe_spark.pipeline.text import (
+        bm25_search_persisted,
+        build_bm25_index,
+        delete_from_bm25_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["shuffle", "broadcast", "vector"]
+    with _temp_db(spark, "ldf_r9_bmttl") as db:
+        build_bm25_index(spark, d, f"{db}.idx")
+        delete_from_bm25_index(
+            spark, d.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+            f"{db}.idx", keep_old=True)
+        g0 = (bm25_search_persisted(spark, terms, f"{db}.idx",
+                                    topk=10, generation=0)
+              .select(F.lit(0).cast("long").alias("generation"),
+                      "doc_id", "bm25", "rank"))
+        live = (bm25_search_persisted(spark, terms, f"{db}.idx",
+                                      topk=10)
+                .select(F.lit(1).cast("long").alias("generation"),
+                        "doc_id", "bm25", "rank"))
+        plan = _plan_of(live)
+        if "SelectedBucketsCount" not in plan:
+            raise AssertionError(
+                "live serve lost bucket pruning:\n" + plan)
+        out = g0.unionByName(live).localCheckpoint(eager=True)
+        dropped = vacuum_generations(spark, f"{db}.idx_postings",
+                                     keep_last=1)
+        if dropped != [0]:
+            raise AssertionError(
+                f"takedown vacuum dropped {dropped}, expected [0]")
+        after = {(r["doc_id"], r["bm25"]) for r in bm25_search_persisted(
+            spark, terms, f"{db}.idx", topk=10).collect()}
+        want = {(r["doc_id"], r["bm25"]) for r in out.collect()
+                if r["generation"] == 1}
+        if after != want:
+            raise AssertionError("live serve changed across vacuum")
+        return out
+
+
+def _bm25_timetravel_sql() -> str:
+    from legate_dataframe_spark.plans.round8 import _bm25_sql
+
+    return f"""
+SELECT CAST(0 AS BIGINT) AS generation, doc_id, bm25, rank
+FROM ({_bm25_sql()})
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS generation, doc_id, bm25, rank
+FROM ({_bm25_sql("(SELECT * FROM documents WHERE doc_id % 10 != 0)")})
+"""
+
+
+BM25_INDEX_TIMETRAVEL_SQL = _bm25_timetravel_sql()
+
+
 # ============================ histogram clamp signal + REBIN
 def rollup_histogram_rebin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram BOUNDS MAINTENANCE under distribution drift: build
