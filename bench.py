@@ -190,6 +190,7 @@ EXTRA = [
     "rollup_retract_nulls",
     "rollup_generation_diff",
     "bm25_index_timetravel",
+    "components_label_diff",
 ]
 
 

@@ -140,6 +140,111 @@ FROM ({_minhash_sql(
 """
 
 
+# ===================== components label-migration diff (CDF #2)
+def components_label_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest BLAST RADIUS on the dup-cluster labelling — the change
+    data feed applied to the second state type: build labels over the
+    corpus (doc_id % 10 != 0), ingest Monday's batch (% 10 == 0:
+    cross pairs off the persisted minhash index + batch-internal
+    pairs, contract-merged), swap with ``keep_old=True``, and DIFF
+    the two generations.  ``insert`` = docs that ENTERED the
+    labelling (Monday docs with near-dups, plus corpus docs whose
+    first near-dup arrived on Monday); ``update`` = docs whose
+    cluster label CHANGED (merges — including labels moving because a
+    smaller Monday id became the cluster minimum); deletes cannot
+    happen on ingest (asserted).  Untouched docs are absent — the
+    feed is change-sized, not corpus-sized.  Oracle: two full
+    recursive-CTE labelings (corpus-only vs all documents) outer-
+    joined with the same classification."""
+    from legate_dataframe_spark.core.bucketing import (
+        generation_diff,
+        swap_versioned,
+    )
+    from legate_dataframe_spark.pipeline import dedup
+    from legate_dataframe_spark.pipeline.components import (
+        build_components_index,
+        incremental_components_update,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    monday = d.filter(F.col("doc_id") % 10 == 0)
+    with _temp_db(spark, "ldf_r9_labdiff") as db:
+        idx, labels = f"{db}.idx", f"{db}.labels"
+        dedup.build_minhash_index(spark, corpus, idx,
+                                  num_hashes=_NUM_HASHES, bands=_BANDS)
+        pairs = dedup.minhash_pairs_from_index(
+            spark, idx, jaccard_threshold=0.5).select("id_a", "id_b")
+        build_components_index(spark, pairs, labels)
+        cross = (dedup.incremental_minhash_dedup(
+            spark, monday, idx, num_hashes=_NUM_HASHES, bands=_BANDS,
+            jaccard_threshold=0.5).select("corpus_id", "batch_id"))
+        internal = dedup.minhash_lsh_pairs(
+            monday, num_hashes=_NUM_HASHES, bands=_BANDS,
+            jaccard_threshold=0.5).select("id_a", "id_b")
+        merged = incremental_components_update(spark, labels, cross,
+                                               internal)
+        swap_versioned(spark, merged, labels, ["node"],
+                       num_buckets=16, keep_old=True)
+        out = generation_diff(spark, labels, 0, 1, ["node"],
+                              ["component"])
+        kinds = {r[0] for r in out.select("change_type")
+                 .distinct().collect()}
+        if "delete" in kinds:
+            raise AssertionError(
+                "ingest produced a delete — labels were lost")
+        if "insert" not in kinds:
+            raise AssertionError("ingest produced no inserts")
+        return (out.select(F.col("node").alias("doc_id"), "change_type",
+                           "old_component", "new_component")
+                .localCheckpoint(eager=True))
+
+
+def _components_label_diff_sql() -> str:
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        _minhash_sql,
+    )
+
+    def labeling(src: str) -> str:
+        return f"""(
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_minhash_sql(src)}) mh
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node, min(label) AS component FROM walk GROUP BY node
+)"""
+
+    old = labeling("(SELECT * FROM documents WHERE doc_id % 10 != 0)")
+    new = labeling("documents")
+    return f"""
+WITH old_l AS (SELECT * FROM {old} o),
+new_l AS (SELECT * FROM {new} n),
+d AS (
+  SELECT coalesce(o.node, n.node) AS doc_id,
+         CASE WHEN o.node IS NULL THEN 'insert'
+              WHEN n.node IS NULL THEN 'delete'
+              WHEN o.component != n.component THEN 'update'
+         END AS change_type,
+         o.component AS old_component,
+         n.component AS new_component
+  FROM old_l o FULL JOIN new_l n ON o.node = n.node)
+SELECT doc_id, change_type, old_component, new_component
+FROM d WHERE change_type IS NOT NULL
+"""
+
+
+COMPONENTS_LABEL_DIFF_SQL = _components_label_diff_sql()
+
+
 # ===================== BM25 index time travel (derived stats)
 def bm25_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 TIME TRAVEL across a takedown — the cross-table-
