@@ -191,6 +191,7 @@ EXTRA = [
     "rollup_generation_diff",
     "bm25_index_timetravel",
     "components_label_diff",
+    "ann_index_timetravel",
 ]
 
 

@@ -970,6 +970,7 @@ def ivf_search_persisted(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    generation: int | None = None,
 ) -> DataFrame:
     """ANN top-k served from a :func:`build_ivf_index` catalog index:
     probe the ``n_probe`` nearest persisted centroids per query, then
@@ -977,11 +978,25 @@ def ivf_search_persisted(
     assignment table — the corpus is never re-assigned and its scan
     is co-located on the probe key.  Value-identical to the in-query
     ``ivf_search`` over the same centroids (the oracle states exactly
-    that)."""
-    from legate_dataframe_spark.core.bucketing import read_bucketed
+    that).
+
+    ``generation`` (optional) serves off a RETAINED assignment
+    snapshot (time travel across a delete — see
+    :func:`delete_from_ivf_index`'s ``keep_old``).  The snapshot is
+    consistent with the LIVE centroid table by construction, because
+    deletes never move centroids; do not time-travel across a
+    retrain (which rewrites both sides and offers no keep_old)."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        read_generation,
+    )
 
     cen = spark.table(f"{table_prefix}_centroids")
-    assigned = read_bucketed(spark, f"{table_prefix}_assign")
+    if generation is None:
+        assigned = read_bucketed(spark, f"{table_prefix}_assign")
+    else:
+        assigned = read_generation(spark, f"{table_prefix}_assign",
+                                   generation)
     return ivf_search(assigned, cen, queries, k=k, n_probe=n_probe,
                       id_col=id_col, vec_col=vec_col)
 

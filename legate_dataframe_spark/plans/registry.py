@@ -69,6 +69,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # clusters after an ingest (blast radius; deletes impossible)
     "components_label_diff": (r9.components_label_diff,
                               r9.COMPONENTS_LABEL_DIFF_SQL),
+    # IVF time travel: retained assignment snapshot pairs with the
+    # live centroids because deletes never move a trained artifact
+    "ann_index_timetravel": (r9.ann_index_timetravel,
+                             r9.ANN_INDEX_TIMETRAVEL_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # NULL-safe extremum detection in the retract merge (ADVICE r08)
     "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
@@ -91,7 +95,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # is capped so probe rows measure latency, not query-set growth
     "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
     "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
-    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
     # ---- stale tail, FINAL tranche: last driver-greened in r04 --------------
     # (VERDICT r08 task 1 — all 34 remaining r04 entries; after this
     # round no entry's latest green predates r05)
@@ -143,6 +146,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- also changed this round (swap adoption / capped ANN sample) -------
     # (overflow past the 50 prefix slots — strict-parity-swept r09,
     # rotate into the r10 prefix first)
+    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
     "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
     "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
     "bm25_persisted_search": (r6.bm25_persisted_search,

@@ -140,6 +140,89 @@ FROM ({_minhash_sql(
 """
 
 
+# ===================== IVF index time travel (trained-artifact pairing)
+def ann_index_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TIME TRAVEL across a vector takedown — completes the
+    retention matrix over all four index types (minhash r09, BM25
+    r09, components via the label CDF, and now IVF).  The consistency
+    argument is the trained-artifact one: deletes never move the
+    centroids, so a retained pre-delete ASSIGNMENT generation pairs
+    exactly with the live centroid table.  Build over ALL embeddings,
+    DELETE vec_id % 4 == 0 with ``keep_old=True``, serve the same
+    query batch off generation 0 (pre-delete ≡ IVF over the full
+    corpus) and the live view (post-delete), broadcast off so both
+    probe joins must read the bucketed snapshots (``Bucketed: true``
+    asserted on BOTH).  Then the takedown-compliant vacuum retires
+    generation 0 and the live serve is asserted unchanged.  Oracle:
+    the capped in-query IVF search over all embeddings (generation 0)
+    and over embeddings MINUS the deleted vectors (live), same fixed
+    centroids."""
+    from legate_dataframe_spark.core.bucketing import vacuum_generations
+    from legate_dataframe_spark.pipeline.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_search_persisted,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cen = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding")
+    # fixed query sample — see pipeline_queries._ANN_QUERY_ID_CAP
+    q = e.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    with _temp_db(spark, "ldf_r9_ivfttl") as db:
+        build_ivf_index(spark, e, cen, f"{db}.ivf")
+        delete_from_ivf_index(
+            spark, e.filter(F.col("vec_id") % 4 == 0).select("vec_id"),
+            f"{db}.ivf", keep_old=True)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            g0 = ivf_search_persisted(spark, q, f"{db}.ivf", k=5,
+                                      n_probe=2, generation=0)
+            live = ivf_search_persisted(spark, q, f"{db}.ivf", k=5,
+                                        n_probe=2)
+            _assert_bucketed(_plan_of(g0), "snapshot IVF serve")
+            _assert_bucketed(_plan_of(live), "live IVF serve")
+            out = (g0.select(F.lit(0).cast("long").alias("generation"),
+                             "q_id", "c_id", "cos_sim", "rank")
+                   .unionByName(live.select(
+                       F.lit(1).cast("long").alias("generation"),
+                       "q_id", "c_id", "cos_sim", "rank"))
+                   .localCheckpoint(eager=True))  # BEFORE the vacuum
+            dropped = vacuum_generations(spark, f"{db}.ivf_assign",
+                                         keep_last=1)
+            if dropped != [0]:
+                raise AssertionError(
+                    f"takedown vacuum dropped {dropped}, expected [0]")
+            after = {tuple(r) for r in ivf_search_persisted(
+                spark, q, f"{db}.ivf", k=5, n_probe=2).collect()}
+            want = {(r["q_id"], r["c_id"], r["cos_sim"], r["rank"])
+                    for r in out.collect() if r["generation"] == 1}
+            if after != want:
+                raise AssertionError("live serve changed across vacuum")
+            return out
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _ann_timetravel_sql() -> str:
+    from legate_dataframe_spark.plans.pipeline_queries import (
+        ANN_IVF_SEARCH_SQL,
+    )
+    from legate_dataframe_spark.plans.round8 import ANN_INDEX_DELETE_SQL
+
+    return f"""
+SELECT CAST(0 AS BIGINT) AS generation, q_id, c_id, cos_sim, rank
+FROM ({ANN_IVF_SEARCH_SQL})
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS generation, q_id, c_id, cos_sim, rank
+FROM ({ANN_INDEX_DELETE_SQL})
+"""
+
+
+ANN_INDEX_TIMETRAVEL_SQL = _ann_timetravel_sql()
+
+
 # ===================== components label-migration diff (CDF #2)
 def components_label_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest BLAST RADIUS on the dup-cluster labelling — the change
