@@ -1,0 +1,246 @@
+"""Per-generation/partition FILE MANIFESTS — scan planning without
+directory listing (VERDICT r09 task 3).
+
+At 100 TB a plain-parquet table's planning cost is an O(files) —
+and for partitioned tables O(partitions) — directory listing on the
+driver: the r08 spot-check measured a day-partitioned rollup refresh
+at 2.3× wall-clock for 10× history with the DATA read flat (DPP
+pruned it), the growth being pure listing.  Table formats solve this
+by writing a manifest at COMMIT time — the file list plus per-file
+stats — so every later read plans from a tiny metadata read instead
+of walking the directory tree.  This module is that pattern in-repo:
+
+- :func:`write_manifest` records, for one table (a physical
+  generation ``{view}__g{n}``, or a day-partitioned state table),
+  one row per data file: (generation, part, bucket_id, file, rows,
+  min/max of a chosen stats column) — rows/min/max come from the
+  parquet FOOTERS via pyarrow (metadata-only; no data pass), the
+  bucket id from Spark's bucketed-file naming, the partition value
+  from the path.  The listing is paid ONCE, at write time, when the
+  writer already knows its files.
+- :func:`manifest_files` / :func:`read_from_manifest` plan a read
+  from the manifest: select file paths (optionally pruned by
+  partition value or by min/max overlap with a predicate range) and
+  hand Spark an explicit file list — the scan never lists the table
+  directory, so planning cost is O(selected files) regardless of how
+  much history the table has accumulated.
+- :func:`files_per_bucket` exposes the small-file maintenance signal
+  (VERDICT r09 task 8): bucket-preserving appends accrete one file
+  per bucket per batch; when files-per-bucket crosses a threshold
+  the maintainer compacts through the atomic view swap
+  (``swap_versioned`` writes one file per bucket by construction).
+
+Consistency: the manifest for a versioned table is keyed by
+generation and written BEFORE the view repoint publishes that
+generation, so a manifest-planned read of any published generation
+sees a complete file list; :func:`prune_manifest` drops rows of
+vacuumed generations on the same maintenance cadence as the vacuum.
+
+The reference has no storage layer or scan planner (its Parquet read
+is a libcudf call over an explicit path list,
+cpp/src/core/parquet.cpp) — this is the Spark-native analogue of the
+"catalog/table format" BASELINE.md names as the production answer.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# one row per data file; min/max are stored as STRINGS whose
+# lexicographic order matches the value order for the column types we
+# prune on (zero-padded numerics, ISO timestamps) — the caller of
+# manifest_files passes bounds in the same encoding
+MANIFEST_SCHEMA = ("generation long, part string, bucket_id int, "
+                   "file string, n_rows long, min_key string, "
+                   "max_key string")
+
+_BUCKET_RE = re.compile(r"_(\d{5})\.c\d{3}")
+
+
+def _local_path(uri: str) -> str:
+    return uri[5:] if uri.startswith("file:") else uri
+
+
+def _key_encode(val) -> str | None:
+    """Stats value → lexicographically ordered string.  Timestamps /
+    dates / strings are already ordered as ISO text; integers are
+    zero-padded (non-negative domains — doc/vec/order keys here);
+    floats keep str() (pruning on floats is not offered)."""
+    if val is None:
+        return None
+    if isinstance(val, bool):
+        return "1" if val else "0"
+    if isinstance(val, int):
+        return f"{val:020d}"
+    return str(val)
+
+
+def _file_manifest_row(path: str, stats_col: str | None):
+    """(bucket_id, n_rows, min_key, max_key) from ONE parquet file's
+    FOOTER — a metadata read of a few KB, never a data pass."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    m = _BUCKET_RE.search(os.path.basename(path))
+    bucket = int(m.group(1)) if m else None
+    mn = mx = None
+    if stats_col is not None:
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema != stats_col or not c.statistics:
+                    continue
+                s = c.statistics
+                if s.has_min_max:
+                    lo, hi = _key_encode(s.min), _key_encode(s.max)
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+    return bucket, md.num_rows, mn, mx
+
+
+def _part_of(path: str) -> str | None:
+    """The innermost ``key=value`` path component — the partition a
+    file belongs to (None for unpartitioned layouts)."""
+    parts = [c for c in path.split(os.sep) if "=" in c]
+    return parts[-1] if parts else None
+
+
+def manifest_table(name: str) -> str:
+    return f"{name}__manifest"
+
+
+def write_manifest(
+    spark: SparkSession,
+    table_name: str,
+    physical_table: str | None = None,
+    generation: int = 0,
+    stats_col: str | None = None,
+    parts: Sequence[str] | None = None,
+) -> int:
+    """Record ``physical_table``'s current files under
+    ``(generation, …)`` in ``{table_name}__manifest``; returns the
+    number of file rows written.  Existing rows for OTHER generations
+    (and, when ``parts`` is given, other partitions of the same
+    generation) are preserved — the manifest is tiny (file-count
+    rows), so the merge collects and rewrites it.
+
+    ``parts`` scopes an incremental refresh: only files whose
+    partition component is in ``parts`` are (re)recorded — the
+    O(touched) maintenance write of a partitioned state table.
+    """
+    phys = physical_table or table_name
+    files = spark.table(phys).inputFiles()
+    rows = []
+    for uri in files:
+        path = _local_path(uri)
+        part = _part_of(path)
+        if parts is not None and part not in set(parts):
+            continue
+        bucket, n_rows, mn, mx = _file_manifest_row(path, stats_col)
+        rows.append((generation, part, bucket, path, n_rows, mn, mx))
+    mt = manifest_table(table_name)
+    keep = []
+    if spark.catalog.tableExists(mt):
+        old = spark.table(mt).collect()
+        for r in old:
+            if r["generation"] != generation:
+                keep.append(tuple(r))
+            elif parts is not None and r["part"] not in set(parts):
+                keep.append(tuple(r))
+    out = spark.createDataFrame(keep + rows, MANIFEST_SCHEMA)
+    out.write.format("parquet").mode("overwrite").saveAsTable(mt)
+    return len(rows)
+
+
+def manifest_files(
+    spark: SparkSession,
+    table_name: str,
+    generation: int | None = None,
+    parts: Sequence[str] | None = None,
+    min_key: str | None = None,
+    max_key: str | None = None,
+) -> list[str]:
+    """PLAN a read from the manifest: the file paths of one
+    generation, optionally pruned to a partition set and/or to files
+    whose [min_key, max_key] footer range overlaps the queried
+    range.  A metadata-only read of the (file-count-row) manifest —
+    the table directory is never listed."""
+    m = spark.table(manifest_table(table_name))
+    if generation is not None:
+        m = m.filter(F.col("generation") == generation)
+    if parts is not None:
+        m = m.filter(F.col("part").isin(list(parts)))
+    if min_key is not None:  # file overlaps iff file.max >= lo
+        m = m.filter(F.col("max_key") >= F.lit(min_key))
+    if max_key is not None:  # ... and file.min <= hi
+        m = m.filter(F.col("min_key") <= F.lit(max_key))
+    return [r["file"] for r in m.select("file").collect()]
+
+
+def read_from_manifest(
+    spark: SparkSession,
+    table_name: str,
+    files: Sequence[str],
+    base_path: str | None = None,
+    schema=None,
+) -> DataFrame:
+    """Read an explicit manifest-planned file list.  ``base_path``
+    re-attaches partition columns parsed from the paths (pass the
+    table location for partitioned layouts); ``schema`` skips
+    inference (pass ``spark.table(t).schema`` minus partition cols,
+    or None to infer from the first footer)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    return reader.parquet(*[f"file:{f}" if not f.startswith("file:")
+                            else f for f in files])
+
+
+def files_per_bucket(
+    spark: SparkSession,
+    table_name: str,
+    generation: int,
+) -> dict[int, int]:
+    """The small-file maintenance signal: bucket_id → file count for
+    one generation, from the manifest (no listing).  Appends accrete
+    one file per bucket per batch; compaction through
+    ``swap_versioned`` resets every count to 1."""
+    rows = (spark.table(manifest_table(table_name))
+            .filter(F.col("generation") == generation)
+            .groupBy("bucket_id")
+            .agg(F.count(F.lit(1)).alias("n_files")).collect())
+    return {r["bucket_id"]: r["n_files"] for r in rows}
+
+
+def prune_manifest(
+    spark: SparkSession,
+    table_name: str,
+    keep_generations: Sequence[int],
+) -> None:
+    """Drop manifest rows of vacuumed generations — run on the same
+    maintenance cadence as ``vacuum_generations``."""
+    mt = manifest_table(table_name)
+    if not spark.catalog.tableExists(mt):
+        return
+    rows = [tuple(r) for r in spark.table(mt).collect()
+            if r["generation"] in set(keep_generations)]
+    (spark.createDataFrame(rows, MANIFEST_SCHEMA)
+     .write.format("parquet").mode("overwrite").saveAsTable(mt))
+
+
+def table_location(spark: SparkSession, table_name: str) -> str:
+    """The table's filesystem location from the catalog (a metadata
+    lookup, not a listing) — the basePath for partition-preserving
+    manifest reads."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            return _local_path(r["data_type"].strip())
+    raise ValueError(f"no Location for {table_name}")

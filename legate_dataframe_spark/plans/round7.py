@@ -110,7 +110,7 @@ def incremental_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL events — corpus ∪ Monday ∪ Tuesday — bit-exactly (partials
     are floor-micro BIGINTs, so merge order cannot flap the hash).
     """
-    from legate_dataframe_spark.core.bucketing import replace_bucketed
+    from legate_dataframe_spark.core.bucketing import swap_versioned
     from legate_dataframe_spark.pipeline.rollup import (
         GROUP_KEYS,
         build_rollup_index,
@@ -130,8 +130,8 @@ def incremental_rollup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             # generation 2: merge Monday and swap it in as the state
             gen2 = incremental_rollup_update(spark, state, monday)
-            replace_bucketed(spark, gen2, state, GROUP_KEYS,
-                             num_buckets=16)
+            swap_versioned(spark, gen2, state, GROUP_KEYS,
+                           num_buckets=16)
             # generation 3: Tuesday merges against the UPDATED state
             out = incremental_rollup_update(spark, state, tuesday)
             _assert_bucketed_merge(_plan_of(out, "formatted"),

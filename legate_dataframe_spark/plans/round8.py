@@ -188,7 +188,7 @@ def rollup_retract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     true``; the raw rescan is bounded by the affected groups'
     broadcast semi-join.  Oracle (maximal): full GROUP BY over
     events MINUS the batch."""
-    from legate_dataframe_spark.core.bucketing import replace_bucketed
+    from legate_dataframe_spark.core.bucketing import swap_versioned
     from legate_dataframe_spark.pipeline.rollup import (
         GROUP_KEYS,
         build_rollup_index,
@@ -206,10 +206,11 @@ def rollup_retract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             out = rollup_retract(spark, state, batch, remaining)
             _assert_bucketed(_plan_of(out), "rollup retract merge")
-            # persist the retraction like every other generation swap,
-            # and serve the result off the swapped state
-            replace_bucketed(spark, out, state, GROUP_KEYS,
-                             num_buckets=16)
+            # persist the retraction like every other generation
+            # swap (the first swap migrates the plain bucketed build
+            # into the versioned layout), serve off the swapped state
+            swap_versioned(spark, out, state, GROUP_KEYS,
+                           num_buckets=16)
             return (spark.table(state)
                     .select("day", "event_type", "n", "sum_micro",
                             "min_micro", "max_micro")
@@ -489,8 +490,9 @@ def tpch_refresh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
       bucket spec (the same bucket-preserving append every index
       insert uses — O(batch), co-location kept);
     - RF2: l_orderkey % 20 == 1 orders are DELETED by broadcast
-      anti-join + ``replace_bucketed`` write-back (the takedown
-      primitive, now on a raw fact table);
+      anti-join + ``swap_versioned`` write-back (the takedown
+      primitive, now on a raw fact table — the first swap migrates
+      the plain bucketed build into the versioned layout);
     - the business query (Q1 pricing summary, exact-cents arithmetic)
       then runs over the MAINTAINED table.
 
@@ -499,7 +501,7 @@ def tpch_refresh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaked delete, or bucket-spec drift flips an aggregate."""
     from legate_dataframe_spark.core.bucketing import (
         read_bucketed,
-        replace_bucketed,
+        swap_versioned,
         write_bucketed,
     )
     from legate_dataframe_spark.plans.relational import _cents, _ts
@@ -518,8 +520,8 @@ def tpch_refresh_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # RF2: anti-join rewrite under the original spec
         kept = read_bucketed(spark, fact).join(
             F.broadcast(rf2_keys), "l_orderkey", "left_anti")
-        replace_bucketed(spark, kept, fact, ["l_orderkey"],
-                         num_buckets=16)
+        swap_versioned(spark, kept, fact, ["l_orderkey"],
+                       num_buckets=16)
         l = spark.table(fact)
         # maintenance preserved co-location: a keyed probe join with
         # broadcast off must read the twice-rewritten table's own
@@ -592,11 +594,11 @@ def rollup_histogram_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction).  Oracle: identical binning arithmetic in
     DuckDB over corpus-then-union — a drifted bound, missed clamp,
     or dropped bin flips a row."""
-    from legate_dataframe_spark.core.bucketing import replace_bucketed
     from legate_dataframe_spark.pipeline.rollup import (
         build_histogram_rollup,
         histogram_percentile_serve,
         histogram_rollup_update,
+        persist_histogram,
     )
 
     e = load_table(spark, sf_dir, "events")
@@ -609,8 +611,8 @@ def rollup_histogram_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             merged = histogram_rollup_update(spark, f"{db}.h", batch)
             _assert_bucketed(_plan_of(merged), "histogram fold")
-            replace_bucketed(spark, merged, f"{db}.h_hist",
-                             ["event_type", "bkt"], num_buckets=8)
+            # counts + bounds persist in ONE atomic view repoint
+            persist_histogram(spark, f"{db}.h", merged, num_buckets=8)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         return (histogram_percentile_serve(spark, f"{db}.h", p=0.5)

@@ -417,12 +417,12 @@ def rollup_histogram_rebin(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical IEEE arithmetic in DuckDB — corpus binning, clamped
     batch fold, midpoint rebin, percentile walk, clamp fraction —
     any drifted bound or misrouted bin flips a row."""
-    from legate_dataframe_spark.core.bucketing import replace_bucketed
     from legate_dataframe_spark.pipeline.rollup import (
         build_histogram_rollup,
         histogram_batch_clamp_stats,
         histogram_percentile_serve,
         histogram_rollup_update,
+        persist_histogram,
         rebin_histogram,
     )
 
@@ -444,8 +444,8 @@ def rollup_histogram_rebin(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             merged = histogram_rollup_update(spark, f"{db}.h", batch)
             _assert_bucketed(_plan_of(merged), "histogram fold")
-            replace_bucketed(spark, merged, f"{db}.h_hist",
-                             ["event_type", "bkt"], num_buckets=8)
+            # counts + bounds persist in ONE atomic view repoint
+            persist_histogram(spark, f"{db}.h", merged, num_buckets=8)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         rebin_histogram(spark, f"{db}.h", widen=0.5)
@@ -615,7 +615,10 @@ d AS (
          coalesce(o.event_type, n2.event_type) AS event_type,
          CASE WHEN o.day IS NULL THEN 'insert'
               WHEN n2.day IS NULL THEN 'delete'
-              WHEN o.n != n2.n OR o.sum_micro != n2.sum_micro
+              -- null-safe, matching generation_diff's eqNullSafe
+              -- (ADVICE r09: '!=' would drop a NULL->non-NULL flip)
+              WHEN o.n IS DISTINCT FROM n2.n
+                OR o.sum_micro IS DISTINCT FROM n2.sum_micro
                 THEN 'update' END AS change_type,
          o.n AS old_n, n2.n AS new_n,
          o.sum_micro AS old_sum_micro, n2.sum_micro AS new_sum_micro
@@ -637,7 +640,7 @@ def rollup_retract_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremum-safe: n decrements, sum is untouched (NULLs contribute
     nothing), min/max stay.  Oracle (maximal): full GROUP BY over
     events MINUS the slice — a vanished group is a missing row."""
-    from legate_dataframe_spark.core.bucketing import replace_bucketed
+    from legate_dataframe_spark.core.bucketing import swap_versioned
     from legate_dataframe_spark.pipeline.rollup import (
         GROUP_KEYS,
         build_rollup_index,
@@ -659,8 +662,10 @@ def rollup_retract_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             out = rollup_retract(spark, state, batch, remaining)
             _assert_bucketed(_plan_of(out), "all-NULL retract merge")
-            replace_bucketed(spark, out, state, GROUP_KEYS,
-                             num_buckets=16)
+            # first swap migrates the plain bucketed build into the
+            # versioned layout, then repoints atomically
+            swap_versioned(spark, out, state, GROUP_KEYS,
+                           num_buckets=16)
             return (spark.table(state)
                     .select("day", "event_type", "n", "sum_micro",
                             "min_micro", "max_micro")

@@ -421,8 +421,13 @@ def test_histogram_fold_matches_fresh_build(spark, sf_dir):
     with temp_db(spark, "ldf_t8_hist") as db:
         build_histogram_rollup(spark, corpus, f"{db}.h", num_buckets=4)
         folded = sorted(map(tuple, histogram_rollup_update(
-            spark, f"{db}.h", batch).collect()))
-        row = spark.table(f"{db}.h_bounds").collect()[0]
+            spark, f"{db}.h", batch)
+            .select("event_type", "bkt", "cnt").collect()))
+        from legate_dataframe_spark.pipeline.rollup import (
+            stored_hist_bounds,
+        )
+        vlo, vhi = stored_hist_bounds(spark, f"{db}.h")
+        row = {"vlo": vlo, "vhi": vhi}
         want = sorted(map(tuple, hist_partials(
             e, F.lit(row["vlo"]), F.lit(row["vhi"])).collect()))
         assert folded == want and len(want) > 0

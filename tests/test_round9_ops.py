@@ -242,22 +242,22 @@ def test_histogram_clamp_stats_and_rebin_conserve_counts(spark):
         assert stats[0]["clamped_n"] == 2
         assert abs(stats[0]["clamp_frac"] - 0.5) < 1e-9
         merged = histogram_rollup_update(spark, f"{db}.h", batch)
-        from legate_dataframe_spark.core.bucketing import (
-            replace_bucketed,
+        from legate_dataframe_spark.pipeline.rollup import (
+            persist_histogram,
+            stored_hist_bounds,
         )
-        replace_bucketed(spark, merged, f"{db}.h_hist",
-                         ["event_type", "bkt"], num_buckets=4)
+        persist_histogram(spark, f"{db}.h", merged, num_buckets=4)
         total_before = (read_bucketed(spark, f"{db}.h_hist")
                         .agg(F.sum("cnt")).collect()[0][0])
-        old_bounds = spark.table(f"{db}.h_bounds").collect()[0]
+        old_lo, old_hi = stored_hist_bounds(spark, f"{db}.h")
         rebin_histogram(spark, f"{db}.h", widen=0.5, num_buckets=4)
         after = read_bucketed(spark, f"{db}.h_hist")
         assert (after.agg(F.sum("cnt")).collect()[0][0]
                 == total_before)  # counts conserved
-        nb = spark.table(f"{db}.h_bounds").collect()[0]
-        span = old_bounds["vhi"] - old_bounds["vlo"]
-        assert abs(nb["vlo"] - (old_bounds["vlo"] - 0.5 * span)) < 1e-9
-        assert abs(nb["vhi"] - (old_bounds["vhi"] + 0.5 * span)) < 1e-9
+        nlo, nhi = stored_hist_bounds(spark, f"{db}.h")
+        span = old_hi - old_lo
+        assert abs(nlo - (old_lo - 0.5 * span)) < 1e-9
+        assert abs(nhi - (old_hi + 0.5 * span)) < 1e-9
         # old domain maps to the middle half of the new domain: no
         # mass may sit in the outer quarter bins after a pure rebin
         bkts = {r["bkt"] for r in after.collect()}
@@ -292,8 +292,11 @@ def test_histogram_rebuild_from_raw_resets_clamped_state(spark):
         # escape hatch: rebuild over the grown corpus
         grown = corpus.unionByName(batch)
         build_histogram_rollup(spark, grown, f"{db}.h", num_buckets=4)
-        nb = spark.table(f"{db}.h_bounds").collect()[0]
-        assert nb["vlo"] == 0.0 and nb["vhi"] == 519.0
+        from legate_dataframe_spark.pipeline.rollup import (
+            stored_hist_bounds,
+        )
+        nlo, nhi = stored_hist_bounds(spark, f"{db}.h")
+        assert nlo == 0.0 and nhi == 519.0
         total = (read_bucketed(spark, f"{db}.h_hist")
                  .agg(F.sum("cnt")).collect()[0][0])
         assert total == grown.count()
@@ -348,12 +351,23 @@ def test_concurrent_reader_survives_swap_vacuum_cycles(spark):
                             f"gen {r['lo']} served {r['n']} rows")
                     reads[0] += 1
                 except Exception as ex:
-                    msg = repr(ex)[:300]
-                    # a vacuumed-underneath-a-slow-scan file loss is
+                    msg = repr(ex)[:500]
+                    # a vacuumed-underneath-a-slow-scan FILE loss is
                     # the documented retention boundary; a missing
-                    # TABLE/VIEW would be the repoint gap — the bug
-                    if ("FileNotFound" in msg or "FILE_NOT_EXIST" in msg
-                            or "does not exist" in msg):
+                    # TABLE/VIEW is the repoint gap — the bug under
+                    # test — and must ALWAYS be fatal (ADVICE r09:
+                    # several missing-table messages also contain
+                    # "does not exist", so the class check comes
+                    # first and the substring branch only accepts
+                    # path-shaped file losses)
+                    if ("TABLE_OR_VIEW_NOT_FOUND" in msg
+                            or "TableOrViewNotFound" in msg):
+                        atomicity_errors.append(msg)
+                    elif ("FileNotFound" in msg
+                          or "FILE_NOT_EXIST" in msg
+                          or ("does not exist" in msg
+                              and ("file:/" in msg
+                                   or ".parquet" in msg))):
                         grace_losses.append(msg)
                     else:
                         atomicity_errors.append(msg)
