@@ -130,15 +130,26 @@ def write_manifest(
     generation) are preserved — the manifest is tiny (file-count
     rows), so the merge collects and rewrites it.
 
-    ``parts`` scopes an incremental refresh: only files whose
-    partition component is in ``parts`` are (re)recorded — the
-    O(touched) maintenance write of a partitioned state table.
+    ``parts`` scopes an incremental refresh: only the touched
+    partition DIRECTORIES are walked (a filesystem listing of
+    ≤ len(parts) directories — the O(touched) maintenance write of a
+    partitioned state table; the full-table listing the manifest
+    exists to avoid is never taken on this path).
     """
     phys = physical_table or table_name
-    files = spark.table(phys).inputFiles()
+    if parts is not None:
+        loc = table_location(spark, phys)
+        paths = []
+        for part in parts:
+            d = os.path.join(loc, part)
+            if not os.path.isdir(d):
+                continue  # brand-new partition not yet written
+            paths.extend(os.path.join(d, f) for f in os.listdir(d)
+                         if f.endswith(".parquet"))
+    else:
+        paths = [_local_path(u) for u in spark.table(phys).inputFiles()]
     rows = []
-    for uri in files:
-        path = _local_path(uri)
+    for path in paths:
         part = _part_of(path)
         if parts is not None and part not in set(parts):
             continue
@@ -199,6 +210,8 @@ def read_from_manifest(
     if schema is not None:
         reader = reader.schema(schema)
     if base_path is not None:
+        if not base_path.startswith("file:"):
+            base_path = f"file:{base_path}"
         reader = reader.option("basePath", base_path)
     return reader.parquet(*[f"file:{f}" if not f.startswith("file:")
                             else f for f in files])

@@ -21,6 +21,7 @@ from legate_dataframe_spark.plans import round6 as r6
 from legate_dataframe_spark.plans import round7 as r7
 from legate_dataframe_spark.plans import round8 as r8
 from legate_dataframe_spark.plans import round9 as r9
+from legate_dataframe_spark.plans import round10 as r10
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -30,149 +31,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (round-9
-# additions), then entries whose implementation CHANGED this round,
-# then VERDICT r08 task 1's FINAL stale-verification tranche: all 34
-# entries last driver-greened in r04 (hybrid_rrf_search through
-# harmonic_geo_means) — 3 + 13 + 34 = exactly the 50-entry prefix.
-# The swap-adoption change touched more entries than the 13 prefix
-# slots hold; the remainder lead the post-boundary region (all have
-# green sf0.001 oracle-parity tests and the sf0.01 strict-parity
-# sweep, STRICT_PARITY_r09.log) and rotate into the r10 prefix first.
-# Later blocks are ordered by round of LAST driver verification,
-# oldest first.
+# the front block holds queries with no green driver row yet (round-10
+# additions), then entries whose implementation CHANGED this round
+# (histogram single-table layout, rollup write-backs through the
+# CAS-guarded swap, generation_diff schema evolution + null-safe
+# oracle), then the oldest stale-verification tranche: VERDICT r09
+# task 6 names the r05-greened block (TPC-H + core relational) —
+# 4 + 8 + 38 = exactly the 50-entry prefix, leaving 11 r05 entries
+# to lead the post-boundary region (all hold green sf0.001 oracle-
+# parity tests and the sf0.01 strict-parity sweep) and rotate into
+# the r11 prefix first.  Later blocks are ordered by round of LAST
+# driver verification, oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-9 front: no driver row yet ----------------------------------
-    # index snapshot retention + time travel across a takedown, with
-    # the compliance interaction (pre-delete generations still hold
-    # the taken-down docs) vacuumed and asserted in-query
-    "dedup_index_timetravel": (r9.dedup_index_timetravel,
-                               r9.DEDUP_INDEX_TIMETRAVEL_SQL),
-    # histogram bounds maintenance: clamp-fraction drift signal + the
-    # REBIN op (midpoint re-bin of the standing state, O(state))
+    # ---- round-10 front: no driver row yet ---------------------------------
+    # manifest-planned partitioned-rollup refresh: scan planning from
+    # per-file manifest rows, zero directory listing on the path
+    "rollup_manifest_refresh": (r10.rollup_manifest_refresh,
+                                r10.ROLLUP_MANIFEST_REFRESH_SQL),
+    "manifest_pruned_scan": (r10.manifest_pruned_scan,
+                             r10.MANIFEST_PRUNED_SCAN_SQL),
+    "index_compaction_signal": (r10.index_compaction_signal,
+                                r10.INDEX_COMPACTION_SIGNAL_SQL),
+    "rollup_schema_evolution": (r10.rollup_schema_evolution,
+                                r10.ROLLUP_SCHEMA_EVOLUTION_SQL),
+    # ---- changed this round — re-verify -------------------------------------
+    # the histogram (hist, bounds) pair is ONE versioned table now
+    # (bounds denormalized onto the state rows); every rollup write-
+    # back moved from replace_bucketed to the CAS-guarded atomic
+    # swap; generation_diff null-fills across schema boundaries and
+    # its oracle uses null-safe comparison (ADVICE r09)
     "rollup_histogram_rebin": (r9.rollup_histogram_rebin,
                                r9.ROLLUP_HISTOGRAM_REBIN_SQL),
-    # ADVICE r08 medium, driver-gated: all-NULL-value slice retraction
-    # must not vanish surviving groups (NULL extrema are safe)
-    "rollup_retract_nulls": (r9.rollup_retract_nulls,
-                             r9.ROLLUP_RETRACT_NULLS_SQL),
-    # change data feed: full-outer diff of two retained generations,
-    # co-located on the shared bucket spec (insert/delete/update)
-    "rollup_generation_diff": (r9.rollup_generation_diff,
-                               r9.ROLLUP_GENERATION_DIFF_SQL),
-    # BM25 time travel: historical serve derives (n_docs, avgdl) from
-    # the retained postings snapshot itself — cross-table consistency
-    # by construction (the live stats row is never read historically)
-    "bm25_index_timetravel": (r9.bm25_index_timetravel,
-                              r9.BM25_INDEX_TIMETRAVEL_SQL),
-    # the CDF on the second state type: which docs entered / migrated
-    # clusters after an ingest (blast radius; deletes impossible)
-    "components_label_diff": (r9.components_label_diff,
-                              r9.COMPONENTS_LABEL_DIFF_SQL),
-    # IVF time travel: retained assignment snapshot pairs with the
-    # live centroids because deletes never move a trained artifact
-    "ann_index_timetravel": (r9.ann_index_timetravel,
-                             r9.ANN_INDEX_TIMETRAVEL_SQL),
-    # ---- changed this round — re-verify -------------------------------------
-    # NULL-safe extremum detection in the retract merge (ADVICE r08)
-    "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
-    # the whole index family now writes back through the view-routed
-    # catalog-atomic generation swap (VERDICT r08 task 2); deletes,
-    # retrain, compaction = swap_versioned, inserts = append into the
-    # live physical generation, builds = init_versioned views
-    "dedup_index_delete": (r8.dedup_index_delete,
-                           r8.DEDUP_INDEX_DELETE_SQL),
-    "ann_index_delete": (r8.ann_index_delete, r8.ANN_INDEX_DELETE_SQL),
-    "bm25_index_delete": (r8.bm25_index_delete,
-                          r8.BM25_INDEX_DELETE_SQL),
-    "bm25_index_insert": (r8.bm25_index_insert,
-                          r8.BM25_INDEX_INSERT_SQL),
-    "components_index_delete": (r8.components_index_delete,
-                                r8.COMPONENTS_INDEX_DELETE_SQL),
-    "ann_index_retrain": (r8.ann_index_retrain,
-                          r8.ANN_INDEX_RETRAIN_SQL),
-    # fixed ANN query sample (VERDICT r08 task 5): the serving batch
-    # is capped so probe rows measure latency, not query-set growth
-    "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
-    "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
-    # ---- stale tail, FINAL tranche: last driver-greened in r04 --------------
-    # (VERDICT r08 task 1 — all 34 remaining r04 entries; after this
-    # round no entry's latest green predates r05)
-    "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
-    "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
-    "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
-    "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),
-    "mode_per_group": (r4.mode_per_group, r4.MODE_PER_GROUP_SQL),
-    "filtered_aggs": (r4.filtered_aggs, r4.FILTERED_AGGS_SQL),
-    "skyline_orders": (r4.skyline_orders, r4.SKYLINE_ORDERS_SQL),
-    "sequence_gaps": (r4.sequence_gaps, r4.SEQUENCE_GAPS_SQL),
-    "time_decay_revenue": (r4.time_decay_revenue, r4.TIME_DECAY_REVENUE_SQL),
-    "string_functions2": (r4.string_functions2, r4.STRING_FUNCTIONS2_SQL),
-    "date_functions": (r4.date_functions, r4.DATE_FUNCTIONS_SQL),
-    "array_functions": (r4.array_functions, r4.ARRAY_FUNCTIONS_SQL),
-    "regexp_extract_numbers": (r4.regexp_extract_numbers,
-                               r4.REGEXP_EXTRACT_NUMBERS_SQL),
-    "binary_hamming_search": (r4.binary_hamming_search,
-                              r4.BINARY_HAMMING_SEARCH_SQL),
-    "matryoshka_search": (r4.matryoshka_search, r4.MATRYOSHKA_SEARCH_SQL),
-    "minhash_precision_audit": (r4.minhash_precision_audit,
-                                r4.MINHASH_PRECISION_AUDIT_SQL),
-    "label_propagation": (r4.label_propagation, r4.LABEL_PROPAGATION_SQL),
-    "bfs_hops": (r4.bfs_hops_q, r4.BFS_HOPS_SQL),
-    "canonical_best_quality": (r4.canonical_best_quality,
-                               r4.CANONICAL_BEST_QUALITY_SQL),
-    "blocklist_filter": (r4.blocklist_filter, r4.BLOCKLIST_FILTER_SQL),
-    "readability_scores": (r4.readability_scores,
-                           r4.READABILITY_SCORES_SQL),
-    "inverted_postings": (r4.inverted_postings, r4.INVERTED_POSTINGS_SQL),
-    "rolling_zscore": (r4.rolling_zscore, r4.ROLLING_ZSCORE_SQL),
-    "quantile_normalize": (r4.quantile_normalize,
-                           r4.QUANTILE_NORMALIZE_SQL),
-    "stream_late_drop": (r4.stream_late_drop, r4.STREAM_LATE_DROP_SQL),
-    "parquet_schema_merge": (r4.parquet_schema_merge,
-                             r4.PARQUET_SCHEMA_MERGE_SQL),
-    "window_first_last": (r4.window_first_last, r4.WINDOW_FIRST_LAST_SQL),
-    "range_interval_window": (r4.range_interval_window,
-                              r4.RANGE_INTERVAL_WINDOW_SQL),
-    "sha_checksums": (r4.sha_checksums, r4.SHA_CHECKSUMS_SQL),
-    "string_agg_ordered": (r4.string_agg_ordered,
-                           r4.STRING_AGG_ORDERED_SQL),
-    "hll_rollup_audit": (r4.hll_rollup_audit, r4.HLL_ROLLUP_AUDIT_SQL),
-    "percentile_disc": (r4.percentile_disc, r4.PERCENTILE_DISC_SQL),
-    "url_stats": (r4.url_stats, r4.URL_STATS_SQL),
-    "harmonic_geo_means": (r4.harmonic_geo_means,
-                           r4.HARMONIC_GEO_MEANS_SQL),
-    # ======================== 50-entry prefix boundary =====================
-    # ---- also changed this round (swap adoption / capped ANN sample) -------
-    # (overflow past the 50 prefix slots — strict-parity-swept r09,
-    # rotate into the r10 prefix first)
-    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
-    "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
-    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
-    "bm25_persisted_search": (r6.bm25_persisted_search,
-                              r6.BM25_PERSISTED_SEARCH_SQL),
-    "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
-    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
-    "ann_persisted_search": (r6.ann_persisted_search,
-                             r6.ANN_PERSISTED_SEARCH_SQL),
-    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
-    "components_serve_only": (r7.components_serve_only,
-                              r7.COMPONENTS_SERVE_ONLY_SQL),
-    "incremental_components": (r6.incremental_components,
-                               r6.INCREMENTAL_COMPONENTS_SQL),
-    "incremental_components_chain": (r7.incremental_components_chain,
-                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
-    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
-                              r6.STREAM_DEDUP_VS_INDEX_SQL),
-    "stream_dedup_chain": (r7.stream_dedup_chain,
-                           r7.STREAM_DEDUP_CHAIN_SQL),
-    "rollup_swap_atomic": (r8.rollup_swap_atomic,
-                           r8.ROLLUP_SWAP_ATOMIC_SQL),
-    "rollup_timetravel": (r8.rollup_timetravel,
-                          r8.ROLLUP_TIMETRAVEL_SQL),
     "rollup_histogram_chain": (r8.rollup_histogram_chain,
                                r8.ROLLUP_HISTOGRAM_CHAIN_SQL),
-    # ---- re-greened by the r05 driver (oldest remaining — rotate next) ----
+    "rollup_generation_diff": (r9.rollup_generation_diff,
+                               r9.ROLLUP_GENERATION_DIFF_SQL),
+    "components_label_diff": (r9.components_label_diff,
+                              r9.COMPONENTS_LABEL_DIFF_SQL),
+    "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
+    "rollup_retract_nulls": (r9.rollup_retract_nulls,
+                             r9.ROLLUP_RETRACT_NULLS_SQL),
+    "incremental_rollup_chain": (r7.incremental_rollup_chain,
+                                 r7.INCREMENTAL_ROLLUP_CHAIN_SQL),
+    "tpch_refresh_maintenance": (r8.tpch_refresh_maintenance,
+                                 r8.TPCH_REFRESH_SQL),
+    # ---- stale tail: the r05-greened tranche, oldest first -----------------
+    # (VERDICT r09 task 6 — 38 of the 49 r05 entries fit the 50-slot
+    # prefix behind 4 new + 8 changed = 12 head slots; the remaining
+    # 11 lead the post-boundary region and rotate into the r11
+    # prefix first)
     "knn_classify": (r4.knn_classify_q, r4.KNN_CLASSIFY_SQL),
     "bucketed_join": (r5.bucketed_join, r5.BUCKETED_JOIN_SQL),
     "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
@@ -211,6 +118,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_full": (r.join_full, r.JOIN_FULL_SQL),
     "skew_salted_join": (r.skew_salted_join, r.SKEW_SALTED_JOIN_SQL),
     "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
+    # ======================== 50-entry prefix boundary =====================
+    # ---- r05 remainder (rotate into the r11 prefix first) ------------------
     "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
     "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),
     "distinct_keys": (r.distinct_keys, r.DISTINCT_KEYS_SQL),
@@ -222,8 +131,33 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "isin_filter": (r.isin_filter, r.ISIN_SQL),
     "string_match": (r.string_match, r.STRING_MATCH_SQL),
     "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
-    # ---- re-greened by the r06 driver --------------------------------------
-    # dedup
+    # ---- r09 swap-adoption overflow (last driver greens r05-r08;
+    # strict-parity-swept r09+r10) — rotate after the r05 remainder ----------
+    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
+    "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
+    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
+    "bm25_persisted_search": (r6.bm25_persisted_search,
+                              r6.BM25_PERSISTED_SEARCH_SQL),
+    "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
+    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
+    "ann_persisted_search": (r6.ann_persisted_search,
+                             r6.ANN_PERSISTED_SEARCH_SQL),
+    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
+    "components_serve_only": (r7.components_serve_only,
+                              r7.COMPONENTS_SERVE_ONLY_SQL),
+    "incremental_components": (r6.incremental_components,
+                               r6.INCREMENTAL_COMPONENTS_SQL),
+    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
+                              r6.STREAM_DEDUP_VS_INDEX_SQL),
+    "incremental_components_chain": (r7.incremental_components_chain,
+                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
+    "stream_dedup_chain": (r7.stream_dedup_chain,
+                           r7.STREAM_DEDUP_CHAIN_SQL),
+    "rollup_swap_atomic": (r8.rollup_swap_atomic,
+                           r8.ROLLUP_SWAP_ATOMIC_SQL),
+    "rollup_timetravel": (r8.rollup_timetravel,
+                          r8.ROLLUP_TIMETRAVEL_SQL),
+    # ---- re-greened by the r06 driver (and later blocks unchanged) ---------
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
     "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
     "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
@@ -231,7 +165,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
     "dedup_levenshtein": (pq.dedup_levenshtein, pq.DEDUP_LEVENSHTEIN_SQL),
     "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
-    # similarity search
     "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
     "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
     "kmeans_centroids": (pq.kmeans_centroids, pq.KMEANS_SQL),
@@ -239,7 +172,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pq_adc_search": (pq.pq_adc_search, pq.PQ_ADC_SEARCH_SQL),
     "ivfpq_search": (pq.ivfpq_search, pq.IVFPQ_SEARCH_SQL),
     "embedding_norms": (pq.embedding_norms, pq.EMBEDDING_NORMS_SQL),
-    # text analysis
     "text_stats": (pq.text_stats, pq.TEXT_STATS_SQL),
     "token_count": (pq.token_count, pq.TOKEN_COUNT_SQL),
     "lang_id": (pq.lang_id, pq.LANG_ID_SQL),
@@ -252,12 +184,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "unigram_logprob": (pq.unigram_logprob_q, pq.UNIGRAM_LOGPROB_SQL),
     "bm25_search": (pq.bm25_search, pq.BM25_SEARCH_SQL),
     "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
-    # zero-copy task surface (mapInArrow)
     "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),
-    # multimodal plumbing (binary payloads through mapInPandas)
     "multimodal_features": (pq.multimodal_features, pq.MULTIMODAL_FEATURES_SQL),
     "multimodal_frames": (pq.multimodal_frames, pq.MULTIMODAL_FRAMES_SQL),
-    # event windowing / sessionization
     "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),
     "events_stream_tumbling": (pq.events_stream_tumbling,
                                pq.EVENTS_STREAM_TUMBLING_SQL),
@@ -272,9 +201,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
     "incremental_rollup": (r6.incremental_rollup,
                            r6.INCREMENTAL_ROLLUP_SQL),
-    # ---- re-greened by the r07 driver --------------------------------------
-    "incremental_rollup_chain": (r7.incremental_rollup_chain,
-                                 r7.INCREMENTAL_ROLLUP_CHAIN_SQL),
     "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
     "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
     "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
@@ -317,11 +243,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rolling_range_window": (pq.rolling_range_window, pq.ROLLING_RANGE_SQL),
     "mixture_sample": (pq.mixture_sample_q, pq.MIXTURE_SAMPLE_SQL),
     "asof_tolerance": (r.asof_tolerance, r.ASOF_TOLERANCE_SQL),
-    # ---- re-greened by the r08 driver (freshest — rotate last) -------------
     "stream_rollup_chain": (r8.stream_rollup_chain,
                             r8.STREAM_ROLLUP_CHAIN_SQL),
-    "tpch_refresh_maintenance": (r8.tpch_refresh_maintenance,
-                                 r8.TPCH_REFRESH_SQL),
     "cogroup_user_orders": (pq.cogroup_user_orders,
                             pq.COGROUP_USER_ORDERS_SQL),
     "winsorize_stats": (r6.winsorize_stats, r6.WINSORIZE_SQL),
@@ -370,6 +293,70 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                               pq.EMBEDDING_STANDARDIZE_SQL),
     "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
     "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
+    # ---- re-greened by the r09 driver (freshest — rotate last) -------------
+    "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
+    "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
+    "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
+    "bitwise_aggs": (r4.bitwise_aggs, r4.BITWISE_AGGS_SQL),
+    "mode_per_group": (r4.mode_per_group, r4.MODE_PER_GROUP_SQL),
+    "filtered_aggs": (r4.filtered_aggs, r4.FILTERED_AGGS_SQL),
+    "skyline_orders": (r4.skyline_orders, r4.SKYLINE_ORDERS_SQL),
+    "sequence_gaps": (r4.sequence_gaps, r4.SEQUENCE_GAPS_SQL),
+    "time_decay_revenue": (r4.time_decay_revenue, r4.TIME_DECAY_REVENUE_SQL),
+    "string_functions2": (r4.string_functions2, r4.STRING_FUNCTIONS2_SQL),
+    "date_functions": (r4.date_functions, r4.DATE_FUNCTIONS_SQL),
+    "array_functions": (r4.array_functions, r4.ARRAY_FUNCTIONS_SQL),
+    "regexp_extract_numbers": (r4.regexp_extract_numbers,
+                               r4.REGEXP_EXTRACT_NUMBERS_SQL),
+    "binary_hamming_search": (r4.binary_hamming_search,
+                              r4.BINARY_HAMMING_SEARCH_SQL),
+    "matryoshka_search": (r4.matryoshka_search, r4.MATRYOSHKA_SEARCH_SQL),
+    "minhash_precision_audit": (r4.minhash_precision_audit,
+                                r4.MINHASH_PRECISION_AUDIT_SQL),
+    "label_propagation": (r4.label_propagation, r4.LABEL_PROPAGATION_SQL),
+    "bfs_hops": (r4.bfs_hops_q, r4.BFS_HOPS_SQL),
+    "canonical_best_quality": (r4.canonical_best_quality,
+                               r4.CANONICAL_BEST_QUALITY_SQL),
+    "blocklist_filter": (r4.blocklist_filter, r4.BLOCKLIST_FILTER_SQL),
+    "readability_scores": (r4.readability_scores,
+                           r4.READABILITY_SCORES_SQL),
+    "inverted_postings": (r4.inverted_postings, r4.INVERTED_POSTINGS_SQL),
+    "rolling_zscore": (r4.rolling_zscore, r4.ROLLING_ZSCORE_SQL),
+    "quantile_normalize": (r4.quantile_normalize,
+                           r4.QUANTILE_NORMALIZE_SQL),
+    "stream_late_drop": (r4.stream_late_drop, r4.STREAM_LATE_DROP_SQL),
+    "parquet_schema_merge": (r4.parquet_schema_merge,
+                             r4.PARQUET_SCHEMA_MERGE_SQL),
+    "window_first_last": (r4.window_first_last, r4.WINDOW_FIRST_LAST_SQL),
+    "range_interval_window": (r4.range_interval_window,
+                              r4.RANGE_INTERVAL_WINDOW_SQL),
+    "sha_checksums": (r4.sha_checksums, r4.SHA_CHECKSUMS_SQL),
+    "string_agg_ordered": (r4.string_agg_ordered,
+                           r4.STRING_AGG_ORDERED_SQL),
+    "hll_rollup_audit": (r4.hll_rollup_audit, r4.HLL_ROLLUP_AUDIT_SQL),
+    "percentile_disc": (r4.percentile_disc, r4.PERCENTILE_DISC_SQL),
+    "url_stats": (r4.url_stats, r4.URL_STATS_SQL),
+    "harmonic_geo_means": (r4.harmonic_geo_means,
+                           r4.HARMONIC_GEO_MEANS_SQL),
+    "dedup_index_delete": (r8.dedup_index_delete,
+                           r8.DEDUP_INDEX_DELETE_SQL),
+    "ann_index_delete": (r8.ann_index_delete, r8.ANN_INDEX_DELETE_SQL),
+    "bm25_index_delete": (r8.bm25_index_delete,
+                          r8.BM25_INDEX_DELETE_SQL),
+    "bm25_index_insert": (r8.bm25_index_insert,
+                          r8.BM25_INDEX_INSERT_SQL),
+    "components_index_delete": (r8.components_index_delete,
+                                r8.COMPONENTS_INDEX_DELETE_SQL),
+    "ann_index_retrain": (r8.ann_index_retrain,
+                          r8.ANN_INDEX_RETRAIN_SQL),
+    "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
+    "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
+    "dedup_index_timetravel": (r9.dedup_index_timetravel,
+                               r9.DEDUP_INDEX_TIMETRAVEL_SQL),
+    "bm25_index_timetravel": (r9.bm25_index_timetravel,
+                              r9.BM25_INDEX_TIMETRAVEL_SQL),
+    "ann_index_timetravel": (r9.ann_index_timetravel,
+                             r9.ANN_INDEX_TIMETRAVEL_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:
