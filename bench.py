@@ -192,7 +192,34 @@ EXTRA = [
     "bm25_index_timetravel",
     "components_label_diff",
     "ann_index_timetravel",
+    # round-10 additions: manifest-planned scans/refreshes, the
+    # files-per-bucket compaction signal, schema evolution
+    "rollup_manifest_refresh",
+    "manifest_pruned_scan",
+    "index_compaction_signal",
+    "rollup_schema_evolution",
 ]
+
+
+def contention_sentinel(reps: int = 3) -> float:
+    """Fixed SINGLE-THREAD microbenchmark recorded in every snapshot
+    (VERDICT r09 task 5): the box is multi-tenant and BASELINE.md
+    documents multi-second contention bursts; the r09 extras freeze
+    shipped a graph-family tail 2-3x its own same-round numbers with
+    zero code change in between.  This is a deterministic pure-Python
+    loop (GIL-bound — no BLAS threads, no IO), so its min-of-reps
+    time moves ONLY with host contention: a snapshot whose sentinel
+    is well above the quiet-box nominal (~0.2 s, recorded alongside
+    in BASELINE.md) self-identifies as contended and should not be
+    trusted for cross-round regression diffs."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += (i * i) & 1023
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _run_tags() -> dict:
@@ -309,7 +336,8 @@ def run_all() -> None:
     except ValueError:
         sf_num = sf
     record = {"metric": "all_queries_seconds_single_run", "unit": "sec",
-              "sf": sf_num, "queries": times, **_run_tags()}
+              "sf": sf_num, "queries": times,
+              "sentinel_sec": contention_sentinel(), **_run_tags()}
     with open(out_path, "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -384,7 +412,9 @@ def main() -> None:
                                     "BENCH_EXTRAS.json"))
     extras_record = {"metric": "extra_queries_seconds", "unit": "sec",
                      "sf": sf_num if sf_num is not None else sf,
-                     "queries": extra, **_run_tags()}
+                     "queries": extra,
+                     "sentinel_sec": contention_sentinel(),
+                     **_run_tags()}
     with open(extras_out, "w") as fh:
         json.dump(extras_record, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -408,6 +438,7 @@ def main() -> None:
         # reference harness metric shape (join.py:158-166): inner-join
         # throughput over 2×2^24-row float64 tables, unique keys.
         "join_gibs": join_throughput_gibs(spark),
+        "sentinel_sec": contention_sentinel(),
     }))
 
 

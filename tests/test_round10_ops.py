@@ -428,6 +428,103 @@ def test_mid_rebin_percentile_reader_never_mixes(spark):
         assert reads[0] >= 3
 
 
+# ============================== file manifests (scan planning)
+def test_manifest_records_buckets_rows_and_stats(spark):
+    """The manifest rows carry what a planner needs: bucket id from
+    the file name, row count and key min/max from the parquet FOOTER
+    (metadata-only), and range selection over the encoded stats picks
+    exactly the overlapping files."""
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.core.bucketing import write_bucketed
+
+    with temp_db(spark, "ldf_t10_mf") as db:
+        t = f"{db}.t"
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        write_bucketed(df.repartition(4, "k"), t, ["k"], num_buckets=4)
+        n = mf.write_manifest(spark, t, stats_col="k")
+        assert n == 4
+        rows = spark.table(mf.manifest_table(t)).collect()
+        assert {r["bucket_id"] for r in rows} == {0, 1, 2, 3}
+        assert sum(r["n_rows"] for r in rows) == 1000
+        assert mf.files_per_bucket(spark, t, 0) == {i: 1 for i in range(4)}
+        # hash buckets each span ~the full range → a mid-range window
+        # overlaps ALL files; a window beyond the max overlaps none
+        assert len(mf.manifest_files(
+            spark, t, min_key=f"{100:020d}", max_key=f"{200:020d}")) == 4
+        assert mf.manifest_files(
+            spark, t, min_key=f"{5000:020d}", max_key=f"{9000:020d}") == []
+
+
+def test_manifest_range_pruning_on_range_layout(spark):
+    """Range-partitioned layout → tight per-file min/max → a narrow
+    window plans a strict subset of files, and reading exactly those
+    files returns exactly the window's rows (after the residual
+    filter)."""
+    from legate_dataframe_spark.core import manifest as mf
+
+    with temp_db(spark, "ldf_t10_mfrange") as db:
+        t = f"{db}.ev"
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        (df.repartitionByRange(8, "k").sortWithinPartitions("k")
+         .write.format("parquet").saveAsTable(t))
+        total = mf.write_manifest(spark, t, stats_col="k")
+        files = mf.manifest_files(spark, t, min_key=f"{500:020d}",
+                                  max_key=f"{999:020d}")
+        assert 0 < len(files) < total
+        got = (mf.read_from_manifest(spark, t, files,
+                                     schema=spark.table(t).schema)
+               .filter((F.col("k") >= 500) & (F.col("k") <= 999)))
+        assert got.count() == 500
+        assert got.agg(F.min("k"), F.max("k")).collect()[0][0:2] \
+            == (500, 999)
+
+
+def test_manifest_prune_follows_vacuum(spark):
+    """prune_manifest drops exactly the vacuumed generations' rows;
+    surviving generations keep their file lists intact."""
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        swap_versioned,
+    )
+
+    with temp_db(spark, "ldf_t10_mfprune2") as db:
+        view = f"{db}.state"
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        init_versioned(spark, df, view, ["k"], num_buckets=2)
+        mf.write_manifest(spark, view, physical_table=f"{view}__g0",
+                          generation=0)
+        swap_versioned(spark, spark.table(view), view, ["k"],
+                       num_buckets=2, keep_old=True)
+        mf.write_manifest(spark, view, physical_table=f"{view}__g1",
+                          generation=1)
+        gens = {r["generation"] for r in spark.table(
+            mf.manifest_table(view)).collect()}
+        assert gens == {0, 1}
+        mf.prune_manifest(spark, view, keep_generations=[1])
+        rows = spark.table(mf.manifest_table(view)).collect()
+        assert {r["generation"] for r in rows} == {1}
+        assert len(rows) == 2  # both buckets of g1 survive
+
+
+def test_key_encode_orders_like_values(spark):
+    """The manifest's string-encoded stats must order like the raw
+    values (zero-padded ints; ISO timestamps already do)."""
+    from legate_dataframe_spark.core.manifest import _key_encode
+
+    vals = [0, 9, 10, 99, 100, 12345]
+    enc = [_key_encode(v) for v in vals]
+    assert enc == sorted(enc)
+    assert _key_encode(None) is None
+    import datetime
+
+    t1 = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    t2 = datetime.datetime(2024, 1, 10, 0, 0, 0)
+    assert _key_encode(t1) < _key_encode(t2)
+
+
 def test_clamp_stats_read_bounds_from_state_rows(spark):
     """The clamp signal derives its bounds from the state rows (same
     snapshot as the counts), not a second table — the r09 two-table
