@@ -409,6 +409,35 @@ def swap_versioned(
             spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{cur}")
 
 
+def swap_versioned_retrying(
+    spark: SparkSession,
+    df_fn,
+    view_name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    keep_old: bool = False,
+    max_attempts: int = 3,
+) -> int:
+    """Retry loop for :class:`ConcurrentSwapError` — the shape a
+    maintenance job should use when it cannot guarantee exclusivity.
+    ``df_fn`` is a FACTORY, not a DataFrame: a swap input usually
+    derives from the state being replaced, so after losing a race the
+    merge must be re-planned against the NEW current generation — a
+    captured DataFrame would silently re-apply the batch to the
+    superseded snapshot.  Returns the number of attempts taken."""
+    last: ConcurrentSwapError | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            swap_versioned(spark, df_fn(), view_name, bucket_cols,
+                           num_buckets=num_buckets,
+                           sort_cols=sort_cols, keep_old=keep_old)
+            return attempt
+        except ConcurrentSwapError as ex:
+            last = ex
+    raise last  # type: ignore[misc]
+
+
 def list_generations(spark: SparkSession, view_name: str) -> list[int]:
     """All retained generation numbers, ascending (the last one is
     what the stable view points at)."""
@@ -539,4 +568,13 @@ def vacuum_generations(spark: SparkSession, view_name: str,
     drop += orphans
     for g in drop:
         spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{g}")
+    # a manifest that outlives its generations would plan reads of
+    # dropped files; retire its rows on the same cadence (no-op when
+    # the table has no manifest)
+    if drop:
+        from legate_dataframe_spark.core import manifest as _mf
+
+        _mf.prune_manifest(spark, view_name,
+                           keep_generations=[g for g in gens
+                                             if g not in set(drop)])
     return drop

@@ -254,7 +254,8 @@ def index_compaction_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         if dropped != [0]:
             raise AssertionError(
                 f"vacuum dropped {dropped}, expected [0]")
-        mf.prune_manifest(spark, view, keep_generations=[1])
+        # vacuum prunes the manifest on the same cadence (a manifest
+        # outliving its generations would plan reads of dropped files)
         gens_left = {r["generation"] for r in spark.table(
             mf.manifest_table(view)).select("generation")
             .distinct().collect()}

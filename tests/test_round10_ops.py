@@ -142,6 +142,60 @@ def test_two_thread_swap_race_never_loses_silently(spark):
         assert len(raised) <= 1  # at least one writer committed
 
 
+def test_swap_retry_replans_against_new_generation(spark):
+    """swap_versioned_retrying takes a DataFrame FACTORY: after losing
+    a race it re-plans the merge against the winner's generation —
+    here the merge increments the state's counter, so a retry that
+    reused the stale plan would produce 1 where re-planning produces
+    2 (applied on top of the competitor's commit)."""
+    from legate_dataframe_spark.core import bucketing
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        swap_versioned,
+        swap_versioned_retrying,
+    )
+
+    with temp_db(spark, "ldf_t10_retry") as db:
+        view = f"{db}.state"
+        init_versioned(
+            spark,
+            spark.range(0, 10).select(F.col("id").alias("k"),
+                                      F.lit(0).alias("v")),
+            view, ["k"], num_buckets=2)
+
+        fired = [False]
+
+        def compete_once():
+            if fired[0]:
+                return
+            fired[0] = True
+            hook = bucketing._TEST_PRE_CAS_HOOK
+            bucketing._TEST_PRE_CAS_HOOK = None
+            try:
+                swap_versioned(
+                    spark,
+                    spark.table(view).withColumn(
+                        "v", F.col("v") + F.lit(10)),
+                    view, ["k"], num_buckets=2)
+            finally:
+                bucketing._TEST_PRE_CAS_HOOK = hook
+
+        bucketing._TEST_PRE_CAS_HOOK = compete_once
+        try:
+            attempts = swap_versioned_retrying(
+                spark,
+                lambda: spark.table(view).withColumn(
+                    "v", F.col("v") + F.lit(1)),
+                view, ["k"], num_buckets=2)
+        finally:
+            bucketing._TEST_PRE_CAS_HOOK = None
+        assert attempts == 2
+        # competitor's +10 landed first, then the retried +1 ON TOP
+        vals = {r["v"] for r in spark.table(view)
+                .select("v").distinct().collect()}
+        assert vals == {11}, vals
+
+
 # ============================== strict generation resolution (ADVICE)
 def test_current_generation_reraises_non_missing_errors(spark):
     """Only the missing-TABLE/VIEW error class may fall back to
@@ -507,6 +561,19 @@ def test_manifest_prune_follows_vacuum(spark):
         rows = spark.table(mf.manifest_table(view)).collect()
         assert {r["generation"] for r in rows} == {1}
         assert len(rows) == 2  # both buckets of g1 survive
+        # and vacuum_generations prunes the manifest AUTOMATICALLY
+        # when one exists (same maintenance cadence)
+        from legate_dataframe_spark.core.bucketing import (
+            vacuum_generations,
+        )
+
+        swap_versioned(spark, spark.table(view), view, ["k"],
+                       num_buckets=2, keep_old=True)
+        mf.write_manifest(spark, view, physical_table=f"{view}__g2",
+                          generation=2)
+        assert vacuum_generations(spark, view, keep_last=1) == [0, 1]
+        assert {r["generation"] for r in spark.table(
+            mf.manifest_table(view)).collect()} == {2}
 
 
 def test_key_encode_orders_like_values(spark):
