@@ -198,6 +198,7 @@ EXTRA = [
     "manifest_pruned_scan",
     "index_compaction_signal",
     "rollup_schema_evolution",
+    "stream_manifest_chain",
 ]
 
 

@@ -230,6 +230,23 @@ def _current_generation(spark: SparkSession, view_name: str,
     return max(list_generations(spark, view_name), default=-1)
 
 
+def _maybe_manifest(spark: SparkSession, view_name: str, gen: int,
+                    manifest: bool) -> None:
+    """Record the generation's file manifest at commit time (opt-in:
+    states that plan reads or maintenance signals from manifests pass
+    ``manifest=True`` on every write; the default stays zero-overhead
+    and writes none).  Keeping the manifest write INSIDE the same
+    maintenance call is what prevents silent staleness — a manifest
+    that misses the live generation would plan empty reads."""
+    if not manifest:
+        return
+    from legate_dataframe_spark.core import manifest as _mf
+
+    _mf.write_manifest(spark, view_name,
+                       physical_table=f"{view_name}__g{gen}",
+                       generation=gen)
+
+
 def init_versioned(
     spark: SparkSession,
     df: DataFrame,
@@ -237,12 +254,14 @@ def init_versioned(
     bucket_cols: Sequence[str],
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
+    manifest: bool = False,
 ) -> None:
     """First generation of a VIEW-ROUTED bucketed table: the physical
     data lives in ``{view}__g0`` (bucketed — the spec rides on the
     physical table) and readers go through the stable view
     ``view_name``.  Catalyst inlines the trivial view, so every later
-    keyed join still plans a co-located, Exchange-free scan."""
+    keyed join still plans a co-located, Exchange-free scan.
+    ``manifest=True`` additionally records the g0 file manifest."""
     # fresh-build semantics (matches write_bucketed's overwrite): any
     # generations a previous lifetime of this name left behind are
     # retired so the new index starts a clean lineage at g0
@@ -250,6 +269,7 @@ def init_versioned(
         spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{g}")
     _write_generation(spark, df, f"{view_name}__g0", bucket_cols,
                       num_buckets, sort_cols)
+    _maybe_manifest(spark, view_name, 0, manifest)
     _retire_legacy_table(spark, view_name)
     spark.sql(f"CREATE OR REPLACE VIEW {view_name} AS "
               f"SELECT * FROM {view_name}__g0")
@@ -289,6 +309,7 @@ def append_versioned(
     bucket_cols: Sequence[str],
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
+    manifest: bool = False,
 ) -> None:
     """Bucket-spec-preserving APPEND into the live generation — the
     O(batch) insert path of a view-routed index.  The append targets
@@ -298,9 +319,11 @@ def append_versioned(
     definition is unchanged and readers see the new files on their
     next scan — the same visibility semantics as any parquet append,
     and strictly no worse than the pre-versioned direct append."""
-    write_bucketed(df, current_generation_table(spark, view_name),
+    cur = _current_generation(spark, view_name)
+    write_bucketed(df, f"{view_name}__g{cur}",
                    bucket_cols, num_buckets=num_buckets,
                    sort_cols=sort_cols, mode="append")
+    _maybe_manifest(spark, view_name, cur, manifest)
 
 
 # test-only injection point: called between the generation write and
@@ -333,6 +356,7 @@ def swap_versioned(
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
     keep_old: bool = False,
+    manifest: bool = False,
 ) -> None:
     """ATOMIC generation swap (VERDICT r07 task 8): the plain
     :func:`replace_bucketed` drop+rename leaves a reader-visible gap
@@ -398,6 +422,9 @@ def swap_versioned(
                 f"({pointer_before} -> {pointer_after}) during the "
                 f"swap — a concurrent writer committed first; retry "
                 f"the swap against the new current generation")
+        # manifest BEFORE the repoint: a manifest-planned read of any
+        # PUBLISHED generation must always see a complete file list
+        _maybe_manifest(spark, view_name, cur + 1, manifest)
         # first swap over a pre-versioned plain bucketed table
         # (ADVICE r09): adopt the name into the versioned layout.
         # The one-time drop+create gap only exists on this migration

@@ -37,7 +37,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CAS-guarded swap, generation_diff schema evolution + null-safe
 # oracle), then the oldest stale-verification tranche: VERDICT r09
 # task 6 names the r05-greened block (TPC-H + core relational) —
-# 4 + 8 + 38 = exactly the 50-entry prefix, leaving 11 r05 entries
+# 5 + 8 + 37 = exactly the 50-entry prefix, leaving 12 r05 entries
 # to lead the post-boundary region (all hold green sf0.001 oracle-
 # parity tests and the sf0.01 strict-parity sweep) and rotate into
 # the r11 prefix first.  Later blocks are ordered by round of LAST
@@ -54,6 +54,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                                 r10.INDEX_COMPACTION_SIGNAL_SQL),
     "rollup_schema_evolution": (r10.rollup_schema_evolution,
                                 r10.ROLLUP_SCHEMA_EVOLUTION_SQL),
+    "stream_manifest_chain": (r10.stream_manifest_chain,
+                              r10.STREAM_MANIFEST_CHAIN_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # the histogram (hist, bounds) pair is ONE versioned table now
     # (bounds denormalized onto the state rows); every rollup write-
@@ -76,9 +78,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "tpch_refresh_maintenance": (r8.tpch_refresh_maintenance,
                                  r8.TPCH_REFRESH_SQL),
     # ---- stale tail: the r05-greened tranche, oldest first -----------------
-    # (VERDICT r09 task 6 — 38 of the 49 r05 entries fit the 50-slot
-    # prefix behind 4 new + 8 changed = 12 head slots; the remaining
-    # 11 lead the post-boundary region and rotate into the r11
+    # (VERDICT r09 task 6 — 37 of the 49 r05 entries fit the 50-slot
+    # prefix behind 5 new + 8 changed = 13 head slots; the remaining
+    # 12 lead the post-boundary region and rotate into the r11
     # prefix first)
     "knn_classify": (r4.knn_classify_q, r4.KNN_CLASSIFY_SQL),
     "bucketed_join": (r5.bucketed_join, r5.BUCKETED_JOIN_SQL),
@@ -117,9 +119,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
     "join_full": (r.join_full, r.JOIN_FULL_SQL),
     "skew_salted_join": (r.skew_salted_join, r.SKEW_SALTED_JOIN_SQL),
-    "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
     # ======================== 50-entry prefix boundary =====================
     # ---- r05 remainder (rotate into the r11 prefix first) ------------------
+    "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
     "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
     "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),
     "distinct_keys": (r.distinct_keys, r.DISTINCT_KEYS_SQL),

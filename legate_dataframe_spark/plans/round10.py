@@ -225,17 +225,17 @@ def index_compaction_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = 8
     with _temp_db(spark, "ldf_r10_compsig") as db:
         view = f"{db}.docs"
+        # manifest=True keeps the manifest fresh INSIDE each
+        # maintenance call — commit-time recording, no separate step
+        # a caller could forget (silent staleness would plan empty
+        # reads of the live generation)
         init_versioned(spark, d.filter(F.col("doc_id") % 4 == 1),
-                       view, ["doc_id"], num_buckets=nb)
-        mf.write_manifest(spark, view, physical_table=f"{view}__g0",
-                          generation=0)
+                       view, ["doc_id"], num_buckets=nb, manifest=True)
         for k in (2, 3, 0):
             batch = d.filter(F.col("doc_id") % 4 == k)
             append_versioned(spark, batch.repartition(nb, "doc_id"),
-                             view, ["doc_id"], num_buckets=nb)
-            mf.write_manifest(spark, view,
-                              physical_table=f"{view}__g0",
-                              generation=0)
+                             view, ["doc_id"], num_buckets=nb,
+                             manifest=True)
         fpb = mf.files_per_bucket(spark, view, generation=0)
         threshold = 3
         if max(fpb.values()) < threshold:
@@ -243,9 +243,7 @@ def index_compaction_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"append accretion not visible in the manifest: {fpb}")
         # threshold crossed → compact through the atomic swap
         swap_versioned(spark, spark.table(view), view, ["doc_id"],
-                       num_buckets=nb, keep_old=True)
-        mf.write_manifest(spark, view, physical_table=f"{view}__g1",
-                          generation=1)
+                       num_buckets=nb, keep_old=True, manifest=True)
         fpb2 = mf.files_per_bucket(spark, view, generation=1)
         if set(fpb2.values()) != {1}:
             raise AssertionError(
@@ -283,6 +281,125 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 GROUP BY lang
+"""
+
+
+# ===================== streaming ingest with manifest-planned refreshes
+def stream_manifest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming write-back loop over MANIFEST-planned state — the
+    r10 twin of ``stream_rollup_chain``: every micro-batch merges into
+    the date-partitioned rollup through
+    ``incremental_rollup_overwrite_manifest``, so the whole ingest
+    loop runs without a single table-directory listing (each trigger
+    plans its state read from the manifest, rewrites only its touched
+    days, and refreshes exactly those manifest rows — trigger i+1
+    plans from rows trigger i committed).  Per-trigger pruning is
+    asserted (planned < manifest total for every batch); the
+    foreachBatch rig carries the r07/r08 lessons: cloned-session
+    relation cache refreshed for BOTH the state and the manifest
+    table per trigger, batch_id marker makes replays no-ops (an
+    overwrite-merge replay would double-count).  Oracle (maximal):
+    the drained state equals a full GROUP BY over corpus ∪ the three
+    day-bounded ingest windows."""
+    import os as _os
+    import time as _time
+
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.pipeline.rollup import (
+        build_rollup_date_partitioned,
+        incremental_rollup_overwrite_manifest,
+    )
+    from legate_dataframe_spark.plans.round4 import _stage_single_file
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 >= 2)
+    todays = e.filter(F.col("event_id") % 10 <= 1)
+    day = F.date_trunc("day", F.col("ts"))
+    # each trigger is a DAY-BOUNDED ingest batch (2 days apiece) — a
+    # real daily feed touches a sliver of history, which is exactly
+    # what makes per-trigger manifest pruning assertable (planned <
+    # total for every batch)
+    windows = [("2024-01-03", "2024-01-05"),
+               ("2024-01-13", "2024-01-15"),
+               ("2024-01-23", "2024-01-25")]
+
+    with _temp_db(spark, "ldf_r10_smchain") as db:
+        state = f"{db}.state"
+        build_rollup_date_partitioned(spark, corpus, state)
+        stage = tempfile.mkdtemp(prefix="ldf_r10_smchain_stage_")
+        ck = tempfile.mkdtemp(prefix="ldf_r10_smchain_ck_")
+        pruning: list[tuple[int, int, int]] = []
+        try:
+            now = _time.time()
+            for i, (lo, hi) in enumerate(windows):
+                _stage_single_file(
+                    todays.filter(
+                        (day >= F.lit(lo).cast("timestamp"))
+                        & (day < F.lit(hi).cast("timestamp"))),
+                    stage, f"b{i}.parquet", now - 300 + i * 100)
+            stream = (spark.readStream.schema(todays.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(stage))
+
+            def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+                done = _os.path.join(ck, f"ldf_batch_{batch_id}.done")
+                if _os.path.exists(done):
+                    return
+                sess = batch_df.sparkSession
+                sess.catalog.refreshTable(state)
+                sess.catalog.refreshTable(mf.manifest_table(state))
+                planned, total, rewritten = (
+                    incremental_rollup_overwrite_manifest(
+                        sess, state,
+                        batch_df.localCheckpoint(eager=True)))
+                pruning.append((planned, total, rewritten))
+                open(done, "w").close()
+
+            q = (stream.writeStream.outputMode("append")
+                 .foreachBatch(merge_batch)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError("stream_manifest_chain drain > 300s")
+            if len(pruning) != 3:
+                raise AssertionError(
+                    f"expected 3 merged triggers, saw {len(pruning)}")
+            for planned, total, rewritten in pruning:
+                if not (0 < planned < total and rewritten > 0):
+                    raise AssertionError(
+                        f"a trigger lost manifest pruning: {pruning}")
+            spark.catalog.refreshTable(state)
+            return (spark.table(state)
+                    .select(F.col("day").cast("timestamp").alias("day"),
+                            "event_type", "n", "sum_micro",
+                            "min_micro", "max_micro")
+                    .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_MANIFEST_CHAIN_SQL = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_micro,
+       min(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micro,
+       max(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micro
+FROM events
+WHERE event_id % 10 >= 2
+   OR (event_id % 10 <= 1 AND (
+        (date_trunc('day', ts) >= TIMESTAMP '2024-01-03'
+         AND date_trunc('day', ts) < TIMESTAMP '2024-01-05')
+     OR (date_trunc('day', ts) >= TIMESTAMP '2024-01-13'
+         AND date_trunc('day', ts) < TIMESTAMP '2024-01-15')
+     OR (date_trunc('day', ts) >= TIMESTAMP '2024-01-23'
+         AND date_trunc('day', ts) < TIMESTAMP '2024-01-25')))
+GROUP BY 1, 2
 """
 
 
