@@ -134,7 +134,11 @@ def write_manifest(
     partition DIRECTORIES are walked (a filesystem listing of
     ≤ len(parts) directories — the O(touched) maintenance write of a
     partitioned state table; the full-table listing the manifest
-    exists to avoid is never taken on this path).
+    exists to avoid is never taken on this path).  The directory walk
+    uses the local filesystem (this environment's warehouse); a
+    cluster deployment would route the same ≤ len(parts) listings
+    through the Hadoop FileSystem API — the O(touched) contract is
+    the design, the call is an implementation detail.
     """
     phys = physical_table or table_name
     if parts is not None:

@@ -576,6 +576,42 @@ def test_manifest_prune_follows_vacuum(spark):
             mf.manifest_table(view)).collect()} == {2}
 
 
+def test_manifest_rowcounts_audit_against_state(spark):
+    """The manifest's footer row counts must sum to the state's row
+    count per generation — the cheap invariant a maintenance loop can
+    audit without scanning data; exercised through the integrated
+    manifest= kwargs across init → append → swap."""
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.core.bucketing import (
+        append_versioned,
+        init_versioned,
+        swap_versioned,
+    )
+
+    with temp_db(spark, "ldf_t10_mfaudit") as db:
+        view = f"{db}.state"
+        init_versioned(spark,
+                       spark.range(0, 300).select(F.col("id").alias("k")),
+                       view, ["k"], num_buckets=4, manifest=True)
+        append_versioned(
+            spark,
+            spark.range(300, 450).select(F.col("id").alias("k"))
+            .repartition(4, "k"),
+            view, ["k"], num_buckets=4, manifest=True)
+
+        def manifest_rows(gen):
+            return (spark.table(mf.manifest_table(view))
+                    .filter(F.col("generation") == gen)
+                    .agg(F.sum("n_rows")).collect()[0][0])
+
+        assert manifest_rows(0) == 450 == spark.table(view).count()
+        swap_versioned(spark, spark.table(view), view, ["k"],
+                       num_buckets=4, keep_old=True, manifest=True)
+        assert manifest_rows(1) == 450
+        # the retained generation's rows are still recorded
+        assert manifest_rows(0) == 450
+
+
 def test_key_encode_orders_like_values(spark):
     """The manifest's string-encoded stats must order like the raw
     values (zero-padded ints; ISO timestamps already do)."""
