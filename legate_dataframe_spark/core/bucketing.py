@@ -257,22 +257,36 @@ def init_versioned(
     manifest: bool = False,
 ) -> None:
     """First generation of a VIEW-ROUTED bucketed table: the physical
-    data lives in ``{view}__g0`` (bucketed — the spec rides on the
+    data lives in ``{view}__g{n}`` (bucketed — the spec rides on the
     physical table) and readers go through the stable view
     ``view_name``.  Catalyst inlines the trivial view, so every later
     keyed join still plans a co-located, Exchange-free scan.
-    ``manifest=True`` additionally records the g0 file manifest."""
-    # fresh-build semantics (matches write_bucketed's overwrite): any
-    # generations a previous lifetime of this name left behind are
-    # retired so the new index starts a clean lineage at g0
-    for g in list_generations(spark, view_name):
-        spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{g}")
-    _write_generation(spark, df, f"{view_name}__g0", bucket_cols,
+    ``manifest=True`` additionally records the generation's manifest.
+
+    Fresh-build semantics (matches write_bucketed's overwrite): any
+    generations a previous lifetime of the name left behind are
+    retired — but AFTER the repoint, not before (r10): a REBUILD of a
+    live state (the histogram's rebuild-from-raw escape hatch, any
+    re-index) is then just as reader-atomic as a swap — the new
+    lineage is written beside the old, the view repoints in one
+    catalog op, and only then is the old lineage dropped.  The new
+    build therefore numbers from max(existing)+1 on a rebuild (0 on a
+    true first build); "fresh lineage" means no RETAINED history
+    survives, not that numbering restarts."""
+    olds = list_generations(spark, view_name)
+    g = max(olds, default=-1) + 1
+    _write_generation(spark, df, f"{view_name}__g{g}", bucket_cols,
                       num_buckets, sort_cols)
-    _maybe_manifest(spark, view_name, 0, manifest)
+    _maybe_manifest(spark, view_name, g, manifest)
     _retire_legacy_table(spark, view_name)
     spark.sql(f"CREATE OR REPLACE VIEW {view_name} AS "
-              f"SELECT * FROM {view_name}__g0")
+              f"SELECT * FROM {view_name}__g{g}")
+    for old in olds:
+        spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{old}")
+    if olds:
+        from legate_dataframe_spark.core import manifest as _mf
+
+        _mf.prune_manifest(spark, view_name, keep_generations=[g])
 
 
 def _retire_legacy_table(spark: SparkSession, view_name: str) -> None:

@@ -576,6 +576,33 @@ def test_manifest_prune_follows_vacuum(spark):
             mf.manifest_table(view)).collect()} == {2}
 
 
+def test_rebuild_is_reader_atomic_and_retires_old_lineage(spark):
+    """init_versioned on a LIVE state (rebuild-from-raw) writes the
+    new lineage BESIDE the old, repoints in one catalog op, and only
+    then drops the old lineage — numbering continues (no retained
+    history survives, but readers never see a missing view), and a
+    manifest follows the rebuild."""
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        list_generations,
+    )
+
+    with temp_db(spark, "ldf_t10_rebuild2") as db:
+        view = f"{db}.state"
+        init_versioned(spark,
+                       spark.range(0, 10).select(F.col("id").alias("k")),
+                       view, ["k"], num_buckets=2, manifest=True)
+        assert list_generations(spark, view) == [0]
+        init_versioned(spark,
+                       spark.range(0, 25).select(F.col("id").alias("k")),
+                       view, ["k"], num_buckets=2, manifest=True)
+        assert list_generations(spark, view) == [1]  # old lineage gone
+        assert spark.table(view).count() == 25
+        assert {r["generation"] for r in spark.table(
+            mf.manifest_table(view)).collect()} == {1}
+
+
 def test_manifest_rowcounts_audit_against_state(spark):
     """The manifest's footer row counts must sum to the state's row
     count per generation — the cheap invariant a maintenance loop can
