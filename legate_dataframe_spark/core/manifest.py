@@ -234,6 +234,12 @@ def files_per_bucket(
             .filter(F.col("generation") == generation)
             .groupBy("bucket_id")
             .agg(F.count(F.lit(1)).alias("n_files")).collect())
+    if not rows:
+        # a silent {} would read as "zero fragmentation" — the exact
+        # wrong answer for a maintenance trigger
+        raise ValueError(
+            f"manifest of {table_name} has no rows for generation "
+            f"{generation} — was the write made with manifest=True?")
     return {r["bucket_id"]: r["n_files"] for r in rows}
 
 

@@ -502,6 +502,10 @@ def test_manifest_records_buckets_rows_and_stats(spark):
         assert {r["bucket_id"] for r in rows} == {0, 1, 2, 3}
         assert sum(r["n_rows"] for r in rows) == 1000
         assert mf.files_per_bucket(spark, t, 0) == {i: 1 for i in range(4)}
+        # an unrecorded generation errors loudly — a silent {} would
+        # read as "zero fragmentation" to a maintenance trigger
+        with pytest.raises(ValueError, match="no rows for generation"):
+            mf.files_per_bucket(spark, t, 7)
         # hash buckets each span ~the full range → a mid-range window
         # overlaps ALL files; a window beyond the max overlaps none
         assert len(mf.manifest_files(
