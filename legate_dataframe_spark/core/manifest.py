@@ -152,22 +152,33 @@ def write_manifest(
                          if f.endswith(".parquet"))
     else:
         paths = [_local_path(u) for u in spark.table(phys).inputFiles()]
+    mt = manifest_table(table_name)
+    keep = []
+    known: dict[str, tuple] = {}
+    if spark.catalog.tableExists(mt):
+        for r in spark.table(mt).collect():
+            if r["generation"] != generation:
+                keep.append(tuple(r))
+            elif parts is not None and r["part"] not in set(parts):
+                keep.append(tuple(r))
+            else:
+                # same generation + in scope: data files are immutable
+                # once written (parquet parts never change in place),
+                # so an already-recorded path keeps its stats row —
+                # an APPEND's refresh only reads the NEW files'
+                # footers, keeping per-append manifest cost O(new
+                # files), not O(generation)
+                known[r["file"]] = tuple(r)
     rows = []
     for path in paths:
         part = _part_of(path)
         if parts is not None and part not in set(parts):
             continue
+        if path in known:
+            rows.append(known[path])
+            continue
         bucket, n_rows, mn, mx = _file_manifest_row(path, stats_col)
         rows.append((generation, part, bucket, path, n_rows, mn, mx))
-    mt = manifest_table(table_name)
-    keep = []
-    if spark.catalog.tableExists(mt):
-        old = spark.table(mt).collect()
-        for r in old:
-            if r["generation"] != generation:
-                keep.append(tuple(r))
-            elif parts is not None and r["part"] not in set(parts):
-                keep.append(tuple(r))
     out = spark.createDataFrame(keep + rows, MANIFEST_SCHEMA)
     out.write.format("parquet").mode("overwrite").saveAsTable(mt)
     return len(rows)
