@@ -581,6 +581,62 @@ def generation_diff(
                     *[f"new_{c}" for c in compare_cols]))
 
 
+def apply_diff(
+    base: DataFrame,
+    diff: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """APPLY a change feed to a snapshot — the consumer half of
+    :func:`generation_diff` (which produces one).  Given the OLD
+    snapshot and the diff between old and new, reconstructs the NEW
+    snapshot exactly: ``delete``/``update`` keys leave the base (one
+    anti-join), ``insert``/``update`` rows come in from the diff's
+    new-side columns (one union).  This is what a downstream consumer
+    of a CDF does — mirror a state across systems, or roll a replica
+    forward — and round-tripping it against the producer
+    (``apply_diff(old, diff(old, new)) == new``) is the algebraic
+    check that the two sides agree on change semantics.
+
+    Scale shape: the diff is CHANGE-sized, so the anti-join's right
+    side broadcasts and the base is read in place (bucketed base ⇒
+    co-located, Exchange-free); cost is O(base scanned + changes),
+    never a join shuffle of the state.
+
+    Schema evolution: a ``compare_cols`` column ABSENT from the base
+    (it was added by the swap being applied) is null-filled on the
+    base side, typed from the diff's ``new_<c>`` column — unchanged
+    rows keep NULL (correct: a row whose new value is non-NULL
+    classifies ``update`` in the diff and is replaced wholesale, so
+    only rows whose new value IS null pass through).  The base must
+    carry exactly (keys + compare_cols minus absent ones): silently
+    passing through extra columns the diff does not track would
+    desynchronize them from the reconstructed state.
+    """
+    tracked = list(keys) + list(compare_cols)
+    extra = [c for c in base.columns if c not in set(tracked)]
+    if extra:
+        raise ValueError(
+            f"base carries column(s) {extra} the diff does not track "
+            f"— apply would desynchronize them")
+    missing_keys = [k for k in keys if k not in base.columns]
+    if missing_keys:
+        raise ValueError(f"base lacks key column(s) {missing_keys}")
+    new_types = dict(diff.dtypes)
+    have = set(base.columns)
+    vals = [(F.col(c) if c in have
+             else F.lit(None).cast(new_types[f"new_{c}"])).alias(c)
+            for c in compare_cols]
+    gone = (diff.filter(F.col("change_type").isin("delete", "update"))
+            .select(*keys))
+    incoming = (diff.filter(F.col("change_type").isin("insert", "update"))
+                .select(*keys, *[F.col(f"new_{c}").alias(c)
+                                 for c in compare_cols]))
+    kept = (base.select(*keys, *vals)
+            .join(F.broadcast(gone), list(keys), "left_anti"))
+    return kept.unionByName(incoming)
+
+
 def vacuum_generations(spark: SparkSession, view_name: str,
                        keep_last: int = 2) -> list[int]:
     """Snapshot retention: drop all but the newest ``keep_last``

@@ -54,16 +54,28 @@ from pyspark.sql import functions as F
 # one row per data file; min/max are stored as STRINGS whose
 # lexicographic order matches the value order for the column types we
 # prune on (zero-padded numerics, ISO timestamps) — the caller of
-# manifest_files passes bounds in the same encoding
+# manifest_files passes bounds in the same encoding.  ``bloom`` is an
+# optional per-file Bloom bitmap (array<long>, see write_manifest's
+# bloom_col) for EQUALITY pruning — point lookups skip files whose
+# bloom provably lacks the key, the case min/max ranges cannot prune
+# when every append batch spans the full key domain.
 MANIFEST_SCHEMA = ("generation long, part string, bucket_id int, "
                    "file string, n_rows long, min_key string, "
-                   "max_key string")
+                   "max_key string, bloom array<long>")
 
 _BUCKET_RE = re.compile(r"_(\d{5})\.c\d{3}")
 
 
 def _local_path(uri: str) -> str:
-    return uri[5:] if uri.startswith("file:") else uri
+    """``file:`` URI → plain local path.  ``file:///x`` and ``file:/x``
+    both mean local ``/x`` (empty authority); stripping only the
+    scheme would leave a ``//x`` that breaks dict joins against
+    :func:`_norm_path`-keyed maps."""
+    if uri.startswith("file://"):
+        uri = uri[7:]
+    elif uri.startswith("file:"):
+        uri = uri[5:]
+    return uri
 
 
 def _key_encode(val) -> str | None:
@@ -104,6 +116,57 @@ def _file_manifest_row(path: str, stats_col: str | None):
     return bucket, md.num_rows, mn, mx
 
 
+def _norm_path(uri: str) -> str:
+    """``input_file_name()`` URI → the plain local path the manifest
+    stores (scheme stripped, percent-escapes decoded)."""
+    from urllib.parse import unquote
+
+    p = unquote(uri)
+    if p.startswith("file://"):
+        p = p[7:]
+    elif p.startswith("file:"):
+        p = p[5:]
+    return p
+
+
+def _file_blooms(
+    spark: SparkSession,
+    paths: Sequence[str],
+    bloom_col: str,
+    m_bits: int,
+    n_hashes: int,
+) -> dict[str, list[int]]:
+    """Per-file Bloom bitmaps over ``bloom_col``, ONE distributed pass
+    over exactly ``paths`` (an append's refresh passes only the new
+    files, so per-append bloom cost is O(new files' rows)).  The
+    bitmap build is the fully-distributed shape of
+    pipeline/dedup.py::bloom_bitmap keyed by ``input_file_name()``:
+    positions → per-(file, word) bit_or → per-file packed array.  The
+    only driver-side object is file-count × (m_bits/64) longs — the
+    manifest's own scale class."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    m_words = m_bits // 64
+    df = (spark.read.parquet(*[f"file:{p}" if not p.startswith("file:")
+                               else p for p in paths])
+          .select(F.col(bloom_col).alias("__k"),
+                  F.input_file_name().alias("__f")))
+    pos = df.select("__f", F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col("__k"), F.lit(i)), F.lit(m_bits))
+        for i in range(n_hashes)])).alias("p"))
+    words = pos.select(
+        "__f", F.shiftright(F.col("p"), 6).cast("int").alias("w"),
+        F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("b"))
+    per = (words.groupBy("__f", "w").agg(F.bit_or("b").alias("bits"))
+           .groupBy("__f").agg(F.map_from_entries(F.collect_list(
+               F.struct(F.col("w"), F.col("bits")))).alias("m"))
+           .select("__f", F.transform(
+               F.sequence(F.lit(0), F.lit(m_words - 1)),
+               lambda i: F.coalesce(F.element_at(F.col("m"), i),
+                                    F.lit(0).cast("long"))).alias("bloom")))
+    return {_norm_path(r["__f"]): list(r["bloom"]) for r in per.collect()}
+
+
 def _part_of(path: str) -> str | None:
     """The innermost ``key=value`` path component — the partition a
     file belongs to (None for unpartitioned layouts)."""
@@ -122,6 +185,9 @@ def write_manifest(
     generation: int = 0,
     stats_col: str | None = None,
     parts: Sequence[str] | None = None,
+    bloom_col: str | None = None,
+    bloom_bits: int = 1 << 12,
+    bloom_hashes: int = 3,
 ) -> int:
     """Record ``physical_table``'s current files under
     ``(generation, …)`` in ``{table_name}__manifest``; returns the
@@ -139,6 +205,16 @@ def write_manifest(
     cluster deployment would route the same ≤ len(parts) listings
     through the Hadoop FileSystem API — the O(touched) contract is
     the design, the call is an implementation detail.
+
+    ``bloom_col`` additionally records a per-file Bloom bitmap over
+    that column (``bloom_bits`` bits, ``bloom_hashes`` xxhash64-seeded
+    probes) for EQUALITY pruning — see
+    :func:`point_lookup_candidates`.  Blooms are computed in one
+    distributed pass over only the files not already recorded (an
+    append pays O(new files' rows)); size ``bloom_bits`` to ~10 bits
+    per expected distinct key per file for ~1% false positives.  A
+    false positive only wastes a probe read; false negatives are
+    impossible, so a bloom-planned lookup stays EXACT.
     """
     phys = physical_table or table_name
     if parts is not None:
@@ -169,6 +245,13 @@ def write_manifest(
                 # footers, keeping per-append manifest cost O(new
                 # files), not O(generation)
                 known[r["file"]] = tuple(r)
+    fresh = [p for p in paths
+             if p not in known
+             and (parts is None or _part_of(p) in set(parts))]
+    blooms: dict[str, list[int]] = {}
+    if bloom_col is not None and fresh:
+        blooms = _file_blooms(spark, fresh, bloom_col,
+                              bloom_bits, bloom_hashes)
     rows = []
     for path in paths:
         part = _part_of(path)
@@ -178,7 +261,12 @@ def write_manifest(
             rows.append(known[path])
             continue
         bucket, n_rows, mn, mx = _file_manifest_row(path, stats_col)
-        rows.append((generation, part, bucket, path, n_rows, mn, mx))
+        # a zero-row file is absent from the bloom pass → all-zero
+        # bitmap (correct: no key can be in it)
+        bloom = (blooms.get(path, [0] * (bloom_bits // 64))
+                 if bloom_col is not None else None)
+        rows.append((generation, part, bucket, path, n_rows, mn, mx,
+                     bloom))
     out = spark.createDataFrame(keep + rows, MANIFEST_SCHEMA)
     out.write.format("parquet").mode("overwrite").saveAsTable(mt)
     return len(rows)
@@ -207,6 +295,71 @@ def manifest_files(
     if max_key is not None:  # ... and file.min <= hi
         m = m.filter(F.col("min_key") <= F.lit(max_key))
     return [r["file"] for r in m.select("file").collect()]
+
+
+def point_lookup_candidates(
+    spark: SparkSession,
+    table_name: str,
+    probes: DataFrame,
+    key_col: str,
+    num_buckets: int,
+    generation: int | None = None,
+    bloom_bits: int = 1 << 12,
+    bloom_hashes: int = 3,
+) -> DataFrame:
+    """PLAN a batched point lookup: (key, candidate file) pairs for a
+    probe-key frame against a BUCKETED table's bloom-carrying
+    manifest.  Two pruning stages, both exact-in, conservative-out:
+
+    1. **bucket pruning** — the probe's bucket id is recomputed with
+       Spark's own bucket hash (``pmod(murmur3, n)`` — the same
+       assignment ``_write_generation`` relies on), cutting the file
+       list by the bucket count EXACTLY (a key can only live in its
+       bucket's files);
+    2. **bloom pruning** — within the bucket, append batches accrete
+       one file each and every batch spans the full key domain, so
+       min/max ranges cannot prune them; the per-file bloom can: a
+       file whose bitmap lacks any of the key's ``bloom_hashes`` bits
+       provably does not hold the key.
+
+    The join is a broadcast EQUI-join on bucket_id (the manifest side
+    is file-count rows — driver-metadata-sized by the manifest's own
+    contract), so probe batches of any size stream through without a
+    shuffle of either side.  False positives survive to the read; the
+    caller's final equi-join on the key keeps the answer exact.  At
+    100 TB the arithmetic is: 1M files / 1024 buckets ≈ 1K files per
+    bucket; blooms at ~1% fp cut a point probe's read to ~1 + 10
+    files — four orders of magnitude under a full scan, with zero
+    directory listing.
+
+    Raises when any in-scope manifest row lacks a bloom or bucket id
+    (a silent pass-through would MISS keys in those files — the one
+    failure class a pruning plan must not have)."""
+    m = spark.table(manifest_table(table_name))
+    if generation is not None:
+        m = m.filter(F.col("generation") == generation)
+    bad = m.filter(F.col("bloom").isNull()
+                   | F.col("bucket_id").isNull()).count()
+    if bad:
+        raise ValueError(
+            f"{bad} manifest row(s) of {table_name} lack a bloom or "
+            f"bucket id — point lookup needs every file covered "
+            f"(write_manifest with bloom_col on a bucketed layout)")
+    p = probes.select(
+        F.col(key_col),
+        F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets))
+        .cast("int").alias("bucket_id"),
+        *[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)),
+                 F.lit(bloom_bits)).alias(f"__p{i}")
+          for i in range(bloom_hashes)])
+    hits = " AND ".join(
+        f"(shiftright(element_at(bloom, CAST(__p{i} DIV 64 AS INT) + 1), "
+        f"CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        for i in range(bloom_hashes))
+    return (p.join(F.broadcast(m.select("bucket_id", "file", "bloom")),
+                   "bucket_id")
+            .filter(F.expr(hits))
+            .select(key_col, "file"))
 
 
 def read_from_manifest(

@@ -22,6 +22,7 @@ from legate_dataframe_spark.plans import round7 as r7
 from legate_dataframe_spark.plans import round8 as r8
 from legate_dataframe_spark.plans import round9 as r9
 from legate_dataframe_spark.plans import round10 as r10
+from legate_dataframe_spark.plans import round10b as r10b
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -37,8 +38,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CAS-guarded swap, generation_diff schema evolution + null-safe
 # oracle), then the oldest stale-verification tranche: VERDICT r09
 # task 6 names the r05-greened block (TPC-H + core relational) —
-# 5 + 8 + 37 = exactly the 50-entry prefix, leaving 12 r05 entries
-# to lead the post-boundary region (all hold green sf0.001 oracle-
+# 9 + 8 + 33 = exactly the 50-entry prefix (the round-10 block grew
+# to 9 with the continuation set: cdf_apply / bloom lookup /
+# takedown cascade / swap contention), leaving 16 r05 entries to
+# lead the post-boundary region (all hold green sf0.001 oracle-
 # parity tests and the sf0.01 strict-parity sweep) and rotate into
 # the r11 prefix first.  Later blocks are ordered by round of LAST
 # driver verification, oldest first.
@@ -56,6 +59,20 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                                 r10.ROLLUP_SCHEMA_EVOLUTION_SQL),
     "stream_manifest_chain": (r10.stream_manifest_chain,
                               r10.STREAM_MANIFEST_CHAIN_SQL),
+    # change-data-feed APPLY: apply_diff(old, diff(old,new)) == new
+    "cdf_apply_roundtrip": (r10b.cdf_apply_roundtrip,
+                            r10b.CDF_APPLY_ROUNDTRIP_SQL),
+    # equality file pruning: per-file blooms in the manifest plan a
+    # batched point lookup as bucket join + bit test
+    "manifest_bloom_lookup": (r10b.manifest_bloom_lookup,
+                              r10b.MANIFEST_BLOOM_LOOKUP_SQL),
+    # one-call cross-state deletion request + compliance audit over
+    # every retained generation of every touched view
+    "takedown_cascade": (r10b.takedown_cascade,
+                         r10b.TAKEDOWN_CASCADE_SQL),
+    # two-writer race: CAS loser retries against the winner's commit
+    "swap_contention": (r10b.swap_contention,
+                        r10b.SWAP_CONTENTION_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # the histogram (hist, bounds) pair is ONE versioned table now
     # (bounds denormalized onto the state rows); every rollup write-
@@ -115,12 +132,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
     "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
     "join_left": (r.join_left, r.JOIN_LEFT_SQL),
+    # ======================== 50-entry prefix boundary =====================
+    # ---- r05 remainder (rotate into the r11 prefix first) ------------------
     "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
     "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
     "join_full": (r.join_full, r.JOIN_FULL_SQL),
     "skew_salted_join": (r.skew_salted_join, r.SKEW_SALTED_JOIN_SQL),
-    # ======================== 50-entry prefix boundary =====================
-    # ---- r05 remainder (rotate into the r11 prefix first) ------------------
     "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
     "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
     "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),

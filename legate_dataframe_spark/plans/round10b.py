@@ -1,0 +1,404 @@
+"""Round-10 continuation queries — the platform-closure set.
+
+Four capabilities that close loops the earlier rounds opened:
+
+- ``cdf_apply_roundtrip`` — the CONSUMER half of the change-data
+  feed: ``generation_diff`` produces a diff, ``apply_diff`` applies
+  it to the old snapshot, and the reconstruction must equal the new
+  generation exactly (asserted in-query both directions, then
+  oracle-checked).  This is the algebraic contract a downstream
+  mirror/replica relies on.
+
+- ``manifest_bloom_lookup`` — EQUALITY file pruning from the
+  manifest: per-file Bloom bitmaps recorded at commit time let a
+  batched point lookup plan bucket→bloom-pruned file lists (the case
+  min/max ranges cannot prune: every append batch spans the full key
+  domain).  The final key equi-join keeps the answer exact despite
+  bloom false positives.
+
+- ``takedown_cascade`` — the cross-state deletion request as ONE
+  platform operation: a doc set is removed from the minhash index,
+  the components labelling (bounded re-cluster off the post-delete
+  index), and the BM25 postings, then the takedown-compliant vacuum
+  retires every pre-delete snapshot; a compliance audit counts the
+  deleted ids across EVERY retained generation of EVERY touched view
+  and must read zero everywhere.
+
+- ``swap_contention`` — the two-writer race made deterministic: a
+  competing maintainer commits inside the victim's CAS window (via
+  the module's injection point), the victim's first attempt raises
+  ``ConcurrentSwapError``, and the retry loop re-plans its merge
+  against the NEW current generation — so BOTH batches land.  A
+  captured-DataFrame retry (the bug the factory contract exists to
+  prevent) would lose the competitor's batch and fail the oracle.
+
+Catalog hygiene matches round-7..10: uuid-suffixed session-temp
+databases dropped (CASCADE) before returning.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.plans.pipeline_queries import (
+    _BANDS,
+    _NUM_HASHES,
+    _minhash_sql,
+)
+from legate_dataframe_spark.plans.relational import load_table
+
+_MICRO_SQL = "CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT)"
+
+
+def _plan_of(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def _temp_db(spark: SparkSession, stem: str):
+    db = f"{stem}_{uuid.uuid4().hex[:8]}"
+    loc = tempfile.mkdtemp(prefix=f"{stem}_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    try:
+        yield db
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+# ===================== change-data-feed APPLY (producer↔consumer law)
+def cdf_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF round trip: generation 0 is the rollup over events WITHOUT
+    'click' rows; generation 1 drops 'view' rows and every
+    event_id % 7 == 0 row — so the diff carries all three change
+    classes (click groups insert, view groups delete, shared groups
+    update; asserted).  ``apply_diff(g0, diff(g0, g1))`` must then
+    reconstruct generation 1 EXACTLY — asserted in-query with
+    exceptAll in both directions, and the reconstruction itself is
+    the returned frame the oracle recomputes from raw events.  Scale
+    shape: the diff is change-sized and broadcasts into one anti-join
+    against the bucketed base — the state never shuffles."""
+    from legate_dataframe_spark.core.bucketing import (
+        apply_diff,
+        generation_diff,
+        init_versioned,
+        read_generation,
+        swap_versioned,
+    )
+    from legate_dataframe_spark.pipeline.rollup import (
+        _PARTIALS,
+        GROUP_KEYS,
+        event_partials,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    old_slice = e.filter(F.col("event_type") != "click")
+    new_slice = e.filter((F.col("event_type") != "view")
+                         & (F.col("event_id") % 7 != 0))
+    with _temp_db(spark, "ldf_r10_cdfapply") as db:
+        state = f"{db}.state"
+        init_versioned(spark, event_partials(old_slice), state,
+                       GROUP_KEYS, num_buckets=16)
+        swap_versioned(spark, event_partials(new_slice), state,
+                       GROUP_KEYS, num_buckets=16, keep_old=True)
+        diff = generation_diff(spark, state, 0, 1, GROUP_KEYS,
+                               _PARTIALS).localCheckpoint(eager=True)
+        classes = {r["change_type"] for r in
+                   diff.select("change_type").distinct().collect()}
+        if classes != {"insert", "delete", "update"}:
+            raise AssertionError(
+                f"diff scenario lost a change class: {classes}")
+        recon = apply_diff(read_generation(spark, state, 0), diff,
+                           GROUP_KEYS, _PARTIALS)
+        recon = recon.localCheckpoint(eager=True)
+        live = read_generation(spark, state, 1)
+        missing = live.exceptAll(recon).count()
+        phantom = recon.exceptAll(live).count()
+        if missing or phantom:
+            raise AssertionError(
+                f"apply_diff did not reconstruct generation 1: "
+                f"{missing} rows missing, {phantom} phantom rows")
+        return recon.select(F.col("day").cast("timestamp").alias("day"),
+                            "event_type", *_PARTIALS)
+
+
+CDF_APPLY_ROUNDTRIP_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       {_MICRO_SQL} AS sum_micro,
+       min(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micro,
+       max(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micro
+FROM events
+WHERE event_type != 'view' AND event_id % 7 != 0
+GROUP BY 1, 2
+"""
+
+
+# ===================== bloom-pruned point lookup from the manifest
+def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched point lookup planned ENTIRELY from manifest metadata: a
+    view-routed bucketed document state takes three bucket-preserving
+    appends (each accretes one file per bucket; every batch spans the
+    full doc_id domain, so min/max stats CANNOT prune across them),
+    and the manifest records a per-file Bloom bitmap at each commit
+    (incremental — only the new files' rows are read).  A ~n/13 probe
+    batch then plans its read as bucket-equi-join + bloom bit test:
+    every probe key is found (asserted — this also pins the
+    recomputed bucket-id arithmetic to Spark's own bucket hash),
+    candidates average ~1 file per probe instead of the whole bucket
+    (asserted < 2×), and the planned file set is a strict subset of
+    the table (asserted).  The final equi-join on doc_id keeps the
+    answer exact despite bloom false positives.  Oracle: the probed
+    rows straight off the documents table."""
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.core.bucketing import (
+        append_versioned,
+        init_versioned,
+    )
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "n_chars"))
+    nb = 8
+    with _temp_db(spark, "ldf_r10_bloomlk") as db:
+        view = f"{db}.docs"
+        init_versioned(spark, d.filter(F.col("doc_id") % 4 == 1),
+                       view, ["doc_id"], num_buckets=nb)
+        mf.write_manifest(spark, view, physical_table=f"{view}__g0",
+                          generation=0, bloom_col="doc_id")
+        for k in (2, 3, 0):
+            append_versioned(spark,
+                             d.filter(F.col("doc_id") % 4 == k)
+                             .repartition(nb, "doc_id"),
+                             view, ["doc_id"], num_buckets=nb)
+            # commit-time manifest refresh: already-recorded files keep
+            # their rows (and blooms); only the new files are read
+            mf.write_manifest(spark, view, physical_table=f"{view}__g0",
+                              generation=0, bloom_col="doc_id")
+        probes = d.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+        cand = mf.point_lookup_candidates(
+            spark, view, probes, "doc_id", num_buckets=nb,
+            generation=0).localCheckpoint(eager=True)
+        n_probes = probes.count()
+        n_found = cand.select("doc_id").distinct().count()
+        if n_found != n_probes:
+            raise AssertionError(
+                f"point lookup lost keys: {n_found}/{n_probes} probes "
+                "have a candidate file — bucket-id derivation broke")
+        n_pairs = cand.count()
+        if n_pairs >= 2 * n_probes:
+            raise AssertionError(
+                f"bloom did not prune: {n_pairs} candidate pairs for "
+                f"{n_probes} probes (bucket-only pruning would give "
+                f"~4 files per probe)")
+        n_files_total = (spark.table(mf.manifest_table(view))
+                         .filter(F.col("generation") == 0).count())
+        files = sorted({r["file"] for r in
+                        cand.select("file").distinct().collect()})
+        if not (0 < len(files) < n_files_total):
+            raise AssertionError(
+                f"planned {len(files)} of {n_files_total} files — "
+                "expected a strict subset")
+        rows = mf.read_from_manifest(spark, view, files,
+                                     schema=spark.table(view).schema)
+        out = (rows.join(F.broadcast(probes), "doc_id")
+               .select("doc_id", "lang", "n_chars"))
+        return out.localCheckpoint(eager=True)
+
+
+MANIFEST_BLOOM_LOOKUP_SQL = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+# ===================== cross-state takedown as ONE platform operation
+def takedown_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deletion request end to end: build all three text-side
+    serving states over ALL documents (minhash index, components
+    labelling from its pairs, BM25 postings), then remove the
+    doc_id % 10 == 0 set with ONE ``takedown_documents`` call —
+    deletes in the documented safe order with per-state snapshot
+    retention, then the takedown-compliant vacuum retires every
+    pre-delete generation.  The compliance audit
+    (``retained_occurrences``) then counts the deleted ids across
+    EVERY retained generation of EVERY touched view — zero everywhere,
+    and exactly one retained generation per view, both asserted.
+    Returns one row per state with its surviving cardinality
+    (minhash pair count, BM25 distinct docs, labelled nodes); the
+    oracle recomputes all three from documents MINUS the deleted set
+    — a row the cascade failed to remove (or over-removed) flips a
+    count."""
+    from legate_dataframe_spark.core.bucketing import list_generations
+    from legate_dataframe_spark.pipeline import dedup
+    from legate_dataframe_spark.pipeline.components import (
+        build_components_index,
+    )
+    from legate_dataframe_spark.pipeline.takedown import (
+        retained_occurrences,
+        takedown_documents,
+    )
+    from legate_dataframe_spark.pipeline.text import build_bm25_index
+
+    d = load_table(spark, sf_dir, "documents")
+    gone = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    with _temp_db(spark, "ldf_r10_takedown") as db:
+        idx, labels, bm = f"{db}.idx", f"{db}.labels", f"{db}.bm"
+        dedup.build_minhash_index(spark, d, idx,
+                                  num_hashes=_NUM_HASHES, bands=_BANDS)
+        pairs = dedup.minhash_pairs_from_index(
+            spark, idx, jaccard_threshold=0.5).select("id_a", "id_b")
+        build_components_index(spark, pairs, labels)
+        build_bm25_index(spark, d, bm)
+        views = takedown_documents(
+            spark, gone,
+            minhash_prefix=idx,
+            components_labels=labels,
+            pairs_among=lambda ids: dedup.minhash_pairs_from_index(
+                spark, idx, jaccard_threshold=0.5, restrict_ids=ids)
+            .select("id_a", "id_b"),
+            bm25_prefix=bm)
+        audit_cols = {f"{idx}_shingles": "id", f"{idx}_bands": "id",
+                      labels: "node", f"{bm}_postings": "doc_id"}
+        audit = retained_occurrences(spark, audit_cols, gone).collect()
+        leaks = [(r["state"], r["generation"], r["n_matching"])
+                 for r in audit if r["n_matching"] != 0]
+        if leaks:
+            raise AssertionError(
+                f"taken-down ids still present: {leaks}")
+        for v in views:
+            gens = list_generations(spark, v)
+            if len(gens) != 1:
+                raise AssertionError(
+                    f"{v} retains {gens} — compliance vacuum must "
+                    "leave exactly the live generation")
+        n_pairs = dedup.minhash_pairs_from_index(
+            spark, idx, jaccard_threshold=0.5).count()
+        n_docs = (spark.table(f"{bm}_postings")
+                  .select("doc_id").distinct().count())
+        n_nodes = spark.table(labels).count()
+        return spark.createDataFrame(
+            [("minhash_pairs", n_pairs), ("bm25_docs", n_docs),
+             ("components_nodes", n_nodes)], "state string, n long")
+
+
+def _takedown_cascade_sql() -> str:
+    filtered = _minhash_sql(
+        "(SELECT * FROM documents WHERE doc_id % 10 != 0)")
+    return rf"""
+WITH RECURSIVE pairs AS ({filtered}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+labels AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE doc_id % 10 != 0)
+SELECT 'minhash_pairs' AS state, count(*) AS n FROM pairs
+UNION ALL
+SELECT 'bm25_docs' AS state, count(DISTINCT doc_id) AS n FROM tok
+UNION ALL
+SELECT 'components_nodes' AS state, count(*) AS n FROM labels
+"""
+
+
+TAKEDOWN_CASCADE_SQL = _takedown_cascade_sql()
+
+
+# ===================== two-writer swap race, deterministic
+def swap_contention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concurrent-maintainer race run to completion: writer A
+    (the victim) merges batch A; a competing writer commits batch B
+    inside A's CAS window (injected deterministically via the
+    bucketing module's pre-CAS hook — the same window a cross-session
+    writer the per-view lock cannot see would land in).  A's first
+    attempt must raise ``ConcurrentSwapError`` (its ``__g1`` write was
+    overwritten and the view moved); the retry FACTORY then re-plans
+    A's merge against the new current generation, so the final state
+    carries corpus ∪ B ∪ A at generation 2 (attempts == 2 and the
+    generation both asserted).  The oracle is the full GROUP BY over
+    all events — a retry that re-applied a captured pre-race plan
+    (the lost-update bug the factory contract prevents) would drop
+    batch B and fail the hash."""
+    from legate_dataframe_spark.core import bucketing
+    from legate_dataframe_spark.core.bucketing import (
+        _view_generation,
+        init_versioned,
+        swap_versioned,
+        swap_versioned_retrying,
+    )
+    from legate_dataframe_spark.pipeline.rollup import (
+        _PARTIALS,
+        GROUP_KEYS,
+        event_partials,
+        incremental_rollup_update,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 >= 2)
+    batch_a = e.filter(F.col("event_id") % 10 == 0)
+    batch_b = e.filter(F.col("event_id") % 10 == 1)
+    with _temp_db(spark, "ldf_r10_race") as db:
+        view = f"{db}.state"
+        init_versioned(spark, event_partials(corpus), view,
+                       GROUP_KEYS, num_buckets=16)
+
+        def competitor() -> None:
+            # fires ONCE, inside the victim's CAS window; models a
+            # cross-session maintainer committing batch B first
+            bucketing._TEST_PRE_CAS_HOOK = None
+            swap_versioned(spark,
+                           incremental_rollup_update(spark, view,
+                                                     batch_b),
+                           view, GROUP_KEYS, num_buckets=16)
+
+        bucketing._TEST_PRE_CAS_HOOK = competitor
+        try:
+            attempts = swap_versioned_retrying(
+                spark,
+                lambda: incremental_rollup_update(spark, view, batch_a),
+                view, GROUP_KEYS, num_buckets=16)
+        finally:
+            bucketing._TEST_PRE_CAS_HOOK = None
+        if attempts != 2:
+            raise AssertionError(
+                f"expected the victim to lose once and win on retry, "
+                f"took {attempts} attempt(s)")
+        gen = _view_generation(spark, view)
+        if gen != 2:
+            raise AssertionError(
+                f"final generation {gen} != 2 — the retry did not "
+                "build on the competitor's commit")
+        return (spark.table(view)
+                .select(F.col("day").cast("timestamp").alias("day"),
+                        "event_type", *_PARTIALS)
+                .localCheckpoint(eager=True))
+
+
+SWAP_CONTENTION_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       {_MICRO_SQL} AS sum_micro,
+       min(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micro,
+       max(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micro
+FROM events
+GROUP BY 1, 2
+"""
