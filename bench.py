@@ -199,6 +199,13 @@ EXTRA = [
     "index_compaction_signal",
     "rollup_schema_evolution",
     "stream_manifest_chain",
+    # round-10 continuation: CDF apply, bloom point lookup, cross-
+    # state takedown, the two-writer race, substring-span dedup
+    "cdf_apply_roundtrip",
+    "manifest_bloom_lookup",
+    "takedown_cascade",
+    "swap_contention",
+    "substring_dup_spans",
 ]
 
 

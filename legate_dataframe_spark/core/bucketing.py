@@ -231,20 +231,28 @@ def _current_generation(spark: SparkSession, view_name: str,
 
 
 def _maybe_manifest(spark: SparkSession, view_name: str, gen: int,
-                    manifest: bool) -> None:
+                    manifest) -> None:
     """Record the generation's file manifest at commit time (opt-in:
     states that plan reads or maintenance signals from manifests pass
     ``manifest=True`` on every write; the default stays zero-overhead
     and writes none).  Keeping the manifest write INSIDE the same
     maintenance call is what prevents silent staleness — a manifest
-    that misses the live generation would plan empty reads."""
+    that misses the live generation would plan empty reads.
+
+    ``manifest`` may also be a DICT of ``write_manifest`` options
+    (``stats_col``, ``bloom_col``, ``bloom_bits``, …) so states that
+    plan range- or equality-pruned reads record their footer stats /
+    per-file blooms in the SAME commit — not as a separate step a
+    caller could forget (a bloom-less file in a point-lookup table
+    fails loudly at plan time rather than silently missing keys)."""
     if not manifest:
         return
     from legate_dataframe_spark.core import manifest as _mf
 
+    opts = manifest if isinstance(manifest, dict) else {}
     _mf.write_manifest(spark, view_name,
                        physical_table=f"{view_name}__g{gen}",
-                       generation=gen)
+                       generation=gen, **opts)
 
 
 def init_versioned(
@@ -254,7 +262,7 @@ def init_versioned(
     bucket_cols: Sequence[str],
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
-    manifest: bool = False,
+    manifest: bool | dict = False,
 ) -> None:
     """First generation of a VIEW-ROUTED bucketed table: the physical
     data lives in ``{view}__g{n}`` (bucketed — the spec rides on the
@@ -323,7 +331,7 @@ def append_versioned(
     bucket_cols: Sequence[str],
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
-    manifest: bool = False,
+    manifest: bool | dict = False,
 ) -> None:
     """Bucket-spec-preserving APPEND into the live generation — the
     O(batch) insert path of a view-routed index.  The append targets
@@ -370,7 +378,7 @@ def swap_versioned(
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
     keep_old: bool = False,
-    manifest: bool = False,
+    manifest: bool | dict = False,
 ) -> None:
     """ATOMIC generation swap (VERDICT r07 task 8): the plain
     :func:`replace_bucketed` drop+rename leaves a reader-visible gap

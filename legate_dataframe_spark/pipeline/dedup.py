@@ -890,3 +890,63 @@ def bloom_cross_corpus_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------
+# Exact-substring duplication spans (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499 —
+# the span-level signal document-level dedup misses: two documents
+# that are globally different can still share a long verbatim run,
+# and those runs are what LMs memorize).  Suffix arrays are the
+# single-node tool; the shuffle-native equivalent is fixed-length
+# token k-grams: a duplicated substring of length ≥ k contains a
+# duplicated k-gram, so k-gram coverage is a superset-marking of
+# every ≥k-token verbatim run shared across documents.
+
+def substring_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document coverage of CROSS-DOCUMENT duplicated k-token
+    spans: → (doc_id, n_tokens, covered_tokens, dup_ratio), where
+    covered_tokens counts token positions lying inside at least one
+    k-gram that also appears in ANOTHER document, and dup_ratio is
+    the memorization-risk fraction a span-level dedup pass would
+    remove.  Documents shorter than k tokens carry no k-grams and
+    score 0.
+
+    Scale shape: one narrow tokenize+shingle map (``word_shingles``
+    slices, evaluated once per doc), one groupBy shuffle on the
+    k-gram digest to find cross-doc duplicates (the only
+    corpus-sized exchange, partial-aggregated map-side), a semi-join
+    of the shingle stream against the duplicated-digest set (no
+    broadcast assumption — boilerplate digests can be corpus-scale),
+    and a bounded ×k position explode of ONLY the duplicated
+    shingles.  No suffix array, no all-pairs, nothing driver-side.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col),
+                       F.size(toks).cast("long").alias("n_tokens"),
+                       word_shingles(F.col(text_col), k).alias("sh"))
+    kg = (base.select(id_col, F.posexplode("sh").alias("off", "s"))
+          .select(id_col, (F.col("off") + 1).alias("pos"),
+                  F.md5("s").alias("dig")))
+    dup = (kg.groupBy("dig")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .filter(F.col("nd") > 1).select("dig"))
+    covered = (kg.join(dup, "dig", "left_semi")
+               .select(id_col, F.explode(F.sequence(
+                   F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("t"))
+               .distinct()
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("covered_tokens")))
+    return (base.select(id_col, "n_tokens")
+            .join(covered, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("covered_tokens", F.lit(0))
+                    .cast("long").alias("covered_tokens"))
+            .withColumn("dup_ratio",
+                        F.round(F.col("covered_tokens")
+                                / F.col("n_tokens"), 6)))

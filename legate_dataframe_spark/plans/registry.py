@@ -38,13 +38,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CAS-guarded swap, generation_diff schema evolution + null-safe
 # oracle), then the oldest stale-verification tranche: VERDICT r09
 # task 6 names the r05-greened block (TPC-H + core relational) —
-# 9 + 8 + 33 = exactly the 50-entry prefix (the round-10 block grew
-# to 9 with the continuation set: cdf_apply / bloom lookup /
-# takedown cascade / swap contention), leaving 16 r05 entries to
-# lead the post-boundary region (all hold green sf0.001 oracle-
-# parity tests and the sf0.01 strict-parity sweep) and rotate into
-# the r11 prefix first.  Later blocks are ordered by round of LAST
-# driver verification, oldest first.
+# 10 + 8 + 32 = exactly the 50-entry prefix (the round-10 block grew
+# to 10 with the continuation set: cdf_apply / bloom lookup /
+# takedown cascade / swap contention / substring spans), leaving 17
+# r05 entries to lead the post-boundary region (all hold green
+# sf0.001 oracle-parity tests and the sf0.01 strict-parity sweep)
+# and rotate into the r11 prefix first.  Later blocks are ordered by
+# round of LAST driver verification, oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-10 front: no driver row yet ---------------------------------
     # manifest-planned partitioned-rollup refresh: scan planning from
@@ -73,6 +73,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # two-writer race: CAS loser retries against the winner's commit
     "swap_contention": (r10b.swap_contention,
                         r10b.SWAP_CONTENTION_SQL),
+    # span-level exact-substring dedup signal (Lee et al. 2107.06499)
+    "substring_dup_spans": (r10b.substring_dup_spans_q,
+                            r10b.SUBSTRING_DUP_SPANS_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # the histogram (hist, bounds) pair is ONE versioned table now
     # (bounds denormalized onto the state rows); every rollup write-
@@ -131,9 +134,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
     "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
     "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
-    "join_left": (r.join_left, r.JOIN_LEFT_SQL),
     # ======================== 50-entry prefix boundary =====================
     # ---- r05 remainder (rotate into the r11 prefix first) ------------------
+    "join_left": (r.join_left, r.JOIN_LEFT_SQL),
     "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
     "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
     "join_full": (r.join_full, r.JOIN_FULL_SQL),

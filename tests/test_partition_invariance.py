@@ -50,6 +50,9 @@ REPRESENTATIVE = [
     "inverted_postings",     # df-band + collect_list (sorted render)
     "canonical_best_quality",# components + survivor window
     "rolling_zscore",        # trailing frames on total ordering
+    # round-10 continuation
+    "substring_dup_spans",   # digest groupBy + covered-position
+                             # distinct must not depend on layout
 ]
 
 

@@ -150,3 +150,97 @@ def test_retained_occurrences_empty_states_raises(spark):
     ids = spark.range(1).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError, match="no retained"):
         retained_occurrences(spark, {}, ids)
+
+
+# ------------------------------------------- substring dup spans
+def test_substring_dup_spans_known_overlap(spark):
+    from legate_dataframe_spark.pipeline.dedup import substring_dup_spans
+
+    shared = "one two three four"  # 4 tokens, k=3 → 2 shared 3-grams
+    docs = _df(spark, [
+        (1, f"alpha {shared} beta"),        # 6 tokens
+        (2, f"gamma delta {shared}"),       # 6 tokens
+        (3, "totally unrelated text here"),  # 4 tokens, no overlap
+        (4, "ab"),                           # 1 token < k → no kgrams
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["covered_tokens"],
+                         r["dup_ratio"])
+           for r in substring_dup_spans(docs, k=3).collect()}
+    # doc 1: shared 3-grams start at pos 2 and 3 → cover tokens 2..5
+    assert got[1] == (6, 4, round(4 / 6, 6))
+    # doc 2: shared 3-grams start at pos 3 and 4 → cover tokens 3..6
+    assert got[2] == (6, 4, round(4 / 6, 6))
+    assert got[3] == (4, 0, 0.0)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_substring_dup_spans_within_doc_repeat_not_counted(spark):
+    # the signal is CROSS-document: a doc repeating its own phrase
+    # (count>1, distinct docs==1) must not self-flag
+    from legate_dataframe_spark.pipeline.dedup import substring_dup_spans
+
+    docs = _df(spark, [(1, "x y z x y z"), (2, "p q r")],
+               "doc_id long, text string")
+    got = {r["doc_id"]: r["covered_tokens"]
+           for r in substring_dup_spans(docs, k=3).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+# --------------------------------- manifest opts ride the write API
+def test_versioned_writes_carry_bloom_manifest(spark, tmp_path):
+    from legate_dataframe_spark.core.bucketing import (
+        append_versioned,
+        init_versioned,
+        swap_versioned,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t10b_mopts "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t10b_mopts.s"
+        opts = {"bloom_col": "k"}
+        d = spark.range(40).select(F.col("id").alias("k"))
+        init_versioned(spark, d.filter(F.col("k") < 20), v, ["k"],
+                       num_buckets=2, manifest=opts)
+        append_versioned(spark,
+                         d.filter(F.col("k") >= 20).repartition(2, "k"),
+                         v, ["k"], num_buckets=2, manifest=opts)
+        cand = mf.point_lookup_candidates(spark, v, d, "k",
+                                          num_buckets=2, generation=0)
+        assert cand.select("k").distinct().count() == 40
+        # swap (compaction) re-records blooms for the new generation
+        swap_versioned(spark, spark.table(v), v, ["k"], num_buckets=2,
+                       manifest=opts)
+        cand2 = mf.point_lookup_candidates(spark, v, d, "k",
+                                           num_buckets=2, generation=1)
+        assert cand2.select("k").distinct().count() == 40
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t10b_mopts CASCADE")
+
+
+def test_apply_diff_empty_diff_is_identity(spark):
+    base = _df(spark, [("a", 1), ("b", 2)], "k string, n long")
+    diff = _df(spark, [], "k string, change_type string, old_n long, "
+                          "new_n long")
+    got = {tuple(r) for r in apply_diff(base, diff, ["k"], ["n"]).collect()}
+    assert got == {("a", 1), ("b", 2)}
+
+
+def test_apply_diff_all_deletes_empties_state(spark):
+    base = _df(spark, [("a", 1), ("b", 2)], "k string, n long")
+    diff = _df(spark, [("a", "delete", 1, None), ("b", "delete", 2, None)],
+               "k string, change_type string, old_n long, new_n long")
+    assert apply_diff(base, diff, ["k"], ["n"]).count() == 0
+
+
+def test_apply_diff_composite_keys(spark):
+    base = _df(spark, [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)],
+               "k1 string, k2 long, n long")
+    diff = _df(spark, [
+        ("a", 2, "update", 20, 99),
+        ("b", 1, "delete", 30, None),
+        ("c", 3, "insert", None, 7),
+    ], "k1 string, k2 long, change_type string, old_n long, new_n long")
+    got = {tuple(r) for r in
+           apply_diff(base, diff, ["k1", "k2"], ["n"]).collect()}
+    assert got == {("a", 1, 10), ("a", 2, 99), ("c", 3, 7)}
