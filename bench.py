@@ -206,6 +206,8 @@ EXTRA = [
     "takedown_cascade",
     "swap_contention",
     "substring_dup_spans",
+    "export_shards",
+    "rollup_timetravel_asof",
 ]
 
 

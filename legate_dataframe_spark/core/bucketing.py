@@ -263,6 +263,7 @@ def init_versioned(
     num_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
     manifest: bool | dict = False,
+    committed_at: str | None = None,
 ) -> None:
     """First generation of a VIEW-ROUTED bucketed table: the physical
     data lives in ``{view}__g{n}`` (bucketed — the spec rides on the
@@ -295,6 +296,11 @@ def init_versioned(
         from legate_dataframe_spark.core import manifest as _mf
 
         _mf.prune_manifest(spark, view_name, keep_generations=[g])
+    # a rebuild starts a fresh TIMELINE too: stale commit rows would
+    # AS-OF-resolve to generations the rebuild just retired
+    spark.sql(f"DROP TABLE IF EXISTS {view_name}__commits")
+    if committed_at is not None:
+        _record_commit(spark, view_name, g, committed_at)
 
 
 def _retire_legacy_table(spark: SparkSession, view_name: str) -> None:
@@ -379,6 +385,7 @@ def swap_versioned(
     sort_cols: Sequence[str] | None = None,
     keep_old: bool = False,
     manifest: bool | dict = False,
+    committed_at: str | None = None,
 ) -> None:
     """ATOMIC generation swap (VERDICT r07 task 8): the plain
     :func:`replace_bucketed` drop+rename leaves a reader-visible gap
@@ -456,6 +463,10 @@ def swap_versioned(
                   f"SELECT * FROM {nxt}")
         if cur >= 0 and not keep_old:
             spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{cur}")
+        # commit stamp AFTER the repoint: AS-OF must never resolve an
+        # unpublished generation (a CAS loser records nothing)
+        if committed_at is not None:
+            _record_commit(spark, view_name, cur + 1, committed_at)
 
 
 def swap_versioned_retrying(
@@ -589,6 +600,43 @@ def generation_diff(
                     *[f"new_{c}" for c in compare_cols]))
 
 
+def _record_commit(spark: SparkSession, view_name: str, gen: int,
+                   committed_at: str) -> None:
+    """Append (generation, committed_at) to ``{view}__commits`` — the
+    tiny timeline table :func:`read_asof` resolves against.  Written
+    AFTER the repoint publishes the generation (an unpublished
+    generation must not be AS-OF-resolvable); rows of vacuumed
+    generations are pruned on the vacuum cadence."""
+    (spark.createDataFrame(
+        [(gen, committed_at)], "generation long, committed_at string")
+     .select("generation",
+             F.col("committed_at").cast("timestamp").alias("committed_at"))
+     .write.format("parquet").mode("append")
+     .saveAsTable(f"{view_name}__commits"))
+
+
+def read_asof(spark: SparkSession, view_name: str, ts: str) -> DataFrame:
+    """TIME TRAVEL BY TIMESTAMP: the newest generation whose recorded
+    commit time is ≤ ``ts`` (a timestamp string) — the AS OF surface
+    table formats put on top of snapshot ids.  Requires the writes to
+    have been stamped (``committed_at=`` on init/swap); raises when no
+    commit is ≤ ``ts`` (the state did not exist yet) and propagates
+    the missing-table error when the resolved generation was already
+    vacuumed (retention decides how far back AS OF reaches — exactly
+    the snapshot-expiry semantics)."""
+    ct = f"{view_name}__commits"
+    rows = (spark.table(ct)
+            .filter(F.col("committed_at")
+                    <= F.lit(ts).cast("timestamp"))
+            .agg(F.max("generation").alias("g")).collect())
+    g = rows[0]["g"]
+    if g is None:
+        raise ValueError(
+            f"{view_name} has no generation committed at or before "
+            f"{ts}")
+    return read_generation(spark, view_name, int(g))
+
+
 def apply_diff(
     base: DataFrame,
     diff: DataFrame,
@@ -682,4 +730,16 @@ def vacuum_generations(spark: SparkSession, view_name: str,
         _mf.prune_manifest(spark, view_name,
                            keep_generations=[g for g in gens
                                              if g not in set(drop)])
+        # the AS-OF timeline shrinks with retention: commit rows of
+        # vacuumed generations are pruned so read_asof raises the
+        # clean "no generation at or before ts" instead of resolving
+        # to a dropped snapshot (snapshot-expiry semantics)
+        ct = f"{view_name}__commits"
+        if spark.catalog.tableExists(ct):
+            kept = [tuple(r) for r in spark.table(ct).collect()
+                    if r["generation"] not in set(drop)]
+            (spark.createDataFrame(
+                kept, "generation long, committed_at timestamp")
+             .write.format("parquet").mode("overwrite")
+             .saveAsTable(ct))
     return drop

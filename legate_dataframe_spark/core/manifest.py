@@ -423,6 +423,24 @@ def prune_manifest(
      .write.format("parquet").mode("overwrite").saveAsTable(mt))
 
 
+def dir_file_rows(dirpath: str) -> dict[str, int]:
+    """(path → footer row count) for every parquet file under a
+    directory — the commit-side accounting of an EXPORT: the writer
+    owns this one listing (it just wrote the files), and the counts
+    come from footers (metadata-only), never a data pass.  This is
+    how a shard export certifies its size-cap contract without
+    re-scanning what it wrote."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, int] = {}
+    for root, _dirs, files in os.walk(dirpath):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                out[p] = pq.ParquetFile(p).metadata.num_rows
+    return out
+
+
 def table_location(spark: SparkSession, table_name: str) -> str:
     """The table's filesystem location from the catalog (a metadata
     lookup, not a listing) — the basePath for partition-preserving

@@ -38,13 +38,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CAS-guarded swap, generation_diff schema evolution + null-safe
 # oracle), then the oldest stale-verification tranche: VERDICT r09
 # task 6 names the r05-greened block (TPC-H + core relational) —
-# 10 + 8 + 32 = exactly the 50-entry prefix (the round-10 block grew
-# to 10 with the continuation set: cdf_apply / bloom lookup /
-# takedown cascade / swap contention / substring spans), leaving 17
-# r05 entries to lead the post-boundary region (all hold green
-# sf0.001 oracle-parity tests and the sf0.01 strict-parity sweep)
-# and rotate into the r11 prefix first.  Later blocks are ordered by
-# round of LAST driver verification, oldest first.
+# 12 + 8 + 30 = exactly the 50-entry prefix (the round-10 block grew
+# to 12 with the continuation set: cdf_apply / bloom lookup /
+# takedown cascade / swap contention / substring spans / shard
+# export / AS-OF time travel), leaving 19 r05 entries to lead the
+# post-boundary region (all hold green sf0.001 oracle-parity tests
+# and the sf0.01 strict-parity sweep) and rotate into the r11 prefix
+# first.  Later blocks are ordered by round of LAST driver
+# verification, oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-10 front: no driver row yet ---------------------------------
     # manifest-planned partitioned-rollup refresh: scan planning from
@@ -76,6 +77,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # span-level exact-substring dedup signal (Lee et al. 2107.06499)
     "substring_dup_spans": (r10b.substring_dup_spans_q,
                             r10b.SUBSTRING_DUP_SPANS_SQL),
+    # size-bounded shard export, footer-certified, explicit-list read
+    "export_shards": (r10b.export_shards, r10b.EXPORT_SHARDS_SQL),
+    # AS-OF timestamp time travel over the stamped commit timeline
+    "rollup_timetravel_asof": (r10b.rollup_timetravel_asof,
+                               r10b.ROLLUP_TIMETRAVEL_ASOF_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # the histogram (hist, bounds) pair is ONE versioned table now
     # (bounds denormalized onto the state rows); every rollup write-
@@ -132,10 +138,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
     "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
     "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
-    "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
-    "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
     # ======================== 50-entry prefix boundary =====================
     # ---- r05 remainder (rotate into the r11 prefix first) ------------------
+    "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
+    "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
     "join_left": (r.join_left, r.JOIN_LEFT_SQL),
     "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
     "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),

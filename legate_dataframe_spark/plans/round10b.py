@@ -442,3 +442,149 @@ SELECT t.doc_id,
        round(coalesce(c.covered_tokens, 0) / len(t.ts), 6) AS dup_ratio
 FROM tokens t LEFT JOIN cov c USING (doc_id)
 """
+
+
+# ===================== size-bounded training-shard export
+def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST step of a training-data pipeline: export the corpus as
+    SIZE-BOUNDED shards a downstream loader can stream (trainers want
+    many same-sized files, not one file per Spark task).  The write
+    uses ``maxRecordsPerFile`` (each task rolls a new file at the
+    cap); the cap contract is then CERTIFIED from the files' own
+    footers — the one listing the writer owns, metadata-only, no
+    re-scan (asserted: every shard ≤ cap, shard count ≥ ⌈n/cap⌉) —
+    and the exported set is read back as an EXPLICIT file list (the
+    manifest pattern: a downstream loader gets file paths, not a
+    directory to walk).  Oracle: per-language doc count, char mass,
+    and id range over the source table — a dropped, truncated, or
+    doubled shard flips them."""
+    import math
+
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.sources.parquet import parquet_write
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", "lang", "n_chars"))
+    cap = 120
+    out_dir = tempfile.mkdtemp(prefix="ldf_r10_shards_")
+    try:
+        parquet_write(d.repartition(4), out_dir,
+                      max_records_per_file=cap)
+        rows = mf.dir_file_rows(out_dir)
+        if not rows:
+            raise AssertionError("export wrote no shards")
+        oversized = {p: n for p, n in rows.items() if n > cap}
+        if oversized:
+            raise AssertionError(
+                f"shards exceed the {cap}-row cap: {oversized}")
+        total = sum(rows.values())
+        if len(rows) < math.ceil(total / cap):
+            raise AssertionError(
+                f"{len(rows)} shards cannot hold {total} rows under "
+                f"the {cap}-row cap")
+        back = mf.read_from_manifest(spark, out_dir,
+                                     sorted(rows), schema=d.schema)
+        out = (back.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").alias("sum_chars"),
+                    F.min("doc_id").alias("min_doc"),
+                    F.max("doc_id").alias("max_doc")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+EXPORT_SHARDS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+"""
+
+
+# ===================== AS-OF timestamp time travel
+def rollup_timetravel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel BY TIMESTAMP over a stamped commit timeline — the
+    AS OF surface table formats put on top of snapshot ids: three
+    stamped generations (build Feb 1, fold batch A Feb 10, fold batch
+    B Feb 20), then ``read_asof('… Feb 15 …')`` must resolve the
+    Feb-10 snapshot (corpus ∪ A, the returned frame), an AS-OF before
+    the first commit must raise (the state did not exist), an AS-OF
+    after the last must equal the live view (asserted), and after a
+    keep_last=2 vacuum the Feb-1 snapshot's commit row is pruned so
+    the same early AS-OF now raises the clean no-generation error —
+    retention decides how far back AS OF reaches (snapshot expiry).
+    Oracle: full GROUP BY over corpus ∪ batch A."""
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        read_asof,
+        swap_versioned,
+        vacuum_generations,
+    )
+    from legate_dataframe_spark.pipeline.rollup import (
+        _PARTIALS,
+        GROUP_KEYS,
+        event_partials,
+        incremental_rollup_update,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 >= 2)
+    batch_a = e.filter(F.col("event_id") % 10 == 0)
+    batch_b = e.filter(F.col("event_id") % 10 == 1)
+    with _temp_db(spark, "ldf_r10_asof") as db:
+        view = f"{db}.state"
+        init_versioned(spark, event_partials(corpus), view, GROUP_KEYS,
+                       num_buckets=16,
+                       committed_at="2024-02-01 00:00:00")
+        swap_versioned(spark,
+                       incremental_rollup_update(spark, view, batch_a),
+                       view, GROUP_KEYS, num_buckets=16, keep_old=True,
+                       committed_at="2024-02-10 00:00:00")
+        swap_versioned(spark,
+                       incremental_rollup_update(spark, view, batch_b),
+                       view, GROUP_KEYS, num_buckets=16, keep_old=True,
+                       committed_at="2024-02-20 00:00:00")
+        try:
+            read_asof(spark, view, "2024-01-15 00:00:00")
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(
+                "AS-OF before the first commit must raise")
+        live_n = spark.table(view).count()
+        if read_asof(spark, view, "2024-03-01 00:00:00").count() \
+                != live_n:
+            raise AssertionError(
+                "AS-OF after the last commit must equal the live view")
+        mid = read_asof(spark, view, "2024-02-15 00:00:00")
+        mid = (mid.select(F.col("day").cast("timestamp").alias("day"),
+                          "event_type", *_PARTIALS)
+               .localCheckpoint(eager=True))  # BEFORE the vacuum
+        dropped = vacuum_generations(spark, view, keep_last=2)
+        if dropped != [0]:
+            raise AssertionError(
+                f"vacuum dropped {dropped}, expected [0]")
+        try:
+            read_asof(spark, view, "2024-02-05 00:00:00")
+        except ValueError:
+            pass  # the Feb-1 commit row was pruned with its snapshot
+        else:
+            raise AssertionError(
+                "AS-OF into vacuumed history must raise the clean "
+                "no-generation error")
+        return mid
+
+
+ROLLUP_TIMETRAVEL_ASOF_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       {_MICRO_SQL} AS sum_micro,
+       min(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micro,
+       max(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micro
+FROM events
+WHERE event_id % 10 >= 2 OR event_id % 10 = 0
+GROUP BY 1, 2
+"""

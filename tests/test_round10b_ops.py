@@ -244,3 +244,74 @@ def test_apply_diff_composite_keys(spark):
     got = {tuple(r) for r in
            apply_diff(base, diff, ["k1", "k2"], ["n"]).collect()}
     assert got == {("a", 1, 10), ("a", 2, 99), ("c", 3, 7)}
+
+
+# ----------------------------------------------- AS-OF time travel
+def test_read_asof_timeline_and_vacuum_pruning(spark, tmp_path):
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        read_asof,
+        swap_versioned,
+        vacuum_generations,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t10b_asof "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t10b_asof.s"
+        init_versioned(spark, _df(spark, [(1, 10)], "k long, n long"),
+                       v, ["k"], num_buckets=2,
+                       committed_at="2024-01-01 00:00:00")
+        swap_versioned(spark, _df(spark, [(1, 10), (2, 20)],
+                                  "k long, n long"),
+                       v, ["k"], num_buckets=2, keep_old=True,
+                       committed_at="2024-01-10 00:00:00")
+        # between the two commits → generation 0
+        assert read_asof(spark, v, "2024-01-05 00:00:00").count() == 1
+        # exactly AT a commit → that generation (inclusive bound)
+        assert read_asof(spark, v, "2024-01-10 00:00:00").count() == 2
+        # before history → clean error
+        with pytest.raises(ValueError, match="at or before"):
+            read_asof(spark, v, "2023-12-31 00:00:00")
+        # vacuum prunes the timeline with the snapshot
+        assert vacuum_generations(spark, v, keep_last=1) == [0]
+        with pytest.raises(ValueError, match="at or before"):
+            read_asof(spark, v, "2024-01-05 00:00:00")
+        assert read_asof(spark, v, "2024-02-01 00:00:00").count() == 2
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t10b_asof CASCADE")
+
+
+def test_init_versioned_restarts_commit_timeline(spark, tmp_path):
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        read_asof,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t10b_asof2 "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t10b_asof2.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2,
+                       committed_at="2024-01-01 00:00:00")
+        # REBUILD: the old timeline must not leak into the new one
+        init_versioned(spark, _df(spark, [(1, 1), (2, 2)],
+                                  "k long, n long"),
+                       v, ["k"], num_buckets=2,
+                       committed_at="2024-03-01 00:00:00")
+        with pytest.raises(ValueError, match="at or before"):
+            read_asof(spark, v, "2024-01-15 00:00:00")
+        assert read_asof(spark, v, "2024-03-02 00:00:00").count() == 2
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t10b_asof2 CASCADE")
+
+
+# ----------------------------------------------- shard export helper
+def test_dir_file_rows_counts_footers(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    (spark.range(100).repartition(2)
+     .write.option("maxRecordsPerFile", "30").parquet(out))
+    rows = mf.dir_file_rows(out)
+    assert sum(rows.values()) == 100
+    assert all(n <= 30 for n in rows.values())
