@@ -208,6 +208,7 @@ EXTRA = [
     "substring_dup_spans",
     "export_shards",
     "rollup_timetravel_asof",
+    "incremental_substring_spans",
 ]
 
 

@@ -694,7 +694,8 @@ def apply_diff(
 
 
 def vacuum_generations(spark: SparkSession, view_name: str,
-                       keep_last: int = 2) -> list[int]:
+                       keep_last: int = 2,
+                       older_than: str | None = None) -> list[int]:
     """Snapshot retention: drop all but the newest ``keep_last``
     RETAINED generations (``keep_last`` clamped to ≥1; the generation
     the stable view points at is never dropped).  Generations
@@ -712,12 +713,34 @@ def vacuum_generations(spark: SparkSession, view_name: str,
     caller, so it refuses to act when the view exists but its
     definition cannot be parsed to a generation — guessing from
     ``max(list_generations)`` there could name a crash orphan as
-    "current" and drop the generation the view actually serves."""
+    "current" and drop the generation the view actually serves.
+
+    ``older_than`` adds the TIME retention policy on top of the count
+    policy (table formats call the pair expire-snapshots: older-than
+    a timestamp, retaining at least N): a history generation is then
+    dropped only if it ALSO carries a commit stamp before
+    ``older_than``; unstamped generations are conservatively kept (a
+    time policy must not guess times).  Requires a stamped timeline
+    (``committed_at=`` on the writes).  Crash orphans are reclaimed
+    regardless — they are junk above the view pointer, not retained
+    history."""
     cur = _current_generation(spark, view_name, strict=True)
     gens = list_generations(spark, view_name)
     history = [g for g in gens if g <= cur]
     orphans = [g for g in gens if g > cur]
     drop = [g for g in history[:-max(1, keep_last)] if g != cur]
+    if older_than is not None:
+        ct = f"{view_name}__commits"
+        if not spark.catalog.tableExists(ct):
+            raise ValueError(
+                f"older_than vacuum needs a stamped timeline — "
+                f"{ct} does not exist (write with committed_at=)")
+        bound = (spark.table(ct)
+                 .filter(F.col("committed_at")
+                         < F.lit(older_than).cast("timestamp")))
+        old_enough = {r["generation"] for r in
+                      bound.select("generation").collect()}
+        drop = [g for g in drop if g in old_enough]
     drop += orphans
     for g in drop:
         spark.sql(f"DROP TABLE IF EXISTS {view_name}__g{g}")

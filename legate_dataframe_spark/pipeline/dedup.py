@@ -926,6 +926,16 @@ def substring_dup_spans(
     and a bounded ×k position explode of ONLY the duplicated
     shingles.  No suffix array, no all-pairs, nothing driver-side.
     """
+    base, kg = _doc_kgrams(docs, text_col, id_col, k)
+    dup = (kg.groupBy("dig")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .filter(F.col("nd") > 1).select("dig"))
+    return _span_coverage(base, kg, dup, id_col, k)
+
+
+def _doc_kgrams(docs, text_col: str, id_col: str, k: int):
+    """(per-doc sizes frame, positional k-gram digest stream) — the
+    shared front of the substring-span family."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col),
                        F.size(toks).cast("long").alias("n_tokens"),
@@ -933,10 +943,13 @@ def substring_dup_spans(
     kg = (base.select(id_col, F.posexplode("sh").alias("off", "s"))
           .select(id_col, (F.col("off") + 1).alias("pos"),
                   F.md5("s").alias("dig")))
-    dup = (kg.groupBy("dig")
-           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-           .filter(F.col("nd") > 1).select("dig"))
-    covered = (kg.join(dup, "dig", "left_semi")
+    return base, kg
+
+
+def _span_coverage(base, kg, dup_digs, id_col: str, k: int):
+    """Covered-token accounting over a duplicated-digest set — only
+    duplicated shingles pay the ×k position explode."""
+    covered = (kg.join(dup_digs, "dig", "left_semi")
                .select(id_col, F.explode(F.sequence(
                    F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("t"))
                .distinct()
@@ -950,3 +963,108 @@ def substring_dup_spans(
             .withColumn("dup_ratio",
                         F.round(F.col("covered_tokens")
                                 / F.col("n_tokens"), 6)))
+
+
+def build_substring_index(
+    spark,
+    corpus: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the corpus's k-gram digest state so incoming batches
+    get span-gated WITHOUT rescanning the corpus — the substring
+    twin of :func:`build_minhash_index`:
+
+    ``{prefix}_kgrams`` (dig, n_docs) — distinct-document count per
+    k-gram digest — bucketed+sorted on ``dig`` behind the versioned
+    view (``init_versioned``), so a batch's digest probe joins
+    straight into co-located buckets with no Exchange on the state
+    side.  n_docs (not mere presence) is stored so inserts FOLD
+    exactly (new count = old + batch distinct docs per digest) and a
+    future delete could decrement.  The O(corpus) shingle+count
+    shuffle is paid once here; each batch gate costs
+    O(batch k-grams + collisions)."""
+    from legate_dataframe_spark.core.bucketing import init_versioned
+
+    _, kg = _doc_kgrams(corpus, text_col, id_col, k)
+    counts = (kg.select("dig", id_col).distinct()
+              .groupBy("dig")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    init_versioned(spark, counts, f"{table_prefix}_kgrams", ["dig"],
+                   num_buckets=num_buckets)
+
+
+def batch_substring_spans(
+    spark,
+    batch: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Span coverage of BATCH documents against corpus ∪ batch, served
+    off the persisted k-gram index: a batch k-gram is duplicated iff
+    its digest exists in the index (some corpus document carries it)
+    OR ≥2 distinct batch documents share it (intra-batch duplication
+    — the class a corpus-only gate misses).  Output schema matches
+    :func:`substring_dup_spans` restricted to the batch, and for a
+    corpus-disjoint batch the numbers are IDENTICAL to the full
+    recompute over corpus ∪ batch — the equivalence the driver
+    oracle checks.
+
+    Scale shape: the index side is read in place (bucketed on dig —
+    the semi-join plans Exchange-free on the state side); only the
+    batch's digest stream shuffles; the corpus is never rescanned."""
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+
+    base, kg = _doc_kgrams(batch, text_col, id_col, k)
+    idx = read_bucketed(spark, f"{table_prefix}_kgrams").select("dig")
+    batch_digs = kg.select("dig", id_col).distinct()
+    in_corpus = (batch_digs.select("dig").distinct()
+                 .join(idx, "dig", "left_semi"))
+    intra_batch = (batch_digs.groupBy("dig")
+                   .agg(F.count(F.lit(1)).alias("nd"))
+                   .filter(F.col("nd") > 1).select("dig"))
+    dup = in_corpus.unionByName(intra_batch).distinct()
+    return _span_coverage(base, kg, dup, id_col, k)
+
+
+def insert_into_substring_index(
+    spark,
+    batch: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_buckets: int = 16,
+) -> None:
+    """Fold an admitted batch into the k-gram index: matched digests
+    add the batch's distinct-doc count, new digests insert — the
+    rollup-merge shape under the original ``dig`` bucket spec,
+    written back through the catalog-atomic ``swap_versioned`` (one
+    co-located pass over the index; the raw corpus is not
+    consulted)."""
+    from legate_dataframe_spark.core.bucketing import (
+        read_bucketed,
+        swap_versioned,
+    )
+
+    _, kg = _doc_kgrams(batch, text_col, id_col, k)
+    b = (kg.select("dig", id_col).distinct()
+         .groupBy("dig")
+         .agg(F.count(F.lit(1)).cast("long").alias("b_docs"))
+         .localCheckpoint(eager=True))
+    name = f"{table_prefix}_kgrams"
+    idx = read_bucketed(spark, name)
+    merged = (idx.join(b, "dig", "left")
+              .select("dig", (F.col("n_docs")
+                              + F.coalesce("b_docs", F.lit(0)))
+                      .cast("long").alias("n_docs")))
+    inserts = (b.join(idx.select("dig"), "dig", "left_anti")
+               .select("dig", F.col("b_docs").cast("long")
+                       .alias("n_docs")))
+    swap_versioned(spark, merged.unionByName(inserts), name, ["dig"],
+                   num_buckets=num_buckets)

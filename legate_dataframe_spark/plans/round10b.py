@@ -588,3 +588,76 @@ FROM events
 WHERE event_id % 10 >= 2 OR event_id % 10 = 0
 GROUP BY 1, 2
 """
+
+
+# ===================== incremental substring-span gate + index fold
+def incremental_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-span signal as an INGEST GATE: the corpus's
+    k-gram digests are a persisted bucketed index (build paid once);
+    a disjoint batch is span-gated against corpus ∪ batch WITHOUT
+    rescanning the corpus — duplicated iff the digest is in the index
+    or shared by ≥2 batch docs.  The gate's state-side semi-join must
+    read ``Bucketed: true`` with broadcast disabled (asserted).  The
+    admitted batch then FOLDS into the index through the atomic swap,
+    and the folded index is asserted row-identical to a fresh build
+    over corpus ∪ batch (exceptAll both ways — the exact-fold law).
+    Oracle: the full substring_dup_spans recompute over ALL documents,
+    restricted to the batch — for a corpus-disjoint batch the gate's
+    numbers are identical by construction."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        _doc_kgrams,
+        batch_substring_spans,
+        build_substring_index,
+        insert_into_substring_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    with _temp_db(spark, "ldf_r10_substr") as db:
+        idx = f"{db}.idx"
+        build_substring_index(spark, corpus, idx, k=8)
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_abs = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # pin the bucketed scan ON (autoBucketedScan may drop it
+            # when the session's shuffle-partition count disagrees
+            # with the bucket count — the co-location claim is about
+            # the LAYOUT, so assert it with the scan pinned, exactly
+            # as _write_generation pins it for writes)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false")
+            out = batch_substring_spans(spark, batch, idx, k=8)
+            plan = _plan_of(out)
+            if "Bucketed: true" not in plan:
+                raise AssertionError(
+                    "substring gate did not read the k-gram index "
+                    "bucket-aware:\n" + plan)
+            out = out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           prev_bc)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                prev_abs)
+        insert_into_substring_index(spark, batch, idx, k=8)
+        # exact-fold law: folded index == fresh build over corpus∪batch
+        _, kg_all = _doc_kgrams(d, "text", "doc_id", 8)
+        fresh = (kg_all.select("dig", "doc_id").distinct()
+                 .groupBy("dig")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+        folded = spark.table(f"{idx}_kgrams")
+        a = folded.exceptAll(fresh).count()
+        b = fresh.exceptAll(folded).count()
+        if a or b:
+            raise AssertionError(
+                f"index fold drifted from a fresh build: "
+                f"{a} extra, {b} missing digest rows")
+        return out
+
+
+INCREMENTAL_SUBSTRING_SPANS_SQL = (
+    f"SELECT * FROM ({SUBSTRING_DUP_SPANS_SQL}) WHERE doc_id % 10 = 0")

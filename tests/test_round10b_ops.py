@@ -315,3 +315,96 @@ def test_dir_file_rows_counts_footers(spark, tmp_path):
     rows = mf.dir_file_rows(out)
     assert sum(rows.values()) == 100
     assert all(n <= 30 for n in rows.values())
+
+
+def test_vacuum_older_than_time_policy(spark, tmp_path):
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        list_generations,
+        swap_versioned,
+        vacuum_generations,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t10b_expire "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t10b_expire.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2,
+                       committed_at="2024-01-01 00:00:00")
+        for i, ts in enumerate(["2024-01-10 00:00:00",
+                                "2024-01-20 00:00:00"]):
+            swap_versioned(spark,
+                           _df(spark, [(1, 1), (2 + i, 2)],
+                               "k long, n long"),
+                           v, ["k"], num_buckets=2, keep_old=True,
+                           committed_at=ts)
+        # count policy alone would drop g0; time policy says only
+        # generations committed before Jan 5 may go → exactly g0
+        assert vacuum_generations(spark, v, keep_last=1,
+                                  older_than="2024-01-05 00:00:00") \
+            == [0]
+        # nothing else is old enough — a second time-bounded vacuum
+        # is a no-op even though keep_last=1 would drop g1
+        assert vacuum_generations(spark, v, keep_last=1,
+                                  older_than="2024-01-05 00:00:00") \
+            == []
+        assert list_generations(spark, v) == [1, 2]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t10b_expire CASCADE")
+
+
+def test_vacuum_older_than_requires_timeline(spark, tmp_path):
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        vacuum_generations,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t10b_expire2 "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t10b_expire2.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2)  # unstamped
+        with pytest.raises(ValueError, match="stamped timeline"):
+            vacuum_generations(spark, v, keep_last=1,
+                               older_than="2024-01-05 00:00:00")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t10b_expire2 CASCADE")
+
+
+# ------------------------------------- substring index lifecycle
+def test_substring_index_gate_matches_full_recompute(spark, tmp_path):
+    from legate_dataframe_spark.pipeline.dedup import (
+        batch_substring_spans,
+        build_substring_index,
+        substring_dup_spans,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t10b_ssidx "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        corpus = _df(spark, [
+            (1, "a b c d e f"),
+            (2, "z y x w v u"),
+        ], "doc_id long, text string")
+        # batch doc 10 shares a run with corpus doc 1; batch docs 11
+        # and 12 share a run only with EACH OTHER (intra-batch)
+        batch = _df(spark, [
+            (10, "q q a b c d q"),
+            (11, "m n o p r s"),
+            (12, "t m n o p h"),
+        ], "doc_id long, text string")
+        build_substring_index(spark, corpus, "t10b_ssidx.i", k=3,
+                              num_buckets=2)
+        got = {r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+               for r in batch_substring_spans(
+                   spark, batch, "t10b_ssidx.i", k=3).collect()}
+        full = {r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+                for r in substring_dup_spans(
+                    corpus.unionByName(batch), k=3).collect()
+                if r["doc_id"] >= 10}
+        assert got == full
+        assert got[10][1] > 0 and got[11][1] > 0  # both classes fire
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t10b_ssidx CASCADE")
