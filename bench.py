@@ -209,6 +209,7 @@ EXTRA = [
     "export_shards",
     "rollup_timetravel_asof",
     "incremental_substring_spans",
+    "stream_substring_chain",
 ]
 
 

@@ -654,10 +654,14 @@ def apply_diff(
     (``apply_diff(old, diff(old, new)) == new``) is the algebraic
     check that the two sides agree on change semantics.
 
-    Scale shape: the diff is CHANGE-sized, so the anti-join's right
-    side broadcasts and the base is read in place (bucketed base ⇒
-    co-located, Exchange-free); cost is O(base scanned + changes),
-    never a join shuffle of the state.
+    Scale shape: the diff is CHANGE-sized; AQE broadcasts the
+    anti-join's right side when it is small, and when a refresh
+    rewrote everything (a change set as large as the state) the
+    bucketed base still joins IN PLACE on its own bucket spec — no
+    FORCED broadcast hint here, because "change-sized" is usually
+    small but is not a bound, and a forced broadcast of a state-sized
+    delete set is an executor OOM.  Cost is O(base scanned +
+    changes), never a shuffle of the base.
 
     Schema evolution: a ``compare_cols`` column ABSENT from the base
     (it was added by the swap being applied) is null-filled on the
@@ -689,7 +693,7 @@ def apply_diff(
                 .select(*keys, *[F.col(f"new_{c}").alias(c)
                                  for c in compare_cols]))
     kept = (base.select(*keys, *vals)
-            .join(F.broadcast(gone), list(keys), "left_anti"))
+            .join(gone, list(keys), "left_anti"))
     return kept.unionByName(incoming)
 
 

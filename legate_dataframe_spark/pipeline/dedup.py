@@ -1068,3 +1068,33 @@ def insert_into_substring_index(
                        .alias("n_docs")))
     swap_versioned(spark, merged.unionByName(inserts), name, ["dig"],
                    num_buckets=num_buckets)
+
+
+def append_substring_delta(
+    spark,
+    batch: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_buckets: int = 16,
+) -> None:
+    """O(batch) admit path for the k-gram index: append the batch's
+    (dig, n_docs) PARTIAL rows into the live generation
+    (bucket-spec-preserving ``append_versioned``) instead of
+    rewriting the index.  Safe by the index's read contracts: the
+    GATE (:func:`batch_substring_spans`) tests digest MEMBERSHIP
+    (left-semi), which duplicate dig rows cannot change, and exact
+    counts are mergeable partials (sum per dig).  The swap-based
+    :func:`insert_into_substring_index` is the COMPACTION of this
+    path — run it on the files-per-bucket signal, exactly like any
+    other append-accreting state."""
+    from legate_dataframe_spark.core.bucketing import append_versioned
+
+    _, kg = _doc_kgrams(batch, text_col, id_col, k)
+    delta = (kg.select("dig", id_col).distinct()
+             .groupBy("dig")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+    append_versioned(spark, delta.repartition(num_buckets, "dig"),
+                     f"{table_prefix}_kgrams", ["dig"],
+                     num_buckets=num_buckets)

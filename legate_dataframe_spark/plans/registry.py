@@ -38,11 +38,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # CAS-guarded swap, generation_diff schema evolution + null-safe
 # oracle), then the oldest stale-verification tranche: VERDICT r09
 # task 6 names the r05-greened block (TPC-H + core relational) —
-# 13 + 8 + 29 = exactly the 50-entry prefix (the round-10 block grew
-# to 13 with the continuation set: cdf_apply / bloom lookup /
+# 14 + 8 + 28 = exactly the 50-entry prefix (the round-10 block grew
+# to 14 with the continuation set: cdf_apply / bloom lookup /
 # takedown cascade / swap contention / substring spans + their
-# incremental index form / shard export / AS-OF time travel),
-# leaving 20 r05 entries to lead the
+# incremental and STREAMING index forms / shard export / AS-OF time
+# travel), leaving 21 r05 entries to lead the
 # post-boundary region (all hold green sf0.001 oracle-parity tests
 # and the sf0.01 strict-parity sweep) and rotate into the r11 prefix
 # first.  Later blocks are ordered by round of LAST driver
@@ -86,6 +86,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # substring gate off the persisted k-gram index + exact fold
     "incremental_substring_spans": (r10b.incremental_substring_spans,
                                     r10b.INCREMENTAL_SUBSTRING_SPANS_SQL),
+    # streaming substring gate: O(batch) delta admits, stage-ordered
+    "stream_substring_chain": (r10b.stream_substring_chain,
+                               r10b.STREAM_SUBSTRING_CHAIN_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # the histogram (hist, bounds) pair is ONE versioned table now
     # (bounds denormalized onto the state rows); every rollup write-
@@ -140,9 +143,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cube_orders": (r.cube_orders, r.CUBE_SQL),
     "grouping_sets_mix": (r.grouping_sets_mix, r.GROUPING_SETS_SQL),
     "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
-    "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
     # ======================== 50-entry prefix boundary =====================
     # ---- r05 remainder (rotate into the r11 prefix first) ------------------
+    "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
     "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
     "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
     "join_inner": (r.join_inner, r.JOIN_INNER_SQL),

@@ -86,8 +86,9 @@ def cdf_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruct generation 1 EXACTLY — asserted in-query with
     exceptAll in both directions, and the reconstruction itself is
     the returned frame the oracle recomputes from raw events.  Scale
-    shape: the diff is change-sized and broadcasts into one anti-join
-    against the bucketed base — the state never shuffles."""
+    shape: the diff is change-sized — AQE broadcasts it into the
+    anti-join when small, and the bucketed base joins in place
+    otherwise; the state never shuffles."""
     from legate_dataframe_spark.core.bucketing import (
         apply_diff,
         generation_diff,
@@ -661,3 +662,149 @@ def incremental_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCREMENTAL_SUBSTRING_SPANS_SQL = (
     f"SELECT * FROM ({SUBSTRING_DUP_SPANS_SQL}) WHERE doc_id % 10 = 0")
+
+
+# ===================== streaming substring gate + O(batch) admit
+def stream_substring_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring gate as a CLOSED streaming loop — the span twin
+    of ``stream_dedup_chain``: three staged micro-batches each get
+    span-gated against corpus ∪ earlier batches off the persisted
+    k-gram index, then ADMITTED via the O(batch) delta append
+    (``append_substring_delta`` — partial (dig, n_docs) rows into the
+    live generation; the gate is membership-based, so partials serve
+    it unchanged, and the swap-based fold is this path's COMPACTION).
+    Batch i therefore flags spans shared with corpus ∪ batches<i,
+    plus intra-batch duplication — duplicates ARRIVING WITHIN the
+    stream are caught.  After the drain, the index's aggregated
+    counts are asserted row-identical to a fresh build over
+    corpus ∪ all batches (the exact-fold law over partials).
+    Exactly-once rig carries the r07 lessons: batch_id markers,
+    per-batch overwrite output dirs, per-trigger relation-cache
+    refresh of the live physical generation.  Oracle: stage-ordered
+    span semantics in SQL — a batch k-gram is duplicated iff its
+    digest occurs at a LOWER stage (corpus = −1) or ≥2 distinct docs
+    share it at the SAME stage."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from legate_dataframe_spark.core.bucketing import (
+        current_generation_table,
+    )
+    from legate_dataframe_spark.pipeline.dedup import (
+        _doc_kgrams,
+        append_substring_delta,
+        batch_substring_spans,
+        build_substring_index,
+    )
+    from legate_dataframe_spark.plans.round4 import _stage_single_file
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    todays = d.filter(F.col("doc_id") % 10 == 0)
+    with _temp_db(spark, "ldf_r10_sschain") as db:
+        idx = f"{db}.idx"
+        build_substring_index(spark, corpus, idx, k=8)
+        stage = tempfile.mkdtemp(prefix="ldf_r10_sschain_stage_")
+        outdir = tempfile.mkdtemp(prefix="ldf_r10_sschain_out_")
+        ck = tempfile.mkdtemp(prefix="ldf_r10_sschain_ck_")
+        try:
+            now = _time.time()
+            for i in range(3):
+                _stage_single_file(
+                    todays.filter(
+                        F.floor(F.col("doc_id") / 10) % 3 == i),
+                    stage, f"b{i}.parquet", now - 300 + i * 100)
+            stream = (spark.readStream.schema(todays.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(stage))
+
+            def gate_and_admit(batch_df: DataFrame,
+                               batch_id: int) -> None:
+                done = _os.path.join(ck, f"ldf_batch_{batch_id}.done")
+                if _os.path.exists(done):
+                    return
+                sess = batch_df.sparkSession
+                sess.catalog.refreshTable(
+                    current_generation_table(sess, f"{idx}_kgrams"))
+                frozen = batch_df.localCheckpoint(eager=True)
+                (batch_substring_spans(sess, frozen, idx, k=8)
+                 .write.mode("overwrite")
+                 .parquet(_os.path.join(outdir, f"b{batch_id}")))
+                append_substring_delta(sess, frozen, idx, k=8)
+                open(done, "w").close()
+
+            q = (stream.writeStream.outputMode("append")
+                 .foreachBatch(gate_and_admit)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError("stream_substring_chain drain > 300s")
+            parts = sorted(_glob.glob(f"{outdir}/b*"))
+            if len(parts) != 3:
+                raise AssertionError(
+                    f"expected 3 drained batches, saw {parts}")
+            # exact-fold law over partials: aggregated index counts ==
+            # a fresh build over corpus ∪ all admitted batches
+            spark.catalog.refreshTable(
+                current_generation_table(spark, f"{idx}_kgrams"))
+            folded = (spark.table(f"{idx}_kgrams")
+                      .groupBy("dig")
+                      .agg(F.sum("n_docs").cast("long").alias("n_docs")))
+            _, kg_all = _doc_kgrams(d, "text", "doc_id", 8)
+            fresh = (kg_all.select("dig", "doc_id").distinct()
+                     .groupBy("dig")
+                     .agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_docs")))
+            a = folded.exceptAll(fresh).count()
+            b = fresh.exceptAll(folded).count()
+            if a or b:
+                raise AssertionError(
+                    f"streamed delta folds drifted from a fresh "
+                    f"build: {a} extra, {b} missing digest rows")
+            out = spark.read.parquet(*parts)
+            return (out.select("doc_id", "n_tokens", "covered_tokens",
+                               "dup_ratio")
+                    .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(outdir, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_SUBSTRING_CHAIN_SQL = r"""
+WITH staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 != 0 THEN -1
+              ELSE CAST((CAST(floor(doc_id / 10) AS BIGINT) % 3) AS INT)
+         END AS stage,
+         string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+kg AS (
+  SELECT doc_id, stage, i AS pos,
+         md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM staged, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+per_dig AS (SELECT dig, min(stage) AS min_stage FROM kg GROUP BY dig),
+per_ds AS (SELECT dig, stage, count(DISTINCT doc_id) AS nd
+           FROM kg GROUP BY dig, stage),
+dup_ds AS (
+  SELECT ds.dig, ds.stage
+  FROM per_ds ds JOIN per_dig pd USING (dig)
+  WHERE ds.stage >= 0
+    AND (ds.stage > pd.min_stage OR ds.nd >= 2)),
+cover AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN dup_ds USING (dig, stage),
+  unnest(generate_series(0, 7)) AS o(off)),
+cov AS (SELECT doc_id, count(*) AS covered_tokens FROM cover
+        GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(c.covered_tokens, 0) / len(s.ts), 6) AS dup_ratio
+FROM staged s LEFT JOIN cov c USING (doc_id)
+WHERE s.stage >= 0
+"""
