@@ -1,6 +1,7 @@
 """Round-10 continuation queries — the platform-closure set.
 
-Four capabilities that close loops the earlier rounds opened:
+Nine entries that close loops the earlier rounds opened.  The first
+four:
 
 - ``cdf_apply_roundtrip`` — the CONSUMER half of the change-data
   feed: ``generation_diff`` produces a diff, ``apply_diff`` applies
@@ -31,6 +32,14 @@ Four capabilities that close loops the earlier rounds opened:
   against the NEW current generation — so BOTH batches land.  A
   captured-DataFrame retry (the bug the factory contract exists to
   prevent) would lose the competitor's batch and fail the oracle.
+
+Then the rest of the set: ``substring_dup_spans`` (span-level
+exact-substring dedup), ``incremental_substring_spans`` (the same
+signal as an ingest gate off a persisted k-gram index, with the
+exact-fold law), ``stream_substring_chain`` (its streaming form with
+O(batch) delta admits), ``export_shards`` (size-bounded shard export
+certified from its own footers), and ``rollup_timetravel_asof``
+(AS-OF timestamp time travel over the stamped commit timeline).
 
 Catalog hygiene matches round-7..10: uuid-suffixed session-temp
 databases dropped (CASCADE) before returning.
