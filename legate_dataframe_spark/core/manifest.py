@@ -58,10 +58,26 @@ from pyspark.sql import functions as F
 # optional per-file Bloom bitmap (array<long>, see write_manifest's
 # bloom_col) for EQUALITY pruning — point lookups skip files whose
 # bloom provably lacks the key, the case min/max ranges cannot prune
-# when every append batch spans the full key domain.
+# when every append batch spans the full key domain.  ``bloom_bits``
+# and ``bloom_hashes`` record the bitmap's OWN parameters (ADVICE
+# r10): probe positions computed under different parameters would
+# index the wrong bitmap words and silently miss keys — the one
+# failure class a pruning plan must not have — so the planner reads
+# the recorded values instead of trusting a caller to repeat them.
 MANIFEST_SCHEMA = ("generation long, part string, bucket_id int, "
                    "file string, n_rows long, min_key string, "
-                   "max_key string, bloom array<long>")
+                   "max_key string, bloom array<long>, "
+                   "bloom_bits int, bloom_hashes int")
+
+# columns in MANIFEST_SCHEMA — legacy rows persisted under a narrower
+# schema (7 cols pre-bloom, 8 pre-bloom-params) are padded with
+# trailing NULLs when a refresh/prune rewrites them (ADVICE r10: the
+# widened schema must not strand existing manifests)
+_MANIFEST_NCOLS = 10
+
+
+def _pad_row(t: tuple) -> tuple:
+    return t + (None,) * (_MANIFEST_NCOLS - len(t))
 
 _BUCKET_RE = re.compile(r"_(\d{5})\.c\d{3}")
 
@@ -234,9 +250,9 @@ def write_manifest(
     if spark.catalog.tableExists(mt):
         for r in spark.table(mt).collect():
             if r["generation"] != generation:
-                keep.append(tuple(r))
+                keep.append(_pad_row(tuple(r)))
             elif parts is not None and r["part"] not in set(parts):
-                keep.append(tuple(r))
+                keep.append(_pad_row(tuple(r)))
             else:
                 # same generation + in scope: data files are immutable
                 # once written (parquet parts never change in place),
@@ -244,10 +260,24 @@ def write_manifest(
                 # an APPEND's refresh only reads the NEW files'
                 # footers, keeping per-append manifest cost O(new
                 # files), not O(generation)
-                known[r["file"]] = tuple(r)
+                known[r["file"]] = _pad_row(tuple(r))
     fresh = [p for p in paths
              if p not in known
              and (parts is None or _part_of(p) in set(parts))]
+    if bloom_col is not None:
+        # an append refresh must not mix bloom parameters within a
+        # generation — probe positions are computed ONCE per lookup,
+        # so mixed-parameter bitmaps would silently miss keys; fail
+        # at write time, where the caller can fix the options
+        clash = {(r[8], r[9]) for r in known.values()
+                 if r[8] is not None
+                 and (r[8], r[9]) != (bloom_bits, bloom_hashes)}
+        if clash:
+            raise ValueError(
+                f"manifest of {table_name} generation {generation} "
+                f"already records bloom params {sorted(clash)} — "
+                f"refusing to append files under "
+                f"({bloom_bits}, {bloom_hashes})")
     blooms: dict[str, list[int]] = {}
     if bloom_col is not None and fresh:
         blooms = _file_blooms(spark, fresh, bloom_col,
@@ -266,7 +296,9 @@ def write_manifest(
         bloom = (blooms.get(path, [0] * (bloom_bits // 64))
                  if bloom_col is not None else None)
         rows.append((generation, part, bucket, path, n_rows, mn, mx,
-                     bloom))
+                     bloom,
+                     bloom_bits if bloom_col is not None else None,
+                     bloom_hashes if bloom_col is not None else None))
     out = spark.createDataFrame(keep + rows, MANIFEST_SCHEMA)
     out.write.format("parquet").mode("overwrite").saveAsTable(mt)
     return len(rows)
@@ -304,8 +336,6 @@ def point_lookup_candidates(
     key_col: str,
     num_buckets: int,
     generation: int | None = None,
-    bloom_bits: int = 1 << 12,
-    bloom_hashes: int = 3,
 ) -> DataFrame:
     """PLAN a batched point lookup: (key, candidate file) pairs for a
     probe-key frame against a BUCKETED table's bloom-carrying
@@ -334,17 +364,45 @@ def point_lookup_candidates(
 
     Raises when any in-scope manifest row lacks a bloom or bucket id
     (a silent pass-through would MISS keys in those files — the one
-    failure class a pruning plan must not have)."""
+    failure class a pruning plan must not have).  Probe positions are
+    computed under the bloom parameters the manifest RECORDED (ADVICE
+    r10: caller-supplied parameters that differ from what
+    write_manifest used would index the wrong bitmap words — an
+    out-of-range ``element_at`` reads NULL, the filter drops the row,
+    and keys silently vanish, violating the no-false-negative
+    contract); mixed or unrecorded parameters raise instead of
+    pruning wrong."""
     m = spark.table(manifest_table(table_name))
     if generation is not None:
         m = m.filter(F.col("generation") == generation)
-    bad = m.filter(F.col("bloom").isNull()
-                   | F.col("bucket_id").isNull()).count()
+    rows = (m.select("bloom", "bucket_id", "bloom_bits", "bloom_hashes",
+                     F.size("bloom").alias("__nwords")).collect())
+    if not rows:
+        raise ValueError(
+            f"manifest of {table_name} has no rows in scope "
+            f"(generation={generation}) — was the write made with "
+            f"manifest options?")
+    bad = sum(1 for r in rows
+              if r["bloom"] is None or r["bucket_id"] is None)
     if bad:
         raise ValueError(
             f"{bad} manifest row(s) of {table_name} lack a bloom or "
             f"bucket id — point lookup needs every file covered "
             f"(write_manifest with bloom_col on a bucketed layout)")
+    params = {(r["bloom_bits"], r["bloom_hashes"]) for r in rows}
+    if len(params) != 1 or None in next(iter(params)):
+        raise ValueError(
+            f"manifest of {table_name} records bloom params "
+            f"{sorted(params)} — point lookup needs ONE recorded "
+            f"(bloom_bits, bloom_hashes) pair (legacy manifests "
+            f"predate the recording: re-run write_manifest)")
+    (bloom_bits, bloom_hashes) = next(iter(params))
+    wrong = sum(1 for r in rows if r["__nwords"] * 64 != bloom_bits)
+    if wrong:
+        raise ValueError(
+            f"{wrong} bloom bitmap(s) of {table_name} disagree with "
+            f"the recorded bloom_bits={bloom_bits} — manifest is "
+            f"corrupt; re-run write_manifest")
     p = probes.select(
         F.col(key_col),
         F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets))
@@ -417,7 +475,7 @@ def prune_manifest(
     mt = manifest_table(table_name)
     if not spark.catalog.tableExists(mt):
         return
-    rows = [tuple(r) for r in spark.table(mt).collect()
+    rows = [_pad_row(tuple(r)) for r in spark.table(mt).collect()
             if r["generation"] in set(keep_generations)]
     (spark.createDataFrame(rows, MANIFEST_SCHEMA)
      .write.format("parquet").mode("overwrite").saveAsTable(mt))

@@ -25,13 +25,13 @@ four:
   deleted ids across EVERY retained generation of EVERY touched view
   and must read zero everywhere.
 
-- ``swap_contention`` — the two-writer race made deterministic: a
-  competing maintainer commits inside the victim's CAS window (via
-  the module's injection point), the victim's first attempt raises
-  ``ConcurrentSwapError``, and the retry loop re-plans its merge
-  against the NEW current generation — so BOTH batches land.  A
-  captured-DataFrame retry (the bug the factory contract exists to
-  prevent) would lose the competitor's batch and fail the oracle.
+- ``swap_contention`` — the two-writer race made deterministic,
+  under the r11 commit-marker CAS: a competitor racing inside the
+  victim's claim-to-publish window loses AT CLAIM TIME (before its
+  own generation write; the claimed slot is never overwritten), then
+  retries cleanly against the victim's commit — so BOTH batches
+  land.  A captured-DataFrame retry (the bug the factory contract
+  exists to prevent) would lose a batch and fail the oracle.
 
 Then the rest of the set: ``substring_dup_spans`` (span-level
 exact-substring dedup), ``incremental_substring_spans`` (the same
@@ -187,8 +187,15 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # manifest options ride INSIDE every versioned write (the
         # commit-time contract): already-recorded files keep their
         # rows and blooms; each append's refresh reads only the new
-        # files' rows
-        blooms = {"bloom_col": "doc_id"}
+        # files' rows.  bloom_bits is sized from EXPECTED rows per
+        # file (~10 bits/key ≈ 1% fp with 3 hashes — ADVICE r10: a
+        # fixed 4096-bit bitmap saturates as rows-per-file grow with
+        # sf, and a saturated bloom prunes nothing), so the
+        # ~1-candidate-per-probe assertion below holds at ANY table
+        # size; 4 batches × nb one-file-per-bucket writes
+        per_file = max(1, d.count() // (4 * nb))
+        bits = max(1 << 12, -64 * (-(10 * per_file) // 64))
+        blooms = {"bloom_col": "doc_id", "bloom_bits": bits}
         init_versioned(spark, d.filter(F.col("doc_id") % 4 == 1),
                        view, ["doc_id"], num_buckets=nb,
                        manifest=blooms)
@@ -335,21 +342,26 @@ TAKEDOWN_CASCADE_SQL = _takedown_cascade_sql()
 
 # ===================== two-writer swap race, deterministic
 def swap_contention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The concurrent-maintainer race run to completion: writer A
-    (the victim) merges batch A; a competing writer commits batch B
-    inside A's CAS window (injected deterministically via the
-    bucketing module's pre-CAS hook — the same window a cross-session
-    writer the per-view lock cannot see would land in).  A's first
-    attempt must raise ``ConcurrentSwapError`` (its ``__g1`` write was
-    overwritten and the view moved); the retry FACTORY then re-plans
-    A's merge against the new current generation, so the final state
-    carries corpus ∪ B ∪ A at generation 2 (attempts == 2 and the
-    generation both asserted).  The oracle is the full GROUP BY over
-    all events — a retry that re-applied a captured pre-race plan
-    (the lost-update bug the factory contract prevents) would drop
-    batch B and fail the hash."""
+    """The concurrent-maintainer race under the r11 COMMIT-MARKER CAS
+    (an O_EXCL marker file per generation — a true cross-session
+    compare-and-swap on a posix warehouse, claimed BEFORE the
+    generation write): writer A merges batch A and claims the
+    ``g1`` slot; a competitor fires inside A's window (via the
+    bucketing module's injection hook — the same window a
+    cross-session writer the per-view lock cannot see would land in)
+    and must lose AT CLAIM TIME with ``ConcurrentSwapError`` — before
+    paying its own generation write, and without ever overwriting A's
+    claimed ``__g1`` slot (the r10 residual this closes: under the
+    pointer-recheck-only CAS both writers wrote the same physical
+    slot and the loser's data could be published under the winner's
+    repoint).  A then publishes g1; the competitor's RETRY re-plans
+    its merge against A's commit and lands g2 — so BOTH batches land
+    (the loss message, the retry's single clean attempt, and the
+    final generation all asserted).  The oracle is the full GROUP BY
+    over all events — a lost batch on either side fails the hash."""
     from legate_dataframe_spark.core import bucketing
     from legate_dataframe_spark.core.bucketing import (
+        ConcurrentSwapError,
         _view_generation,
         init_versioned,
         swap_versioned,
@@ -370,33 +382,48 @@ def swap_contention(spark: SparkSession, sf_dir: str) -> DataFrame:
         view = f"{db}.state"
         init_versioned(spark, event_partials(corpus), view,
                        GROUP_KEYS, num_buckets=16)
+        losses: list[str] = []
 
         def competitor() -> None:
-            # fires ONCE, inside the victim's CAS window; models a
-            # cross-session maintainer committing batch B first
+            # fires ONCE, inside the victim's claim-to-publish
+            # window; models a cross-session maintainer racing the
+            # same slot — the marker must reject it pre-write
             bucketing._TEST_PRE_CAS_HOOK = None
-            swap_versioned(spark,
-                           incremental_rollup_update(spark, view,
-                                                     batch_b),
-                           view, GROUP_KEYS, num_buckets=16)
+            try:
+                swap_versioned(spark,
+                               incremental_rollup_update(spark, view,
+                                                         batch_b),
+                               view, GROUP_KEYS, num_buckets=16)
+            except ConcurrentSwapError as ex:
+                losses.append(str(ex))
 
         bucketing._TEST_PRE_CAS_HOOK = competitor
         try:
-            attempts = swap_versioned_retrying(
-                spark,
-                lambda: incremental_rollup_update(spark, view, batch_a),
-                view, GROUP_KEYS, num_buckets=16)
+            swap_versioned(spark,
+                           incremental_rollup_update(spark, view,
+                                                     batch_a),
+                           view, GROUP_KEYS, num_buckets=16)
         finally:
             bucketing._TEST_PRE_CAS_HOOK = None
-        if attempts != 2:
+        if len(losses) != 1 or "claimed" not in losses[0]:
             raise AssertionError(
-                f"expected the victim to lose once and win on retry, "
-                f"took {attempts} attempt(s)")
+                f"competitor should have lost at marker-claim time, "
+                f"got: {losses}")
+        if _view_generation(spark, view) != 1:
+            raise AssertionError(
+                "victim's publish did not land at generation 1")
+        attempts = swap_versioned_retrying(
+            spark,
+            lambda: incremental_rollup_update(spark, view, batch_b),
+            view, GROUP_KEYS, num_buckets=16)
+        if attempts != 1:
+            raise AssertionError(
+                f"post-race retry should be clean, took {attempts}")
         gen = _view_generation(spark, view)
         if gen != 2:
             raise AssertionError(
                 f"final generation {gen} != 2 — the retry did not "
-                "build on the competitor's commit")
+                "build on the victim's commit")
         return (spark.table(view)
                 .select(F.col("day").cast("timestamp").alias("day"),
                         "event_type", *_PARTIALS)

@@ -41,14 +41,32 @@ def temp_db(spark, stem):
         shutil.rmtree(loc, ignore_errors=True)
 
 
+@pytest.fixture
+def no_markers():
+    """Model a NON-POSIX warehouse (r11): commit markers off, so the
+    pointer recheck is the only CAS — the semantics these r10 tests
+    pin.  Marker-mode races are covered in test_round11_ops.py."""
+    from legate_dataframe_spark.core import bucketing
+
+    bucketing._COMMIT_MARKERS = False
+    yield
+    bucketing._COMMIT_MARKERS = True
+
+
 # ============================== CAS-guarded generation repoint
-def test_concurrent_swap_loser_raises_not_lost(spark):
+def test_concurrent_swap_loser_raises_not_lost(spark, no_markers):
     """VERDICT r09 task 2, deterministic form: writer A resolves the
     current generation, writes its next generation, and — via the
     test hook that fires between the write and the CAS recheck — a
     competing writer B commits a full swap.  A must raise
     ConcurrentSwapError instead of silently repointing over B's
-    commit, and the view must serve B's data afterwards."""
+    commit, and the view must serve B's data afterwards.
+
+    r11: commit markers are disabled for this test — it pins the
+    POINTER-RECHECK semantics, which is the only CAS on non-posix
+    warehouses (object stores have no O_EXCL); with markers on the
+    competitor would lose at claim time instead (see
+    test_round11_ops.py for that path)."""
     from legate_dataframe_spark.core import bucketing
     from legate_dataframe_spark.core.bucketing import (
         ConcurrentSwapError,
@@ -142,7 +160,7 @@ def test_two_thread_swap_race_never_loses_silently(spark):
         assert len(raised) <= 1  # at least one writer committed
 
 
-def test_swap_retry_replans_against_new_generation(spark):
+def test_swap_retry_replans_against_new_generation(spark, no_markers):
     """swap_versioned_retrying takes a DataFrame FACTORY: after losing
     a race it re-plans the merge against the winner's generation —
     here the merge increments the state's counter, so a retry that

@@ -365,7 +365,10 @@ def test_vacuum_older_than_requires_timeline(spark, tmp_path):
     try:
         v = "t10b_expire2.s"
         init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
-                       v, ["k"], num_buckets=2)  # unstamped
+                       v, ["k"], num_buckets=2)
+        # r11: every publish default-stamps, so a missing timeline
+        # only exists on LEGACY state — simulate one by dropping it
+        spark.sql(f"DROP TABLE IF EXISTS {v}__commits")
         with pytest.raises(ValueError, match="stamped timeline"):
             vacuum_generations(spark, v, keep_last=1,
                                older_than="2024-01-05 00:00:00")

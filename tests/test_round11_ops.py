@@ -1,0 +1,367 @@
+"""Round-11 units: ADVICE-r10 fixes (null-safe apply_diff, recorded
+bloom params, legacy-manifest padding, the empty-dict manifest gate),
+default commit stamps, commit-marker CAS, substring span REMOVAL, and
+the streaming CDF mirror."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.core import manifest as mf
+from legate_dataframe_spark.core.bucketing import apply_diff
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------- null-safe apply_diff
+def test_apply_diff_null_key_roundtrip(spark, tmp_path):
+    """ADVICE r10: generation_diff's outer join emits a NULL-key
+    refresh as a delete+insert pair; a plain-equality anti-join never
+    matches the delete, so the base's NULL-key row survived AND the
+    insert re-added it.  The null-safe anti-join must reconstruct the
+    new generation exactly on NULL-slice rows."""
+    from legate_dataframe_spark.core.bucketing import (
+        generation_diff,
+        init_versioned,
+        read_generation,
+        swap_versioned,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_nullkey "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t11_nullkey.s"
+        g0 = _df(spark, [(None, 10), (1, 20)], "k long, n long")
+        g1 = _df(spark, [(None, 99), (1, 20), (2, 30)],
+                 "k long, n long")
+        init_versioned(spark, g0, v, ["k"], num_buckets=2)
+        swap_versioned(spark, g1, v, ["k"], num_buckets=2,
+                       keep_old=True)
+        diff = generation_diff(spark, v, 0, 1, ["k"], ["n"])
+        recon = apply_diff(read_generation(spark, v, 0), diff,
+                           ["k"], ["n"])
+        got = sorted(recon.collect(),
+                     key=lambda r: (r["k"] is None, r["k"]))
+        assert [tuple(r) for r in got] == [(1, 20), (2, 30), (None, 99)]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_nullkey CASCADE")
+
+
+def test_apply_diff_null_key_pure_delete(spark):
+    base = _df(spark, [(None, 1), (7, 2)], "k long, n long")
+    diff = _df(spark, [(None, "delete", 1, None)],
+               "k long, change_type string, old_n long, new_n long")
+    got = {tuple(r) for r in
+           apply_diff(base, diff, ["k"], ["n"]).collect()}
+    assert got == {(7, 2)}
+
+
+# ------------------------------------ recorded bloom params (ADVICE)
+def test_point_lookup_uses_recorded_bloom_params(spark, tmp_path):
+    """The probe positions must come from what write_manifest
+    RECORDED, not caller-repeated parameters — a non-default
+    bloom_bits manifest still finds every key."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_bp "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        t = "t11_bp.t"
+        nb = 4
+        d = spark.range(300).select(F.col("id").alias("k"))
+        (d.repartition(nb, "k").write.format("parquet")
+         .bucketBy(nb, "k").sortBy("k").saveAsTable(t))
+        mf.write_manifest(spark, t, generation=0, bloom_col="k",
+                          bloom_bits=1 << 10, bloom_hashes=5)
+        man = spark.table(mf.manifest_table(t)).collect()
+        assert {(r["bloom_bits"], r["bloom_hashes"]) for r in man} \
+            == {(1 << 10, 5)}
+        cand = mf.point_lookup_candidates(spark, t, d, "k",
+                                          num_buckets=nb)
+        assert cand.select("k").distinct().count() == 300
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_bp CASCADE")
+
+
+def test_point_lookup_rejects_unrecorded_or_mixed_params(spark,
+                                                         tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_bp2 "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        t = "t11_bp2.t"
+        d = spark.range(40).select(F.col("id").alias("k"))
+        (d.repartition(2, "k").write.format("parquet")
+         .bucketBy(2, "k").sortBy("k").saveAsTable(t))
+        mf.write_manifest(spark, t, generation=0, bloom_col="k")
+        # simulate a legacy manifest: NULL out the recorded params
+        legacy = [tuple(r)[:8] + (None, None)
+                  for r in spark.table(mf.manifest_table(t)).collect()]
+        (spark.createDataFrame(legacy, mf.MANIFEST_SCHEMA)
+         .write.format("parquet").mode("overwrite")
+         .saveAsTable(mf.manifest_table(t)))
+        with pytest.raises(ValueError, match="bloom params"):
+            mf.point_lookup_candidates(spark, t, d, "k", num_buckets=2)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_bp2 CASCADE")
+
+
+def test_write_manifest_rejects_param_change_within_generation(
+        spark, tmp_path):
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_bp3 "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        t = "t11_bp3.t"
+        d = spark.range(40).select(F.col("id").alias("k"))
+        (d.repartition(2, "k").write.format("parquet")
+         .bucketBy(2, "k").sortBy("k").saveAsTable(t))
+        mf.write_manifest(spark, t, generation=0, bloom_col="k",
+                          bloom_bits=1 << 12)
+        (d.repartition(2, "k").write.format("parquet").mode("append")
+         .bucketBy(2, "k").sortBy("k").saveAsTable(t))
+        with pytest.raises(ValueError, match="refusing to append"):
+            mf.write_manifest(spark, t, generation=0, bloom_col="k",
+                              bloom_bits=1 << 13)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_bp3 CASCADE")
+
+
+# ---------------------------------- legacy-manifest schema migration
+def test_write_manifest_pads_legacy_seven_column_rows(spark, tmp_path):
+    """A manifest persisted under the pre-bloom 7-column schema must
+    survive the next refresh (ADVICE r10: no migration path meant a
+    schema/length crash)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_legacy "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        t = "t11_legacy.t"
+        d = spark.range(20).select(F.col("id").alias("k"))
+        (d.repartition(2, "k").write.format("parquet")
+         .bucketBy(2, "k").sortBy("k").saveAsTable(t))
+        # hand-write a 7-column legacy manifest under generation 0
+        legacy_schema = ("generation long, part string, bucket_id int, "
+                         "file string, n_rows long, min_key string, "
+                         "max_key string")
+        (spark.createDataFrame(
+            [(0, None, 0, "/old/file.parquet", 5, None, None)],
+            legacy_schema)
+         .write.format("parquet").mode("overwrite")
+         .saveAsTable(mf.manifest_table(t)))
+        # refresh for generation 1 must keep the legacy row, padded
+        n = mf.write_manifest(spark, t, generation=1)
+        assert n == 2
+        rows = {r["generation"]: r
+                for r in spark.table(mf.manifest_table(t)).collect()}
+        assert rows[0]["bloom"] is None
+        assert rows[0]["bloom_bits"] is None
+        assert rows[0]["file"] == "/old/file.parquet"
+        # prune keeps padding too
+        mf.prune_manifest(spark, t, keep_generations=[0, 1])
+        assert spark.table(mf.manifest_table(t)).count() == 3
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_legacy CASCADE")
+
+
+# ------------------------------------------ default commit stamps
+def test_asof_works_on_unstamped_writes(spark, tmp_path):
+    """VERDICT r10 task 3: a state that never passed ``committed_at``
+    must still be AS-OF-readable — every publish default-stamps with
+    the engine clock."""
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        read_asof,
+        swap_versioned,
+        vacuum_generations,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_stamp "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t11_stamp.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        swap_versioned(spark, _df(spark, [(1, 1), (2, 2)],
+                                  "k long, n long"),
+                       v, ["k"], num_buckets=2, keep_old=True)
+        # far future resolves the live generation
+        assert read_asof(spark, v, "9999-01-01 00:00:00").count() == 2
+        # before the state existed → the clean no-generation error
+        with pytest.raises(ValueError, match="at or before"):
+            read_asof(spark, v, "2000-01-01 00:00:00")
+        # the time-retention policy works on default stamps too
+        assert vacuum_generations(spark, v, keep_last=1,
+                                  older_than="9999-01-01 00:00:00") \
+            == [0]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_stamp CASCADE")
+
+
+def test_explicit_stamp_still_overrides(spark, tmp_path):
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        read_asof,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_stamp2 "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t11_stamp2.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2,
+                       committed_at="2024-05-01 00:00:00")
+        assert read_asof(spark, v, "2024-05-02 00:00:00").count() == 1
+        with pytest.raises(ValueError, match="at or before"):
+            read_asof(spark, v, "2024-04-30 00:00:00")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_stamp2 CASCADE")
+
+
+# ------------------------------------------ commit-marker CAS (r11)
+def _race_claim(args):
+    """Top-level for multiprocessing: wait at the barrier, then try
+    the O_EXCL claim — returns whether THIS process won."""
+    path, barrier = args
+    from legate_dataframe_spark.core.bucketing import _try_create_marker
+
+    barrier.wait(timeout=30)
+    return _try_create_marker(path)
+
+
+def test_marker_claim_two_process_race_single_winner(tmp_path):
+    """VERDICT r10 task 5: the commit primitive raced across real
+    PROCESSES — exactly one writer wins the claim per slot, zero
+    double-claims over every trial."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    n_workers, n_trials = 6, 10
+    for trial in range(n_trials):
+        path = str(tmp_path / f"g{trial}.commit")
+        with ctx.Manager() as mgr:
+            barrier = mgr.Barrier(n_workers)
+            with ctx.Pool(n_workers) as pool:
+                wins = pool.map(_race_claim,
+                                [(path, barrier)] * n_workers)
+        assert sum(wins) == 1, (trial, wins)
+
+
+def test_swap_loses_at_claim_when_marker_held(spark, tmp_path):
+    """An in-flight cross-session writer holds the g1 marker: the
+    swap must raise ConcurrentSwapError BEFORE paying its generation
+    write, and the slot must stay untouched."""
+    import os
+
+    from legate_dataframe_spark.core.bucketing import (
+        ConcurrentSwapError,
+        _marker_path,
+        init_versioned,
+        list_generations,
+        swap_versioned,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_mk "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t11_mk.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        p = _marker_path(spark, v, 1)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").close()  # fresh claim by "another session"
+        with pytest.raises(ConcurrentSwapError, match="claimed"):
+            swap_versioned(spark, _df(spark, [(1, 2)],
+                                      "k long, n long"),
+                           v, ["k"], num_buckets=2)
+        # loser never wrote: g1 was not created
+        assert list_generations(spark, v) == [0]
+        # competitor "crashes" long ago → stale reclaim lets the
+        # next swap through
+        os.utime(p, (1, 1))
+        swap_versioned(spark, _df(spark, [(1, 2)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        assert spark.table(v).collect()[0]["n"] == 2
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_mk CASCADE")
+
+
+def test_failed_swap_releases_unpublished_marker(spark, tmp_path):
+    import os
+
+    from legate_dataframe_spark.core import bucketing
+    from legate_dataframe_spark.core.bucketing import (
+        _marker_path,
+        init_versioned,
+        swap_versioned,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_mk2 "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t11_mk2.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+
+        def boom():
+            raise RuntimeError("mid-swap crash")
+
+        bucketing._TEST_PRE_CAS_HOOK = boom
+        try:
+            with pytest.raises(RuntimeError, match="mid-swap"):
+                swap_versioned(spark, _df(spark, [(1, 2)],
+                                          "k long, n long"),
+                               v, ["k"], num_buckets=2)
+        finally:
+            bucketing._TEST_PRE_CAS_HOOK = None
+        # the unpublished claim was released — the slot is free
+        assert not os.path.exists(_marker_path(spark, v, 1))
+        swap_versioned(spark, _df(spark, [(1, 3)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        assert spark.table(v).collect()[0]["n"] == 3
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_mk2 CASCADE")
+
+
+def test_published_generation_keeps_marker_and_vacuum_clears(
+        spark, tmp_path):
+    import os
+
+    from legate_dataframe_spark.core.bucketing import (
+        _marker_path,
+        init_versioned,
+        swap_versioned,
+        vacuum_generations,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_mk3 "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t11_mk3.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        swap_versioned(spark, _df(spark, [(1, 2)], "k long, n long"),
+                       v, ["k"], num_buckets=2, keep_old=True)
+        assert os.path.exists(_marker_path(spark, v, 1))
+        swap_versioned(spark, _df(spark, [(1, 3)], "k long, n long"),
+                       v, ["k"], num_buckets=2, keep_old=True)
+        dropped = vacuum_generations(spark, v, keep_last=1)
+        assert dropped == [0, 1]
+        assert not os.path.exists(_marker_path(spark, v, 1))
+        assert os.path.exists(_marker_path(spark, v, 2))
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_mk3 CASCADE")
+
+
+# --------------------------------------- empty-dict manifest opt-in
+def test_empty_dict_manifest_options_still_writes(spark, tmp_path):
+    from legate_dataframe_spark.core.bucketing import init_versioned
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_mgate "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t11_mgate.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2, manifest={})
+        assert spark.catalog.tableExists(mf.manifest_table(v))
+        assert spark.table(mf.manifest_table(v)).count() >= 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_mgate CASCADE")
