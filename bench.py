@@ -210,7 +210,20 @@ EXTRA = [
     "rollup_timetravel_asof",
     "incremental_substring_spans",
     "stream_substring_chain",
+    # round-11 additions: the deduplicated corpus (span removal),
+    # AS-OF over default stamps, the streaming CDF mirror
+    "substring_span_removal",
+    "asof_unstamped_default",
+    "stream_cdf_apply_chain",
 ]
+
+# quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22
+# recorded) and the contention threshold above which a snapshot must
+# not silently become a cross-round diff base (VERDICT r10 task 6:
+# the r10 driver headline froze a 0.2403-sentinel epoch with two
+# iterative queries at 3-6x their quiet numbers)
+QUIET_SENTINEL_SEC = 0.14
+CONTENDED_FACTOR = 1.3
 
 
 def contention_sentinel(reps: int = 3) -> float:
@@ -347,9 +360,14 @@ def run_all() -> None:
         sf_num: float | str = float(sf)
     except ValueError:
         sf_num = sf
+    ledger_sentinel = contention_sentinel()
     record = {"metric": "all_queries_seconds_single_run", "unit": "sec",
               "sf": sf_num, "queries": times,
-              "sentinel_sec": contention_sentinel(), **_run_tags()}
+              "sentinel_sec": ledger_sentinel,
+              "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
+              "contended": ledger_sentinel
+              > CONTENDED_FACTOR * QUIET_SENTINEL_SEC,
+              **_run_tags()}
     with open(out_path, "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -404,6 +422,21 @@ def main() -> None:
         times[name] = round(min(run(name) for _ in range(nruns)), 3)
         release_caches()
 
+    # contention hygiene (VERDICT r10 task 6): if the box was
+    # contended during the headline pass, auto-rerun the headline
+    # once more (min folds in — a quiet rerun replaces inflated
+    # rows; a still-contended rerun changes nothing and the snapshot
+    # gets TAGGED so cross-round diffs exclude it by code, not by
+    # hand)
+    sentinel_mid = contention_sentinel()
+    contended_rerun = sentinel_mid > CONTENDED_FACTOR * QUIET_SENTINEL_SEC
+    if contended_rerun:
+        print(f"contended headline pass (sentinel {sentinel_mid}); "
+              f"re-running headline once", file=sys.stderr, flush=True)
+        for name in HEADLINE:
+            times[name] = round(min(times[name], run(name)), 3)
+            release_caches()
+
     # round-2 additions, reported separately so the headline total stays
     # comparable against BASELINE.md's 21-query suite
     extra: dict[str, float] = {}
@@ -422,10 +455,14 @@ def main() -> None:
                                 os.path.join(os.path.dirname(
                                     os.path.abspath(__file__)),
                                     "BENCH_EXTRAS.json"))
+    extras_sentinel = contention_sentinel()
     extras_record = {"metric": "extra_queries_seconds", "unit": "sec",
                      "sf": sf_num if sf_num is not None else sf,
                      "queries": extra,
-                     "sentinel_sec": contention_sentinel(),
+                     "sentinel_sec": extras_sentinel,
+                     "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
+                     "contended": extras_sentinel
+                     > CONTENDED_FACTOR * QUIET_SENTINEL_SEC,
                      **_run_tags()}
     with open(extras_out, "w") as fh:
         json.dump(extras_record, fh, indent=1, sort_keys=True)
@@ -440,6 +477,7 @@ def main() -> None:
         fh.write(json.dumps(extras_record, sort_keys=True) + "\n")
     print(json.dumps({"metric": "extra_queries_seconds",
                       "unit": "sec", "queries": extra}))
+    final_sentinel = contention_sentinel()
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
@@ -450,7 +488,14 @@ def main() -> None:
         # reference harness metric shape (join.py:158-166): inner-join
         # throughput over 2×2^24-row float64 tables, unique keys.
         "join_gibs": join_throughput_gibs(spark),
-        "sentinel_sec": contention_sentinel(),
+        "sentinel_sec": final_sentinel,
+        "sentinel_mid_sec": sentinel_mid,
+        "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
+        "contended_rerun": contended_rerun,
+        # a contended snapshot self-EXCLUDES from cross-round diff
+        # bases (the BASELINE.md cross-epoch rule, applied by code)
+        "contended": min(final_sentinel, sentinel_mid)
+        > CONTENDED_FACTOR * QUIET_SENTINEL_SEC,
     }))
 
 

@@ -965,6 +965,94 @@ def _span_coverage(base, kg, dup_digs, id_col: str, k: int):
                                 / F.col("n_tokens"), 6)))
 
 
+def remove_dup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Materialize the DEDUPLICATED CORPUS — each document's text with
+    every cross-document duplicated span CUT (Lee et al.,
+    arXiv:2107.06499 §4: the paper's tool rewrites the corpus; the
+    dup_ratio signal alone is not the artifact a training pipeline
+    feeds the tokenizer).  → (doc_id, n_tokens, removed_tokens,
+    kept_tokens, dup_ratio, text_clean), where ``text_clean`` is the
+    whitespace-normalized token stream minus every position covered by
+    a k-gram that also appears in ANOTHER document.  Overlapping and
+    adjacent duplicated spans merge for free — coverage is a property
+    of POSITIONS, not of span records — and ``k`` is the minimum span
+    guard: no run shorter than k tokens is ever cut.
+    ``removed_tokens`` equals :func:`substring_dup_spans`'s
+    ``covered_tokens`` by construction (both derive from the same
+    covered-position set), so the accounting reconciles exactly with
+    the dup_ratio signal.
+
+    Scale shape: the k-gram digest groupBy is the one corpus-sized
+    exchange (shared with the signal query); only duplicated shingles
+    pay the ×k position explode; and only TOUCHED documents (those
+    with ≥1 covered position — a small fraction of a mostly-clean
+    corpus) pay the per-token explode → anti-join → ordered rebuild.
+    Untouched documents take a narrow JVM map (tokenize + re-join) and
+    never shuffle.  Nothing is driver-side; no suffix array, no
+    all-pairs."""
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("ts"))
+    _, kg = _doc_kgrams(docs, text_col, id_col, k)
+    dup = (kg.groupBy("dig")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .filter(F.col("nd") > 1).select("dig"))
+    covered = (kg.join(dup, "dig", "left_semi")
+               .select(id_col, F.explode(F.sequence(
+                   F.col("pos"), F.col("pos") + F.lit(k - 1)))
+                   .alias("pos"))
+               .distinct())
+    touched = covered.select(id_col).distinct()
+    removed = (covered.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long")
+                    .alias("removed_tokens")))
+    # touched docs: explode to (pos, tok), drop covered positions,
+    # rebuild the residual text in position order (array_sort on the
+    # collected (pos, tok) structs — collect_list order is not
+    # guaranteed, the sort is what makes the rebuild exact)
+    tok_stream = (toks.join(touched, id_col, "left_semi")
+                  .select(id_col, F.posexplode("ts")
+                          .alias("off", "tok"))
+                  .select(id_col, (F.col("off") + 1).alias("pos"),
+                          "tok"))
+    kept_stream = tok_stream.join(covered, [id_col, "pos"],
+                                  "left_anti")
+    rebuilt = (kept_stream.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("pos", "tok"))).alias("a"))
+               .select(id_col, F.array_join(
+                   F.transform("a", lambda s: s["tok"]), " ")
+                   .alias("text_clean")))
+    meta = toks.select(id_col,
+                       F.size("ts").cast("long").alias("n_tokens"),
+                       "ts")
+    touched_out = (meta.join(removed, id_col)
+                   .join(rebuilt, id_col, "left")
+                   .select(id_col, "n_tokens", "removed_tokens",
+                           # a fully-covered doc has no kept tokens
+                           # and therefore no rebuilt row: empty text
+                           F.coalesce("text_clean", F.lit(""))
+                           .alias("text_clean")))
+    untouched_out = (meta.join(touched, id_col, "left_anti")
+                     .select(id_col, "n_tokens",
+                             F.lit(0).cast("long")
+                             .alias("removed_tokens"),
+                             F.array_join("ts", " ")
+                             .alias("text_clean")))
+    return (touched_out.unionByName(untouched_out)
+            .select(id_col, "n_tokens", "removed_tokens",
+                    (F.col("n_tokens") - F.col("removed_tokens"))
+                    .cast("long").alias("kept_tokens"),
+                    F.round(F.col("removed_tokens")
+                            / F.col("n_tokens"), 6).alias("dup_ratio"),
+                    "text_clean"))
+
+
 def build_substring_index(
     spark,
     corpus: DataFrame,

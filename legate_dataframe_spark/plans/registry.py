@@ -23,6 +23,7 @@ from legate_dataframe_spark.plans import round8 as r8
 from legate_dataframe_spark.plans import round9 as r9
 from legate_dataframe_spark.plans import round10 as r10
 from legate_dataframe_spark.plans import round10b as r10b
+from legate_dataframe_spark.plans import round11 as r11
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -32,119 +33,64 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (round-10
-# additions), then entries whose implementation CHANGED this round
-# (histogram single-table layout, rollup write-backs through the
-# CAS-guarded swap, generation_diff schema evolution + null-safe
-# oracle), then the oldest stale-verification tranche: VERDICT r09
-# task 6 names the r05-greened block (TPC-H + core relational) —
-# 14 + 8 + 28 = exactly the 50-entry prefix (the round-10 block grew
-# to 14 with the continuation set: cdf_apply / bloom lookup /
-# takedown cascade / swap contention / substring spans + their
-# incremental and STREAMING index forms / shard export / AS-OF time
-# travel), leaving 21 r05 entries to lead the
-# post-boundary region (all hold green sf0.001 oracle-parity tests
-# and the sf0.01 strict-parity sweep) and rotate into the r11 prefix
-# first.  Later blocks are ordered by round of LAST driver
-# verification, oldest first.
+# the front block holds queries with no green driver row yet (the 3
+# round-11 additions), then entries whose implementation CHANGED this
+# round (the commit-marker CAS rides every swap_versioned — the race
+# entry demonstrates it; the manifest schema widened with recorded
+# bloom params — every manifest entry re-verifies; apply_diff went
+# null-safe — the CDF entry re-verifies; default commit stamps touch
+# every publish — the AS-OF entry re-verifies; takedown rides vacuum+
+# swap+manifest together), then the oldest stale-verification tranche:
+# VERDICT r10 task 2 names the r05 remainder (21 entries, join family /
+# sort / slice / scalar functions) and the r09 swap-adoption overflow
+# (15), topped up with the 2 oldest r06-greened entries —
+# 3 + 9 + 21 + 15 + 2 = exactly the 50-entry prefix.  Entries greened
+# by the r10 driver and unchanged this round rotate to the very END
+# (freshest verification).  Later blocks are ordered by round of LAST
+# driver verification, oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-10 front: no driver row yet ---------------------------------
-    # manifest-planned partitioned-rollup refresh: scan planning from
-    # per-file manifest rows, zero directory listing on the path
+    # ---- round-11 front: no driver row yet ---------------------------------
+    # the deduplicated corpus itself: duplicated spans CUT from the
+    # text, accounting reconciled with the dup_ratio signal
+    "substring_span_removal": (r11.substring_span_removal,
+                               r11.SUBSTRING_SPAN_REMOVAL_SQL),
+    # AS-OF over writes that never passed committed_at (default
+    # engine-clock stamps make time travel a platform property)
+    "asof_unstamped_default": (r11.asof_unstamped_default,
+                               r11.ASOF_UNSTAMPED_DEFAULT_SQL),
+    # streaming CDF mirror: replica == source after every trigger,
+    # per-trigger work change-sized by plan
+    "stream_cdf_apply_chain": (r11.stream_cdf_apply_chain,
+                               r11.STREAM_CDF_APPLY_CHAIN_SQL),
+    # ---- changed this round — re-verify -------------------------------------
+    # the two-writer race now runs under the commit-marker CAS: the
+    # loser fails at claim time, before its generation write
+    "swap_contention": (r10b.swap_contention,
+                        r10b.SWAP_CONTENTION_SQL),
+    # apply_diff anti-joins null-safely (ADVICE r10 medium)
+    "cdf_apply_roundtrip": (r10b.cdf_apply_roundtrip,
+                            r10b.CDF_APPLY_ROUNDTRIP_SQL),
+    # blooms sized from rows/file; params recorded in the manifest
+    # and read back at plan time (ADVICE r10 medium+low)
+    "manifest_bloom_lookup": (r10b.manifest_bloom_lookup,
+                              r10b.MANIFEST_BLOOM_LOOKUP_SQL),
+    # the stamped timeline now coexists with default stamps
+    "rollup_timetravel_asof": (r10b.rollup_timetravel_asof,
+                               r10b.ROLLUP_TIMETRAVEL_ASOF_SQL),
+    # manifest schema widened (bloom_bits/bloom_hashes columns +
+    # legacy-row padding) — every manifest-planned entry re-verifies
     "rollup_manifest_refresh": (r10.rollup_manifest_refresh,
                                 r10.ROLLUP_MANIFEST_REFRESH_SQL),
     "manifest_pruned_scan": (r10.manifest_pruned_scan,
                              r10.MANIFEST_PRUNED_SCAN_SQL),
     "index_compaction_signal": (r10.index_compaction_signal,
                                 r10.INDEX_COMPACTION_SIGNAL_SQL),
-    "rollup_schema_evolution": (r10.rollup_schema_evolution,
-                                r10.ROLLUP_SCHEMA_EVOLUTION_SQL),
     "stream_manifest_chain": (r10.stream_manifest_chain,
                               r10.STREAM_MANIFEST_CHAIN_SQL),
-    # change-data-feed APPLY: apply_diff(old, diff(old,new)) == new
-    "cdf_apply_roundtrip": (r10b.cdf_apply_roundtrip,
-                            r10b.CDF_APPLY_ROUNDTRIP_SQL),
-    # equality file pruning: per-file blooms in the manifest plan a
-    # batched point lookup as bucket join + bit test
-    "manifest_bloom_lookup": (r10b.manifest_bloom_lookup,
-                              r10b.MANIFEST_BLOOM_LOOKUP_SQL),
-    # one-call cross-state deletion request + compliance audit over
-    # every retained generation of every touched view
+    # rides vacuum + swap + manifest-prune in one flow
     "takedown_cascade": (r10b.takedown_cascade,
                          r10b.TAKEDOWN_CASCADE_SQL),
-    # two-writer race: CAS loser retries against the winner's commit
-    "swap_contention": (r10b.swap_contention,
-                        r10b.SWAP_CONTENTION_SQL),
-    # span-level exact-substring dedup signal (Lee et al. 2107.06499)
-    "substring_dup_spans": (r10b.substring_dup_spans_q,
-                            r10b.SUBSTRING_DUP_SPANS_SQL),
-    # size-bounded shard export, footer-certified, explicit-list read
-    "export_shards": (r10b.export_shards, r10b.EXPORT_SHARDS_SQL),
-    # AS-OF timestamp time travel over the stamped commit timeline
-    "rollup_timetravel_asof": (r10b.rollup_timetravel_asof,
-                               r10b.ROLLUP_TIMETRAVEL_ASOF_SQL),
-    # substring gate off the persisted k-gram index + exact fold
-    "incremental_substring_spans": (r10b.incremental_substring_spans,
-                                    r10b.INCREMENTAL_SUBSTRING_SPANS_SQL),
-    # streaming substring gate: O(batch) delta admits, stage-ordered
-    "stream_substring_chain": (r10b.stream_substring_chain,
-                               r10b.STREAM_SUBSTRING_CHAIN_SQL),
-    # ---- changed this round — re-verify -------------------------------------
-    # the histogram (hist, bounds) pair is ONE versioned table now
-    # (bounds denormalized onto the state rows); every rollup write-
-    # back moved from replace_bucketed to the CAS-guarded atomic
-    # swap; generation_diff null-fills across schema boundaries and
-    # its oracle uses null-safe comparison (ADVICE r09)
-    "rollup_histogram_rebin": (r9.rollup_histogram_rebin,
-                               r9.ROLLUP_HISTOGRAM_REBIN_SQL),
-    "rollup_histogram_chain": (r8.rollup_histogram_chain,
-                               r8.ROLLUP_HISTOGRAM_CHAIN_SQL),
-    "rollup_generation_diff": (r9.rollup_generation_diff,
-                               r9.ROLLUP_GENERATION_DIFF_SQL),
-    "components_label_diff": (r9.components_label_diff,
-                              r9.COMPONENTS_LABEL_DIFF_SQL),
-    "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
-    "rollup_retract_nulls": (r9.rollup_retract_nulls,
-                             r9.ROLLUP_RETRACT_NULLS_SQL),
-    "incremental_rollup_chain": (r7.incremental_rollup_chain,
-                                 r7.INCREMENTAL_ROLLUP_CHAIN_SQL),
-    "tpch_refresh_maintenance": (r8.tpch_refresh_maintenance,
-                                 r8.TPCH_REFRESH_SQL),
-    # ---- stale tail: the r05-greened tranche, oldest first -----------------
-    # (VERDICT r09 task 6 — 37 of the 49 r05 entries fit the 50-slot
-    # prefix behind 5 new + 8 changed = 13 head slots; the remaining
-    # 12 lead the post-boundary region and rotate into the r11
-    # prefix first)
-    "knn_classify": (r4.knn_classify_q, r4.KNN_CLASSIFY_SQL),
-    "bucketed_join": (r5.bucketed_join, r5.BUCKETED_JOIN_SQL),
-    "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
-    "q03_shipping_priority": (r.q03_shipping_priority, r.Q03_SQL),
-    "q05_nation_revenue": (r.q05_nation_revenue, r.Q05_SQL),
-    "q04_order_priority": (r.q04_order_priority, r.Q04_SQL),
-    "q06_forecast_revenue": (r.q06_forecast_revenue, r.Q06_SQL),
-    "q07_volume_shipping": (r.q07_volume_shipping, r.Q07_SQL),
-    "q08_market_share": (r.q08_market_share, r.Q08_SQL),
-    "q10_returned_items": (r.q10_returned_items, r.Q10_SQL),
-    "q12_priority_lines": (r.q12_priority_lines, r.Q12_SQL),
-    "q14_promo_revenue": (r.q14_promo_revenue, r.Q14_SQL),
-    "q17_small_quantity": (r.q17_small_quantity, r.Q17_SQL),
-    "q18_large_orders": (r.q18_large_orders, r.Q18_SQL),
-    "q19_disjunctive": (r.q19_disjunctive, r.Q19_SQL),
-    "q22_idle_customers": (r.q22_idle_customers, r.Q22_SQL),
-    "q02_best_supplier": (r.q02_best_supplier, r.Q02_SQL),
-    "q09_product_profit": (r.q09_product_profit, r.Q09_SQL),
-    "q11_important_parts": (r.q11_important_parts, r.Q11_SQL),
-    "q13_customer_distribution": (r.q13_customer_distribution, r.Q13_SQL),
-    "q15_top_supplier": (r.q15_top_supplier, r.Q15_SQL),
-    "q16_supplier_count": (r.q16_supplier_count, r.Q16_SQL),
-    "q20_volume_suppliers": (r.q20_volume_suppliers, r.Q20_SQL),
-    "q21_waiting_suppliers": (r.q21_waiting_suppliers, r.Q21_SQL),
-    "rollup_flags": (r.rollup_flags, r.ROLLUP_SQL),
-    "cube_orders": (r.cube_orders, r.CUBE_SQL),
-    "grouping_sets_mix": (r.grouping_sets_mix, r.GROUPING_SETS_SQL),
-    "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
-    # ======================== 50-entry prefix boundary =====================
-    # ---- r05 remainder (rotate into the r11 prefix first) ------------------
+    # ---- stale tail: the r05 remainder, oldest first (VERDICT r10 task 2) --
     "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
     "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
     "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
@@ -167,7 +113,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "string_match": (r.string_match, r.STRING_MATCH_SQL),
     "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
     # ---- r09 swap-adoption overflow (last driver greens r05-r08;
-    # strict-parity-swept r09+r10) — rotate after the r05 remainder ----------
+    # strict-parity-swept r09+r10) ------------------------------------------
     "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
     "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
     "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
@@ -192,9 +138,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                            r8.ROLLUP_SWAP_ATOMIC_SQL),
     "rollup_timetravel": (r8.rollup_timetravel,
                           r8.ROLLUP_TIMETRAVEL_SQL),
-    # ---- re-greened by the r06 driver (and later blocks unchanged) ---------
+    # ---- the 2 oldest r06-greened entries top up the prefix ----------------
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
     "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
+    # ======================== 50-entry prefix boundary =====================
+    # ---- re-greened by the r06 driver (and later blocks unchanged) ---------
     "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
     "dedup_clusters": (pq.dedup_clusters, pq.DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
@@ -392,6 +340,59 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                               r9.BM25_INDEX_TIMETRAVEL_SQL),
     "ann_index_timetravel": (r9.ann_index_timetravel,
                              r9.ANN_INDEX_TIMETRAVEL_SQL),
+    # ---- greened by the r10 driver, unchanged this round (freshest) --------
+    "rollup_schema_evolution": (r10.rollup_schema_evolution,
+                                r10.ROLLUP_SCHEMA_EVOLUTION_SQL),
+    "substring_dup_spans": (r10b.substring_dup_spans_q,
+                            r10b.SUBSTRING_DUP_SPANS_SQL),
+    "export_shards": (r10b.export_shards, r10b.EXPORT_SHARDS_SQL),
+    "incremental_substring_spans": (r10b.incremental_substring_spans,
+                                    r10b.INCREMENTAL_SUBSTRING_SPANS_SQL),
+    "stream_substring_chain": (r10b.stream_substring_chain,
+                               r10b.STREAM_SUBSTRING_CHAIN_SQL),
+    "rollup_histogram_rebin": (r9.rollup_histogram_rebin,
+                               r9.ROLLUP_HISTOGRAM_REBIN_SQL),
+    "rollup_histogram_chain": (r8.rollup_histogram_chain,
+                               r8.ROLLUP_HISTOGRAM_CHAIN_SQL),
+    "rollup_generation_diff": (r9.rollup_generation_diff,
+                               r9.ROLLUP_GENERATION_DIFF_SQL),
+    "components_label_diff": (r9.components_label_diff,
+                              r9.COMPONENTS_LABEL_DIFF_SQL),
+    "rollup_retract": (r8.rollup_retract_q, r8.ROLLUP_RETRACT_SQL),
+    "rollup_retract_nulls": (r9.rollup_retract_nulls,
+                             r9.ROLLUP_RETRACT_NULLS_SQL),
+    "incremental_rollup_chain": (r7.incremental_rollup_chain,
+                                 r7.INCREMENTAL_ROLLUP_CHAIN_SQL),
+    "tpch_refresh_maintenance": (r8.tpch_refresh_maintenance,
+                                 r8.TPCH_REFRESH_SQL),
+    "knn_classify": (r4.knn_classify_q, r4.KNN_CLASSIFY_SQL),
+    "bucketed_join": (r5.bucketed_join, r5.BUCKETED_JOIN_SQL),
+    "q01_pricing_summary": (r.q01_pricing_summary, r.Q01_SQL),
+    "q03_shipping_priority": (r.q03_shipping_priority, r.Q03_SQL),
+    "q05_nation_revenue": (r.q05_nation_revenue, r.Q05_SQL),
+    "q04_order_priority": (r.q04_order_priority, r.Q04_SQL),
+    "q06_forecast_revenue": (r.q06_forecast_revenue, r.Q06_SQL),
+    "q07_volume_shipping": (r.q07_volume_shipping, r.Q07_SQL),
+    "q08_market_share": (r.q08_market_share, r.Q08_SQL),
+    "q10_returned_items": (r.q10_returned_items, r.Q10_SQL),
+    "q12_priority_lines": (r.q12_priority_lines, r.Q12_SQL),
+    "q14_promo_revenue": (r.q14_promo_revenue, r.Q14_SQL),
+    "q17_small_quantity": (r.q17_small_quantity, r.Q17_SQL),
+    "q18_large_orders": (r.q18_large_orders, r.Q18_SQL),
+    "q19_disjunctive": (r.q19_disjunctive, r.Q19_SQL),
+    "q22_idle_customers": (r.q22_idle_customers, r.Q22_SQL),
+    "q02_best_supplier": (r.q02_best_supplier, r.Q02_SQL),
+    "q09_product_profit": (r.q09_product_profit, r.Q09_SQL),
+    "q11_important_parts": (r.q11_important_parts, r.Q11_SQL),
+    "q13_customer_distribution": (r.q13_customer_distribution, r.Q13_SQL),
+    "q15_top_supplier": (r.q15_top_supplier, r.Q15_SQL),
+    "q16_supplier_count": (r.q16_supplier_count, r.Q16_SQL),
+    "q20_volume_suppliers": (r.q20_volume_suppliers, r.Q20_SQL),
+    "q21_waiting_suppliers": (r.q21_waiting_suppliers, r.Q21_SQL),
+    "rollup_flags": (r.rollup_flags, r.ROLLUP_SQL),
+    "cube_orders": (r.cube_orders, r.CUBE_SQL),
+    "grouping_sets_mix": (r.grouping_sets_mix, r.GROUPING_SETS_SQL),
+    "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

@@ -1,0 +1,307 @@
+"""Round-11 queries — the corpus-rewrite and platform-default set.
+
+- ``substring_span_removal`` — the DEDUPLICATED CORPUS itself: every
+  document's text with cross-document duplicated spans cut (Lee et
+  al., arXiv:2107.06499 §4 rewrite the corpus; r10 shipped only the
+  dup_ratio SIGNAL).  Removed-token accounting reconciles exactly
+  with the signal, asserted in-query and oracle-checked.
+
+- ``asof_unstamped_default`` — AS-OF time travel over a state whose
+  writes never passed ``committed_at``: r11 default-stamps every
+  publish with the engine clock, so time travel is a property of the
+  platform, not of diligent callers (VERDICT r10 task 3).
+
+- ``stream_cdf_apply_chain`` — the cross-system MIRROR story: a
+  foreachBatch drain applies successive generation_diffs to a
+  replica state; after every trigger the replica must equal the
+  source exactly, with per-trigger work change-sized (the diff), not
+  state-sized (VERDICT r10 task 8).
+
+Catalog hygiene matches rounds 7–10: uuid-suffixed session-temp
+databases dropped (CASCADE) before returning.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.plans.relational import load_table
+from legate_dataframe_spark.plans.round10b import _MICRO_SQL, _temp_db
+
+
+# ===================== substring span REMOVAL (the cleaned corpus)
+def substring_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-rewrite operator a training pipeline actually runs:
+    per document, the whitespace-normalized text with every token
+    position covered by a cross-document duplicated 8-gram CUT
+    (adjacent/overlapping spans merge by position-set construction;
+    8 tokens is the minimum-span guard).  In-query laws asserted
+    before returning: removed + kept == n_tokens on every row, and
+    the cleaned text's own token count equals kept_tokens (an
+    off-by-one in the rebuild, a dropped separator, or an unsorted
+    collect would flip it).  The oracle reconstructs the cut text
+    independently in DuckDB — string_agg ordered by position over the
+    anti-joined token stream — so the value hash covers the TEXT
+    itself, not just the accounting."""
+    from legate_dataframe_spark.pipeline.dedup import remove_dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    out = remove_dup_spans(d, k=8).localCheckpoint(eager=True)
+    bad = out.filter(
+        (F.col("removed_tokens") + F.col("kept_tokens")
+         != F.col("n_tokens"))
+        | ~((F.col("kept_tokens") == 0) & (F.col("text_clean") == "")
+            | (F.size(F.split(F.col("text_clean"), " "))
+               == F.col("kept_tokens")))).count()
+    if bad:
+        raise AssertionError(
+            f"{bad} row(s) break the span-removal accounting laws "
+            f"(removed+kept==n_tokens; token count of text_clean == "
+            f"kept_tokens)")
+    return out
+
+
+SUBSTRING_SPAN_REMOVAL_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+kg AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM tokens, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+dup AS (SELECT dig FROM kg GROUP BY dig HAVING count(DISTINCT doc_id) > 1),
+cover AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN dup USING (dig), unnest(generate_series(0, 7)) AS o(off)),
+tok AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM tokens, unnest(generate_series(1, len(ts))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.t = t.pos
+  WHERE c.doc_id IS NULL),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id),
+cov AS (SELECT doc_id, count(*) AS removed FROM cover GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.ts) - coalesce(cov.removed, 0) AS BIGINT)
+         AS kept_tokens,
+       round(coalesce(cov.removed, 0) / len(t.ts), 6) AS dup_ratio,
+       coalesce(clean.text_clean, '') AS text_clean
+FROM tokens t
+LEFT JOIN cov USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""
+
+
+# ===================== AS-OF over never-stamped writes (default stamps)
+def asof_unstamped_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a PLATFORM property: a versioned rollup state is
+    built and folded twice with NO ``committed_at`` anywhere — the
+    r10 surface would have raised on it forever — and AS-OF must
+    still work off the default engine-clock stamps: a far-future
+    AS-OF resolves the live generation (the returned frame), a
+    far-past AS-OF raises the clean no-generation error, and the
+    timeline carries exactly one commit per publish in generation
+    order (all asserted).  Oracle: the full GROUP BY over the events
+    slice the folds covered."""
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        read_asof,
+        swap_versioned,
+    )
+    from legate_dataframe_spark.pipeline.rollup import (
+        _PARTIALS,
+        GROUP_KEYS,
+        event_partials,
+        incremental_rollup_update,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 3 == 0)
+    batch_a = e.filter(F.col("event_id") % 3 == 1)
+    with _temp_db(spark, "ldf_r11_asofdef") as db:
+        view = f"{db}.state"
+        init_versioned(spark, event_partials(corpus), view,
+                       GROUP_KEYS, num_buckets=16)
+        swap_versioned(spark,
+                       incremental_rollup_update(spark, view, batch_a),
+                       view, GROUP_KEYS, num_buckets=16, keep_old=True)
+        timeline = (spark.table(f"{view}__commits")
+                    .orderBy("committed_at").collect())
+        if [r["generation"] for r in timeline] != [0, 1]:
+            raise AssertionError(
+                f"default stamps broke the timeline: {timeline}")
+        try:
+            read_asof(spark, view, "2000-01-01 00:00:00")
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(
+                "AS-OF before the state existed must raise")
+        out = read_asof(spark, view, "9999-01-01 00:00:00")
+        live_n = spark.table(view).count()
+        if out.count() != live_n:
+            raise AssertionError(
+                "far-future AS-OF must resolve the live generation")
+        return (out.select(F.col("day").cast("timestamp").alias("day"),
+                           "event_type", *_PARTIALS)
+                .localCheckpoint(eager=True))
+
+
+ASOF_UNSTAMPED_DEFAULT_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       {_MICRO_SQL} AS sum_micro,
+       min(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micro,
+       max(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micro
+FROM events
+WHERE event_id % 3 IN (0, 1)
+GROUP BY 1, 2
+"""
+
+
+# ===================== streaming CDF apply (the mirror chain)
+def stream_cdf_apply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-system MIRROR run as a closed streaming loop: the
+    SOURCE rollup state folds three staged micro-batches (each a
+    keep_old swap, so every generation is retained and diffable); a
+    foreachBatch drain rolls a REPLICA forward by applying each
+    trigger's ``generation_diff(source, g_i, g_{i+1})`` with
+    ``apply_diff`` — never by copying the state.  After every trigger
+    the replica must equal the source exactly (exceptAll both ways,
+    asserted inside the drain), and the per-trigger apply plan must
+    read the CHANGE-sized diff of two retained generations — the
+    events table is never consulted by the replica side (asserted:
+    the apply plan scans no events parquet).  Exactly-once rig
+    carries the r07 lessons: batch_id done-markers, per-trigger
+    relation-cache refresh.  Oracle: the final state — the full GROUP
+    BY over corpus ∪ all three batches; a skipped or double-applied
+    diff leaves the replica short or doubled and fails the hash."""
+    import glob as _glob
+    import io as _io
+    import os as _os
+    import time as _time
+    from contextlib import redirect_stdout as _redirect
+
+    from legate_dataframe_spark.core.bucketing import (
+        apply_diff,
+        current_generation_table,
+        generation_diff,
+        init_versioned,
+        swap_versioned,
+    )
+    from legate_dataframe_spark.pipeline.rollup import (
+        _PARTIALS,
+        GROUP_KEYS,
+        event_partials,
+        incremental_rollup_update,
+    )
+    from legate_dataframe_spark.plans.round4 import _stage_single_file
+
+    e = load_table(spark, sf_dir, "events")
+    corpus = e.filter(F.col("event_id") % 10 >= 3)
+    todays = e.filter(F.col("event_id") % 10 < 3)
+    with _temp_db(spark, "ldf_r11_cdfchain") as db:
+        src, rep = f"{db}.src", f"{db}.rep"
+        init_versioned(spark, event_partials(corpus), src,
+                       GROUP_KEYS, num_buckets=16)
+        init_versioned(spark, event_partials(corpus), rep,
+                       GROUP_KEYS, num_buckets=16)
+        stage = tempfile.mkdtemp(prefix="ldf_r11_cdf_stage_")
+        ck = tempfile.mkdtemp(prefix="ldf_r11_cdf_ck_")
+        try:
+            now = _time.time()
+            for i in range(3):
+                _stage_single_file(
+                    todays.filter(F.col("event_id") % 10 == i),
+                    stage, f"b{i}.parquet", now - 300 + i * 100)
+            stream = (spark.readStream.schema(todays.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(stage))
+
+            def fold_and_mirror(batch_df: DataFrame,
+                                batch_id: int) -> None:
+                done = _os.path.join(ck, f"ldf_batch_{batch_id}.done")
+                if _os.path.exists(done):
+                    return
+                sess = batch_df.sparkSession
+                for v in (src, rep):
+                    sess.catalog.refreshTable(
+                        current_generation_table(sess, v))
+                frozen = batch_df.localCheckpoint(eager=True)
+                # producer side: fold the batch into the SOURCE
+                g_old = int(current_generation_table(sess, src)
+                            .rsplit("__g", 1)[1])
+                swap_versioned(
+                    sess,
+                    incremental_rollup_update(sess, src, frozen),
+                    src, GROUP_KEYS, num_buckets=16, keep_old=True)
+                # consumer side: roll the replica forward by the DIFF
+                diff = generation_diff(sess, src, g_old, g_old + 1,
+                                       GROUP_KEYS, _PARTIALS)
+                new_rep = apply_diff(sess.table(rep), diff,
+                                     GROUP_KEYS, _PARTIALS)
+                # the replica's refresh must be change-sized: its
+                # lineage reads two retained GENERATIONS of the
+                # source state, never the raw events table
+                buf = _io.StringIO()
+                with _redirect(buf):
+                    new_rep.explain(mode="formatted")
+                if "events" in buf.getvalue():
+                    raise AssertionError(
+                        "replica apply plan consulted the raw events "
+                        "table — the mirror must ride the diff alone")
+                swap_versioned(sess, new_rep, rep, GROUP_KEYS,
+                               num_buckets=16)
+                sess.catalog.refreshTable(
+                    current_generation_table(sess, rep))
+                a = (sess.table(rep).exceptAll(sess.table(src))
+                     .count())
+                b = (sess.table(src).exceptAll(sess.table(rep))
+                     .count())
+                if a or b:
+                    raise AssertionError(
+                        f"replica drifted after trigger {batch_id}: "
+                        f"{a} phantom, {b} missing rows")
+                open(done, "w").close()
+
+            q = (stream.writeStream.outputMode("append")
+                 .foreachBatch(fold_and_mirror)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError("stream_cdf_apply_chain > 300s")
+            markers = _glob.glob(_os.path.join(ck, "ldf_batch_*.done"))
+            if len(markers) != 3:
+                raise AssertionError(
+                    f"expected 3 mirrored triggers, saw {len(markers)}")
+            return (spark.table(rep)
+                    .select(F.col("day").cast("timestamp").alias("day"),
+                            "event_type", *_PARTIALS)
+                    .localCheckpoint(eager=True))
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_CDF_APPLY_CHAIN_SQL = f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       event_type,
+       count(*) AS n,
+       {_MICRO_SQL} AS sum_micro,
+       min(CAST(floor(value * 1000000.0) AS BIGINT)) AS min_micro,
+       max(CAST(floor(value * 1000000.0) AS BIGINT)) AS max_micro
+FROM events
+GROUP BY 1, 2
+"""

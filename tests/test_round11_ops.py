@@ -162,6 +162,84 @@ def test_write_manifest_pads_legacy_seven_column_rows(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS t11_legacy CASCADE")
 
 
+# ----------------------------- object-store-portable manifests (r11)
+def test_manifest_on_nonfile_scheme(spark, tmp_path):
+    """VERDICT r10 task 4 done-check: manifest write / range plan /
+    bloom point-lookup / partition-scoped refresh / export
+    certification all run against a genuinely NON-file scheme —
+    ``viewfs://`` mounted over a local directory (the hdfs-style
+    mock: Spark resolves the scheme through Hadoop's mount table,
+    pyarrow through the register_filesystem factory — exactly the
+    two registrations an object-store deployment makes)."""
+    import os
+
+    from pyarrow import fs as pafs
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.ldfr11.link./wh", f"file:{root}")
+    base = "viewfs://ldfr11/wh"
+
+    def factory(uri):
+        assert uri.startswith(base), uri
+        return pafs.LocalFileSystem(), root + uri[len(base):]
+
+    mf.register_filesystem("viewfs", factory)
+    try:
+        nb = 4
+        d = spark.range(200).select(F.col("id").alias("k"))
+        (d.repartition(nb, "k").write.format("parquet")
+         .bucketBy(nb, "k").sortBy("k")
+         .option("path", f"{base}/t").saveAsTable("t11_vfs_t"))
+        n = mf.write_manifest(spark, "t11_vfs_t", generation=0,
+                              stats_col="k", bloom_col="k")
+        assert n == nb
+        man = spark.table(mf.manifest_table("t11_vfs_t")).collect()
+        assert all(r["file"].startswith("viewfs://") for r in man)
+        assert all(r["bloom"] is not None for r in man)
+        assert all(r["n_rows"] > 0 for r in man)
+        # range plan + explicit-list read back over the scheme
+        files = mf.manifest_files(spark, "t11_vfs_t", generation=0)
+        assert len(files) == nb
+        back = mf.read_from_manifest(
+            spark, "t11_vfs_t", files,
+            schema=spark.table("t11_vfs_t").schema)
+        assert back.count() == 200
+        # bloom-planned point lookup: full probe set, zero misses
+        cand = mf.point_lookup_candidates(spark, "t11_vfs_t", d, "k",
+                                          num_buckets=nb)
+        assert cand.select("k").distinct().count() == 200
+        # partition-scoped refresh (the walk that was local-FS-only)
+        p = spark.range(100).select((F.col("id") % 2).alias("day"),
+                                    F.col("id").alias("k"))
+        p.write.partitionBy("day").parquet(f"{base}/pt")
+        spark.sql("CREATE TABLE t11_vfs_pt USING parquet "
+                  f"LOCATION '{base}/pt'")
+        n0 = mf.write_manifest(spark, "t11_vfs_pt", generation=0,
+                               parts=["day=0"])
+        assert n0 >= 1
+        loc = mf.table_location(spark, "t11_vfs_pt")
+        assert loc.startswith("viewfs://")
+        pf = mf.manifest_files(spark, "t11_vfs_pt", generation=0,
+                               parts=["day=0"])
+        pback = mf.read_from_manifest(spark, "t11_vfs_pt", pf,
+                                      base_path=loc)
+        assert pback.count() == 50
+        assert {r["day"] for r in
+                pback.select("day").distinct().collect()} == {0}
+        # export certification walks the scheme too
+        rows = mf.dir_file_rows(f"{base}/pt")
+        assert sum(rows.values()) == 100
+        assert all(f.startswith("viewfs://") for f in rows)
+    finally:
+        mf._FS_FACTORIES.pop("viewfs", None)
+        spark.sql("DROP TABLE IF EXISTS t11_vfs_t")
+        spark.sql("DROP TABLE IF EXISTS t11_vfs_pt")
+        spark.sql("DROP TABLE IF EXISTS t11_vfs_t__manifest")
+        spark.sql("DROP TABLE IF EXISTS t11_vfs_pt__manifest")
+
+
 # ------------------------------------------ default commit stamps
 def test_asof_works_on_unstamped_writes(spark, tmp_path):
     """VERDICT r10 task 3: a state that never passed ``committed_at``
@@ -214,6 +292,82 @@ def test_explicit_stamp_still_overrides(spark, tmp_path):
             read_asof(spark, v, "2024-04-30 00:00:00")
     finally:
         spark.sql("DROP DATABASE IF EXISTS t11_stamp2 CASCADE")
+
+
+# ----------------------------------- substring span REMOVAL (r11)
+def test_remove_dup_spans_cuts_shared_runs(spark):
+    """The cleaned corpus: shared ≥k-token runs are cut, residual
+    tokens keep their order, untouched docs pass through
+    whitespace-normalized."""
+    from legate_dataframe_spark.pipeline.dedup import remove_dup_spans
+
+    shared = "one two three four"  # k=3 → covers 4 positions per doc
+    docs = _df(spark, [
+        (1, f"alpha {shared} beta"),
+        (2, f"gamma delta {shared}"),
+        (3, "Totally   unrelated\ttext here"),
+        (4, "ab"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_dup_spans(docs, k=3).collect()}
+    assert got[1]["text_clean"] == "alpha beta"
+    assert (got[1]["removed_tokens"], got[1]["kept_tokens"]) == (4, 2)
+    assert got[2]["text_clean"] == "gamma delta"
+    assert got[2]["removed_tokens"] == 4
+    # untouched docs: normalized (lowercased, whitespace collapsed)
+    assert got[3]["text_clean"] == "totally unrelated text here"
+    assert got[3]["removed_tokens"] == 0
+    assert got[4]["text_clean"] == "ab"
+
+
+def test_remove_dup_spans_merges_overlapping_spans(spark):
+    # two overlapping duplicated runs cover a contiguous region once;
+    # the cut must not double-remove or leave fragments
+    from legate_dataframe_spark.pipeline.dedup import remove_dup_spans
+
+    docs = _df(spark, [
+        (1, "p q a b c d e r"),   # shares "a b c" and "c d e"
+        (2, "x a b c y"),
+        (3, "z c d e w"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_dup_spans(docs, k=3).collect()}
+    assert got[1]["text_clean"] == "p q r"
+    assert got[1]["removed_tokens"] == 5  # a b c d e, merged
+
+
+def test_remove_dup_spans_fully_covered_doc_empties(spark):
+    from legate_dataframe_spark.pipeline.dedup import remove_dup_spans
+
+    docs = _df(spark, [
+        (1, "a b c"),
+        (2, "a b c"),
+        (3, "solo text here now"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_dup_spans(docs, k=3).collect()}
+    assert got[1]["text_clean"] == ""
+    assert (got[1]["removed_tokens"], got[1]["kept_tokens"]) == (3, 0)
+    assert got[2]["text_clean"] == ""
+
+
+def test_remove_dup_spans_reconciles_with_signal(spark, sf_dir):
+    """removed_tokens must equal substring_dup_spans' covered_tokens
+    doc for doc — the accounting the VERDICT asks to reconcile."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_dup_spans,
+        substring_dup_spans,
+    )
+    from legate_dataframe_spark.plans.relational import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = remove_dup_spans(d, k=8).select(
+        "doc_id", F.col("removed_tokens").alias("r"))
+    sig = substring_dup_spans(d, k=8).select(
+        "doc_id", F.col("covered_tokens").alias("c"))
+    bad = (cut.join(sig, "doc_id", "full")
+           .filter(~F.col("r").eqNullSafe(F.col("c"))).count())
+    assert bad == 0
 
 
 # ------------------------------------------ commit-marker CAS (r11)
