@@ -210,9 +210,12 @@ EXTRA = [
     "rollup_timetravel_asof",
     "incremental_substring_spans",
     "stream_substring_chain",
-    # round-11 additions: the deduplicated corpus (span removal),
-    # AS-OF over default stamps, the streaming CDF mirror
+    # round-11 additions: the deduplicated corpus (span removal +
+    # audit intervals + ingest-time cut), AS-OF over default stamps,
+    # the streaming CDF mirror
     "substring_span_removal",
+    "dup_span_intervals",
+    "incremental_span_removal",
     "asof_unstamped_default",
     "stream_cdf_apply_chain",
 ]

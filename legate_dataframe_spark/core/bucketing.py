@@ -635,6 +635,8 @@ def swap_versioned_retrying(
     sort_cols: Sequence[str] | None = None,
     keep_old: bool = False,
     max_attempts: int = 3,
+    manifest: bool | dict = False,
+    committed_at: str | None = None,
 ) -> int:
     """Retry loop for :class:`ConcurrentSwapError` — the shape a
     maintenance job should use when it cannot guarantee exclusivity.
@@ -642,13 +644,19 @@ def swap_versioned_retrying(
     derives from the state being replaced, so after losing a race the
     merge must be re-planned against the NEW current generation — a
     captured DataFrame would silently re-apply the batch to the
-    superseded snapshot.  Returns the number of attempts taken."""
+    superseded snapshot.  ``manifest``/``committed_at`` ride every
+    attempt (r11: a retried swap that silently dropped its manifest
+    options would publish a generation with no manifest — exactly the
+    staleness the commit-time contract exists to prevent).  Returns
+    the number of attempts taken."""
     last: ConcurrentSwapError | None = None
     for attempt in range(1, max_attempts + 1):
         try:
             swap_versioned(spark, df_fn(), view_name, bucket_cols,
                            num_buckets=num_buckets,
-                           sort_cols=sort_cols, keep_old=keep_old)
+                           sort_cols=sort_cols, keep_old=keep_old,
+                           manifest=manifest,
+                           committed_at=committed_at)
             return attempt
         except ConcurrentSwapError as ex:
             last = ex

@@ -33,7 +33,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (the 3
+# the front block holds queries with no green driver row yet (the 5
 # round-11 additions), then entries whose implementation CHANGED this
 # round (the commit-marker CAS rides every swap_versioned — the race
 # entry demonstrates it; the manifest schema widened with recorded
@@ -43,11 +43,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # swap+manifest together), then the oldest stale-verification tranche:
 # VERDICT r10 task 2 names the r05 remainder (21 entries, join family /
 # sort / slice / scalar functions) and the r09 swap-adoption overflow
-# (15), topped up with the 2 oldest r06-greened entries —
-# 3 + 9 + 21 + 15 + 2 = exactly the 50-entry prefix.  Entries greened
-# by the r10 driver and unchanged this round rotate to the very END
-# (freshest verification).  Later blocks are ordered by round of LAST
-# driver verification, oldest first.
+# (15) — 5 + 9 + 21 + 15 = exactly the 50-entry prefix.  Entries
+# greened by the r10 driver and unchanged this round rotate to the
+# very END (freshest verification).  Later blocks are ordered by
+# round of LAST driver verification, oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-11 front: no driver row yet ---------------------------------
     # the deduplicated corpus itself: duplicated spans CUT from the
@@ -62,6 +61,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # per-trigger work change-sized by plan
     "stream_cdf_apply_chain": (r11.stream_cdf_apply_chain,
                                r11.STREAM_CDF_APPLY_CHAIN_SQL),
+    # the span-removal audit map: merged cut intervals per document
+    "dup_span_intervals": (r11.dup_span_intervals_q,
+                           r11.DUP_SPAN_INTERVALS_SQL),
+    # ingest-time span removal off the persisted k-gram index
+    "incremental_span_removal": (r11.incremental_span_removal,
+                                 r11.INCREMENTAL_SPAN_REMOVAL_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # the two-writer race now runs under the commit-marker CAS: the
     # loser fails at claim time, before its generation write
@@ -138,11 +143,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                            r8.ROLLUP_SWAP_ATOMIC_SQL),
     "rollup_timetravel": (r8.rollup_timetravel,
                           r8.ROLLUP_TIMETRAVEL_SQL),
-    # ---- the 2 oldest r06-greened entries top up the prefix ----------------
-    "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
-    "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
     # ======================== 50-entry prefix boundary =====================
     # ---- re-greened by the r06 driver (and later blocks unchanged) ---------
+    "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
+    "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
     "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
     "dedup_clusters": (pq.dedup_clusters, pq.DEDUP_CLUSTERS_SQL),
     "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),

@@ -6,6 +6,14 @@
   dup_ratio SIGNAL).  Removed-token accounting reconciles exactly
   with the signal, asserted in-query and oracle-checked.
 
+- ``dup_span_intervals`` — the removal AUDIT MAP: merged cut
+  intervals per document (islands over the covered-position set),
+  with the k-guard / contiguity / non-overlap laws asserted.
+
+- ``incremental_span_removal`` — the INGEST-time cut: batch
+  documents cleaned against corpus ∪ batch off the persisted k-gram
+  index, state side read in place (plan-asserted bucketed).
+
 - ``asof_unstamped_default`` — AS-OF time travel over a state whose
   writes never passed ``committed_at``: r11 default-stamps every
   publish with the engine clock, so time travel is a property of the
@@ -98,6 +106,116 @@ FROM tokens t
 LEFT JOIN cov USING (doc_id)
 LEFT JOIN clean USING (doc_id)
 """
+
+
+# ===================== merged duplicated-span intervals (the audit map)
+def dup_span_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-removal AUDIT MAP: per document, the merged intervals
+    (1-based inclusive token positions) that span-level dedup would
+    cut — the ranges a byte-offset rewriter working on the ORIGINAL
+    text needs, and what a reviewer inspects before approving a
+    corpus rewrite.  In-query laws asserted: every interval carries
+    ≥ 8 tokens (the k guard — a shorter island would mean the
+    coverage explode leaked), interval width matches its token count
+    (islands are contiguous by construction), and no two intervals of
+    one document overlap or touch (adjacent runs must have merged).
+    Oracle: the identical islands construction in DuckDB
+    (``pos − row_number`` grouping over the covered-position set)."""
+    from pyspark.sql import Window
+
+    from legate_dataframe_spark.pipeline.dedup import dup_span_intervals
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dup_span_intervals(d, k=8).localCheckpoint(eager=True)
+    short = out.filter((F.col("span_tokens") < 8)
+                       | (F.col("span_end") - F.col("span_start") + 1
+                          != F.col("span_tokens"))).count()
+    if short:
+        raise AssertionError(
+            f"{short} interval(s) break the k-guard/contiguity laws")
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    overlaps = (out.withColumn("nxt", F.lead("span_start").over(w))
+                .filter(F.col("nxt").isNotNull()
+                        & (F.col("nxt") <= F.col("span_end") + 1))
+                .count())
+    if overlaps:
+        raise AssertionError(
+            f"{overlaps} adjacent/overlapping interval pair(s) "
+            f"failed to merge")
+    return out
+
+
+DUP_SPAN_INTERVALS_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+kg AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM tokens, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+dup AS (SELECT dig FROM kg GROUP BY dig HAVING count(DISTINCT doc_id) > 1),
+cover AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN dup USING (dig), unnest(generate_series(0, 7)) AS o(off)),
+num AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY t) AS rn
+  FROM cover)
+SELECT doc_id,
+       CAST(min(t) AS BIGINT) AS span_start,
+       CAST(max(t) AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS span_tokens
+FROM num GROUP BY doc_id, t - rn
+"""
+
+
+# ===================== incremental span removal (the ingest-time cut)
+def incremental_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span removal as an INGEST step: arriving batch documents are
+    cleaned against corpus ∪ batch off the persisted k-gram index —
+    the corpus is never rescanned (its digest state was paid once at
+    build time).  The gate's state-side semi-join must read
+    ``Bucketed: true`` with broadcast disabled (asserted — the index
+    is read in place, co-located on dig).  Oracle: the full
+    substring_span_removal recompute over ALL documents, restricted
+    to the batch — identical for a corpus-disjoint batch by
+    construction."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        batch_remove_dup_spans,
+        build_substring_index,
+    )
+    from legate_dataframe_spark.plans.round10b import _plan_of, _temp_db
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    with _temp_db(spark, "ldf_r11_spancut") as db:
+        idx = f"{db}.idx"
+        build_substring_index(spark, corpus, idx, k=8)
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        prev_abs = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false")
+            out = batch_remove_dup_spans(spark, batch, idx, k=8)
+            plan = _plan_of(out)
+            if "Bucketed: true" not in plan:
+                raise AssertionError(
+                    "span-removal gate did not read the k-gram index "
+                    "bucket-aware:\n" + plan)
+            return out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           prev_bc)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                prev_abs)
+
+
+INCREMENTAL_SPAN_REMOVAL_SQL = (
+    f"SELECT * FROM ({SUBSTRING_SPAN_REMOVAL_SQL}) WHERE doc_id % 10 = 0")
 
 
 # ===================== AS-OF over never-stamped writes (default stamps)

@@ -370,6 +370,62 @@ def test_remove_dup_spans_reconciles_with_signal(spark, sf_dir):
     assert bad == 0
 
 
+def test_dup_span_intervals_islands(spark):
+    from legate_dataframe_spark.pipeline.dedup import dup_span_intervals
+
+    docs = _df(spark, [
+        (1, "p q a b c d e r x y z w"),  # covers 3..7 (a b c d e)
+        (2, "x a b c y"),                # covers 2..4
+        (3, "z c d e w"),                # covers 2..4
+        (4, "h i j k l m x y z n"),      # covers 7..9 (x y z)
+    ], "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"],
+            r["span_tokens"])
+           for r in dup_span_intervals(docs, k=3).collect()}
+    # doc 1: "a b c" and "c d e" overlap → ONE merged interval 3..7;
+    # "x y z" (9..11) shared with doc 4 → a second interval
+    assert got == {(1, 3, 7, 5), (1, 9, 11, 3), (2, 2, 4, 3),
+                   (3, 2, 4, 3), (4, 7, 9, 3)}
+
+
+def test_batch_remove_dup_spans_matches_full_recompute(spark,
+                                                       tmp_path):
+    from legate_dataframe_spark.pipeline.dedup import (
+        batch_remove_dup_spans,
+        build_substring_index,
+        remove_dup_spans,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_spancut "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        corpus = _df(spark, [
+            (1, "a b c d e f"),
+            (2, "z y x w v u"),
+        ], "doc_id long, text string")
+        # doc 10 shares a run with corpus doc 1; docs 11/12 share a
+        # run only with EACH OTHER (the intra-batch class)
+        batch = _df(spark, [
+            (10, "q q a b c d q"),
+            (11, "m n o p r s"),
+            (12, "t m n o p h"),
+        ], "doc_id long, text string")
+        build_substring_index(spark, corpus, "t11_spancut.i", k=3,
+                              num_buckets=2)
+        got = {r["doc_id"]: (r["removed_tokens"], r["text_clean"])
+               for r in batch_remove_dup_spans(
+                   spark, batch, "t11_spancut.i", k=3).collect()}
+        full = {r["doc_id"]: (r["removed_tokens"], r["text_clean"])
+                for r in remove_dup_spans(
+                    corpus.unionByName(batch), k=3).collect()
+                if r["doc_id"] >= 10}
+        assert got == full
+        assert got[10] == (4, "q q q")
+        assert got[11] == (4, "r s")  # the shared "m n o p" run cut
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t11_spancut CASCADE")
+
+
 # ------------------------------------------ commit-marker CAS (r11)
 def _race_claim(args):
     """Top-level for multiprocessing: wait at the barrier, then try
