@@ -216,6 +216,7 @@ EXTRA = [
     "substring_span_removal",
     "dup_span_intervals",
     "incremental_span_removal",
+    "clean_corpus_export",
     "asof_unstamped_default",
     "stream_cdf_apply_chain",
 ]

@@ -33,7 +33,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (the 5
+# the front block holds queries with no green driver row yet (the 6
 # round-11 additions), then entries whose implementation CHANGED this
 # round (the commit-marker CAS rides every swap_versioned — the race
 # entry demonstrates it; the manifest schema widened with recorded
@@ -43,7 +43,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # swap+manifest together), then the oldest stale-verification tranche:
 # VERDICT r10 task 2 names the r05 remainder (21 entries, join family /
 # sort / slice / scalar functions) and the r09 swap-adoption overflow
-# (15) — 5 + 9 + 21 + 15 = exactly the 50-entry prefix.  Entries
+# (14 of 15 fit) — 6 + 9 + 21 + 14 = exactly the 50-entry prefix.
+# Entries
 # greened by the r10 driver and unchanged this round rotate to the
 # very END (freshest verification).  Later blocks are ordered by
 # round of LAST driver verification, oldest first.
@@ -67,6 +68,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ingest-time span removal off the persisted k-gram index
     "incremental_span_removal": (r11.incremental_span_removal,
                                  r11.INCREMENTAL_SPAN_REMOVAL_SQL),
+    # the corpus-build last mile: cut → quality gate → certified
+    # size-bounded export → explicit-list readback
+    "clean_corpus_export": (r11.clean_corpus_export,
+                            r11.CLEAN_CORPUS_EXPORT_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # the two-writer race now runs under the commit-marker CAS: the
     # loser fails at claim time, before its generation write
@@ -141,9 +146,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                            r7.STREAM_DEDUP_CHAIN_SQL),
     "rollup_swap_atomic": (r8.rollup_swap_atomic,
                            r8.ROLLUP_SWAP_ATOMIC_SQL),
+    # ======================== 50-entry prefix boundary =====================
+    # (rollup_timetravel slid just past the boundary when the r11
+    # front grew to 6 — it leads the r12 rotation)
     "rollup_timetravel": (r8.rollup_timetravel,
                           r8.ROLLUP_TIMETRAVEL_SQL),
-    # ======================== 50-entry prefix boundary =====================
     # ---- re-greened by the r06 driver (and later blocks unchanged) ---------
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
     "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),

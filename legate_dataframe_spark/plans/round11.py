@@ -218,6 +218,85 @@ INCREMENTAL_SPAN_REMOVAL_SQL = (
     f"SELECT * FROM ({SUBSTRING_SPAN_REMOVAL_SQL}) WHERE doc_id % 10 = 0")
 
 
+# ===================== the corpus-build last mile, end to end
+def clean_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's artifacts COMPOSED into the pipeline a training run
+    actually executes: span-level cut (``remove_dup_spans``) → quality
+    gate (≥10 residual tokens and ≤50% duplication — a doc that is
+    mostly boilerplate is dropped, not trimmed) → size-bounded shard
+    export, cap CERTIFIED from the exported files' own footers
+    (metadata-only; every shard ≤ cap and shard count ≥ ⌈n/cap⌉
+    asserted) → explicit-file-list readback whose row count must
+    equal the gated count (a dropped or doubled shard fails here
+    before the oracle ever runs).  Returns per-language corpus
+    accounting over the CLEANED text (doc count, kept/removed token
+    mass, clean char mass, id range); the oracle recomputes the cut,
+    the gate, and the aggregates independently in DuckDB."""
+    import math
+
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.pipeline.dedup import remove_dup_spans
+    from legate_dataframe_spark.sources.parquet import parquet_write
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = remove_dup_spans(d, k=8)
+    gated = (cut.join(d.select("doc_id", "lang"), "doc_id")
+             .filter((F.col("kept_tokens") >= 10)
+                     & (F.col("dup_ratio") <= 0.5))
+             .select("doc_id", "lang", "kept_tokens",
+                     "removed_tokens", "text_clean"))
+    cap = 200
+    out_dir = tempfile.mkdtemp(prefix="ldf_r11_cleanexp_")
+    try:
+        parquet_write(gated.repartition(4), out_dir,
+                      max_records_per_file=cap)
+        rows = mf.dir_file_rows(out_dir)
+        if not rows:
+            raise AssertionError("export wrote no shards")
+        oversized = {p: n for p, n in rows.items() if n > cap}
+        if oversized:
+            raise AssertionError(
+                f"shards exceed the {cap}-row cap: {oversized}")
+        total = sum(rows.values())
+        if len(rows) < math.ceil(total / cap):
+            raise AssertionError(
+                f"{len(rows)} shards cannot hold {total} rows under "
+                f"the {cap}-row cap")
+        back = mf.read_from_manifest(spark, out_dir, sorted(rows),
+                                     schema=gated.schema)
+        n_back = back.count()
+        if n_back != total:
+            raise AssertionError(
+                f"readback saw {n_back} rows, footers certified "
+                f"{total}")
+        out = (back.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("kept_tokens").alias("sum_kept"),
+                    F.sum("removed_tokens").alias("sum_removed"),
+                    F.sum(F.length("text_clean")).cast("bigint")
+                    .alias("sum_clean_chars"),
+                    F.min("doc_id").alias("min_doc"),
+                    F.max("doc_id").alias("max_doc")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+CLEAN_CORPUS_EXPORT_SQL = f"""
+WITH cut AS ({SUBSTRING_SPAN_REMOVAL_SQL})
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(sum(c.kept_tokens) AS BIGINT) AS sum_kept,
+       CAST(sum(c.removed_tokens) AS BIGINT) AS sum_removed,
+       CAST(sum(length(c.text_clean)) AS BIGINT) AS sum_clean_chars,
+       min(c.doc_id) AS min_doc,
+       max(c.doc_id) AS max_doc
+FROM cut c JOIN documents d USING (doc_id)
+WHERE c.kept_tokens >= 10 AND c.dup_ratio <= 0.5
+GROUP BY d.lang
+"""
+
+
 # ===================== AS-OF over never-stamped writes (default stamps)
 def asof_unstamped_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel as a PLATFORM property: a versioned rollup state is
