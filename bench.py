@@ -214,6 +214,7 @@ EXTRA = [
     # audit intervals + ingest-time cut), AS-OF over default stamps,
     # the streaming CDF mirror
     "substring_span_removal",
+    "substring_span_removal_raw",
     "dup_span_intervals",
     "incremental_span_removal",
     "clean_corpus_export",

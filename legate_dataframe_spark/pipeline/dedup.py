@@ -1055,6 +1055,82 @@ def _span_removal(docs, kg, dup_digs, text_col: str, id_col: str,
             " ").alias("text_clean"))
 
 
+def remove_dup_spans_raw(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Span removal that preserves the ORIGINAL text — case and
+    inner whitespace intact outside the cuts (lowercasing the corpus
+    to dedup it is destructive; Lee et al.'s tool cuts the raw bytes).
+    → (doc_id, n_tokens, removed_tokens, kept_tokens, dup_ratio,
+    text_clean_raw), where ``text_clean_raw`` keeps every original
+    byte of the kept token runs INCLUDING their internal separators,
+    each cut span collapses to a single space, and leading/trailing
+    whitespace is trimmed.  Duplicate detection is case-insensitive
+    (digests over lowercased k-grams — the same duplicated-span set
+    as :func:`remove_dup_spans`); the REWRITE is byte-preserving.
+
+    Mechanics, all JVM-side: tokens and separators come from two
+    ``regexp_extract_all`` passes over the trimmed text (trimmed, so
+    separators sit exactly BETWEEN tokens: sep[i] separates token i
+    from token i+1); k-gram digests are built from the same token
+    array (``slice`` + ``lower``), so covered positions index the
+    raw tokens exactly; the rebuild walks the kept positions with an
+    index-aware ``transform`` — a kept token glues to its ORIGINAL
+    left separator when its left neighbor was also kept, else to one
+    space.  Tokens never shuffle (same plan shape as
+    :func:`remove_dup_spans`)."""
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all(trim({text_col}), '\\\\S+', 0)")
+        .alias("tr"),
+        F.expr(f"regexp_extract_all(trim({text_col}), '\\\\s+', 0)")
+        .alias("sp"))
+    n = F.size("tr")
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    kg = (base.select(id_col, F.explode(starts).alias("pos"),
+                      F.col("tr"))
+          .select(id_col, "pos",
+                  F.md5(F.lower(F.array_join(
+                      F.slice("tr", F.col("pos"), k), " ")))
+                  .alias("dig")))
+    dup = (kg.groupBy("dig")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .filter(F.col("nd") > 1).select("dig"))
+    covered = _covered_positions(kg.select(id_col, "pos", "dig"),
+                                 dup, id_col, k)
+    cov_arr = (covered.groupBy(id_col)
+               .agg(F.collect_list("pos").alias("cov")))
+    j = base.join(cov_arr, id_col, "left")
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept_pos = F.array_except(
+        F.when(n >= 1, F.sequence(F.lit(1), n))
+        .otherwise(F.array().cast("array<int>")), cov)
+    # the rebuild: kept token i (1-based) glues to its ORIGINAL left
+    # separator sp[i-1] when token i-1 was kept too (the previous
+    # kept position is i-1); a cut between them collapses to ' '.
+    # F.get is 0-based; idx is the lambda's 0-based array index.
+    piece = F.transform(
+        kept_pos,
+        lambda i, idx: F.when(idx == 0, F.get(F.col("tr"), i - 1))
+        .when(F.get(kept_pos, idx - 1) == i - 1,
+              F.concat(F.get(F.col("sp"), i - 2),
+                       F.get(F.col("tr"), i - 1)))
+        .otherwise(F.concat(F.lit(" "), F.get(F.col("tr"), i - 1))))
+    n_removed = F.coalesce(F.size("cov"), F.lit(0))
+    return j.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        n_removed.cast("long").alias("removed_tokens"),
+        (n - n_removed).cast("long").alias("kept_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(n_removed / n, 6)).alias("dup_ratio"),
+        F.array_join(piece, "").alias("text_clean_raw"))
+
+
 def dup_span_intervals(
     docs: DataFrame,
     text_col: str = "text",

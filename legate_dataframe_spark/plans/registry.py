@@ -33,7 +33,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (the 6
+# the front block holds queries with no green driver row yet (the 7
 # round-11 additions), then entries whose implementation CHANGED this
 # round (the commit-marker CAS rides every swap_versioned — the race
 # entry demonstrates it; the manifest schema widened with recorded
@@ -43,7 +43,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # swap+manifest together), then the oldest stale-verification tranche:
 # VERDICT r10 task 2 names the r05 remainder (21 entries, join family /
 # sort / slice / scalar functions) and the r09 swap-adoption overflow
-# (14 of 15 fit) — 6 + 9 + 21 + 14 = exactly the 50-entry prefix.
+# (13 of 15 fit) — 7 + 9 + 21 + 13 = exactly the 50-entry prefix.
 # Entries
 # greened by the r10 driver and unchanged this round rotate to the
 # very END (freshest verification).  Later blocks are ordered by
@@ -72,6 +72,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # size-bounded export → explicit-list readback
     "clean_corpus_export": (r11.clean_corpus_export,
                             r11.CLEAN_CORPUS_EXPORT_SQL),
+    # byte-preserving span removal on the ORIGINAL text (case +
+    # inner whitespace kept; raw↔normalized reconciliation asserted)
+    "substring_span_removal_raw": (r11.substring_span_removal_raw,
+                                   r11.SUBSTRING_SPAN_REMOVAL_RAW_SQL),
     # ---- changed this round — re-verify -------------------------------------
     # the two-writer race now runs under the commit-marker CAS: the
     # loser fails at claim time, before its generation write
@@ -144,11 +148,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                                      r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
     "stream_dedup_chain": (r7.stream_dedup_chain,
                            r7.STREAM_DEDUP_CHAIN_SQL),
+    # ======================== 50-entry prefix boundary =====================
+    # (rollup_swap_atomic and rollup_timetravel slid just past the
+    # boundary when the r11 front grew to 7 — they lead the r12
+    # rotation)
     "rollup_swap_atomic": (r8.rollup_swap_atomic,
                            r8.ROLLUP_SWAP_ATOMIC_SQL),
-    # ======================== 50-entry prefix boundary =====================
-    # (rollup_timetravel slid just past the boundary when the r11
-    # front grew to 6 — it leads the r12 rotation)
     "rollup_timetravel": (r8.rollup_timetravel,
                           r8.ROLLUP_TIMETRAVEL_SQL),
     # ---- re-greened by the r06 driver (and later blocks unchanged) ---------

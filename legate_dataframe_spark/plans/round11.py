@@ -6,6 +6,12 @@
   dup_ratio SIGNAL).  Removed-token accounting reconciles exactly
   with the signal, asserted in-query and oracle-checked.
 
+- ``substring_span_removal_raw`` — the BYTE-preserving form: the
+  same cut-span set (case-insensitive detection), but original case
+  and inner whitespace survive inside kept runs; lowercase+collapse
+  of its output must reproduce the normalized variant (the
+  raw↔normalized reconciliation law, asserted in-query).
+
 - ``dup_span_intervals`` — the removal AUDIT MAP: merged cut
   intervals per document (islands over the covered-position set),
   with the k-guard / contiguity / non-overlap laws asserted.
@@ -103,6 +109,93 @@ SELECT t.doc_id,
        round(coalesce(cov.removed, 0) / len(t.ts), 6) AS dup_ratio,
        coalesce(clean.text_clean, '') AS text_clean
 FROM tokens t
+LEFT JOIN cov USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""
+
+
+# ===================== raw (byte-preserving) span removal
+def substring_span_removal_raw(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The corpus rewrite a production pipeline actually ships:
+    duplicated spans cut from the ORIGINAL text — case and inner
+    whitespace byte-preserved inside kept runs, each cut collapsing
+    to one space (the normalized variant lowercases the whole corpus,
+    which is destructive; Lee et al.'s tool cuts raw bytes).
+    Detection stays case-insensitive (lowercased k-gram digests), so
+    the cut-span SET matches the normalized operator exactly — the
+    reconciliation law asserted in-query: lowercasing and
+    whitespace-collapsing ``text_clean_raw`` must reproduce the
+    normalized ``text_clean`` doc for doc, and the per-doc accounting
+    must agree.  Oracle: the identical raw rebuild in DuckDB
+    (separator-aware ordered string_agg over the kept token runs)."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_dup_spans,
+        remove_dup_spans_raw,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = remove_dup_spans_raw(d, k=8).localCheckpoint(eager=True)
+    norm = remove_dup_spans(d, k=8).select(
+        "doc_id", F.col("removed_tokens").alias("norm_removed"),
+        F.col("text_clean").alias("norm_clean"))
+    renorm = F.lower(F.regexp_replace(F.col("text_clean_raw"),
+                                      r"\s+", " "))
+    bad = (raw.join(norm, "doc_id")
+           .filter((F.col("removed_tokens") != F.col("norm_removed"))
+                   | (renorm != F.col("norm_clean"))).count())
+    if bad:
+        raise AssertionError(
+            f"{bad} doc(s) break the raw↔normalized reconciliation "
+            f"law (same cut set, byte-preserving rebuild)")
+    return raw
+
+
+SUBSTRING_SPAN_REMOVAL_RAW_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(trim(text), '\S+') AS tr,
+         regexp_extract_all(trim(text), '\s+') AS sp
+  FROM documents),
+kg AS (
+  SELECT doc_id, i AS pos,
+         md5(lower(array_to_string(tr[i:i+7], ' '))) AS dig
+  FROM base, unnest(generate_series(1, greatest(len(tr)-7, 0))) AS u(i)),
+dup AS (SELECT dig FROM kg GROUP BY dig HAVING count(DISTINCT doc_id) > 1),
+cover AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN dup USING (dig), unnest(generate_series(0, 7)) AS o(off)),
+tok AS (
+  SELECT b.doc_id, i AS pos, b.tr[i] AS tok
+  FROM base b, unnest(generate_series(1, len(b.tr))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.t = t.pos
+  WHERE c.doc_id IS NULL),
+pieces AS (
+  SELECT k.doc_id, k.pos,
+         CASE
+           WHEN lag(k.pos) OVER w IS NULL THEN k.tok
+           WHEN lag(k.pos) OVER w = k.pos - 1
+             THEN b.sp[k.pos - 1] || k.tok
+           ELSE ' ' || k.tok
+         END AS piece
+  FROM kept k JOIN base b USING (doc_id)
+  WINDOW w AS (PARTITION BY k.doc_id ORDER BY k.pos)),
+clean AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS text_clean_raw
+  FROM pieces GROUP BY doc_id),
+cov AS (SELECT doc_id, count(*) AS removed FROM cover GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(b.tr) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(b.tr) - coalesce(cov.removed, 0) AS BIGINT)
+         AS kept_tokens,
+       CASE WHEN len(b.tr) = 0 THEN 0.0
+            ELSE round(coalesce(cov.removed, 0) / len(b.tr), 6)
+       END AS dup_ratio,
+       coalesce(clean.text_clean_raw, '') AS text_clean_raw
+FROM base b
 LEFT JOIN cov USING (doc_id)
 LEFT JOIN clean USING (doc_id)
 """

@@ -370,6 +370,53 @@ def test_remove_dup_spans_reconciles_with_signal(spark, sf_dir):
     assert bad == 0
 
 
+def test_remove_dup_spans_raw_preserves_bytes(spark):
+    """The raw rewrite: original case and inner whitespace survive in
+    kept runs, detection is case-insensitive, cuts collapse to one
+    space."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_dup_spans_raw,
+    )
+
+    docs = _df(spark, [
+        (1, "Alpha  ONE two\tThree beta!  Gamma"),
+        (2, "x one Two three y"),
+        (3, "Untouched   Doc  here\tnow"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_dup_spans_raw(docs, k=3).collect()}
+    # "ONE two Three" ≍ "one Two three" case-insensitively → cut;
+    # the kept run keeps its double space and the trailing one too
+    assert got[1]["text_clean_raw"] == "Alpha beta!  Gamma"
+    assert (got[1]["removed_tokens"], got[1]["kept_tokens"]) == (3, 3)
+    assert got[2]["text_clean_raw"] == "x y"
+    # untouched: byte-exact inner whitespace (tabs, runs of spaces)
+    assert got[3]["text_clean_raw"] == "Untouched   Doc  here\tnow"
+    assert got[3]["removed_tokens"] == 0
+
+
+def test_remove_dup_spans_raw_reconciles_with_normalized(spark,
+                                                         sf_dir):
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_dup_spans,
+        remove_dup_spans_raw,
+    )
+    from legate_dataframe_spark.plans.relational import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = remove_dup_spans_raw(d, k=8).select(
+        "doc_id", "removed_tokens",
+        F.lower(F.regexp_replace("text_clean_raw", r"\s+", " "))
+        .alias("renorm"))
+    norm = remove_dup_spans(d, k=8).select(
+        "doc_id", F.col("removed_tokens").alias("r2"),
+        F.col("text_clean").alias("clean"))
+    bad = (raw.join(norm, "doc_id")
+           .filter((F.col("removed_tokens") != F.col("r2"))
+                   | (F.col("renorm") != F.col("clean"))).count())
+    assert bad == 0
+
+
 def test_dup_span_intervals_islands(spark):
     from legate_dataframe_spark.pipeline.dedup import dup_span_intervals
 
@@ -559,6 +606,68 @@ def test_published_generation_keeps_marker_and_vacuum_clears(
         assert os.path.exists(_marker_path(spark, v, 2))
     finally:
         spark.sql("DROP DATABASE IF EXISTS t11_mk3 CASCADE")
+
+
+# ----------------------------------- fast commit-stamp TZ semantics
+def test_fast_commit_append_matches_spark_writer_tz(spark, tmp_path):
+    """The pyarrow fast path writes UTC-adjusted timestamps parsed in
+    the SESSION time zone — byte-identical semantics to Spark's own
+    writer, asserted under a non-UTC session TZ (the driver probes
+    America/New_York)."""
+    from legate_dataframe_spark.core.bucketing import (
+        _append_commit_row_fast,
+        _record_commit,
+        init_versioned,
+        read_asof,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t11_tz "
+              f"LOCATION '{tmp_path}/db'")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        v = "t11_tz.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2,
+                       committed_at="2024-01-01 00:00:00")
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/New_York")
+        ct = f"{v}__commits"
+        # one row through each path, same wall-clock string
+        _append_commit_row_fast(spark, ct, 7, "2024-06-01 12:30:00")
+        _record_commit(spark, v, 8, "2024-06-01 12:30:00")
+        rows = {r["generation"]: r["committed_at"]
+                for r in spark.table(ct).collect()}
+        assert rows[7] == rows[8]
+        # AS-OF still resolves the real generation under the new TZ
+        # (gens 7/8 above are stamp-only rows with no physical table)
+        assert read_asof(spark, v, "2024-01-02 00:00:00").count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.sql("DROP DATABASE IF EXISTS t11_tz CASCADE")
+
+
+# ------------------------------------- r11 prefix rotation contract
+def test_registry_prefix_matches_rotation_protocol():
+    """The driver samples the first ~50 registry entries; an
+    accidental reorder silently un-rotates the round's verification
+    plan.  Pin the r11 prefix structure: 6 new + 9 changed lead, the
+    boundary falls after exactly 50."""
+    from legate_dataframe_spark.plans.registry import QUERIES
+
+    names = list(QUERIES)
+    assert names[:7] == [
+        "substring_span_removal", "asof_unstamped_default",
+        "stream_cdf_apply_chain", "dup_span_intervals",
+        "incremental_span_removal", "clean_corpus_export",
+        "substring_span_removal_raw"]
+    assert set(names[7:16]) == {
+        "swap_contention", "cdf_apply_roundtrip",
+        "manifest_bloom_lookup", "rollup_timetravel_asof",
+        "rollup_manifest_refresh", "manifest_pruned_scan",
+        "index_compaction_signal", "stream_manifest_chain",
+        "takedown_cascade"}
+    assert names[49] == "stream_dedup_chain"  # the boundary entry
+    assert len(names) == len(set(names))
 
 
 # --------------------------------------- empty-dict manifest opt-in
