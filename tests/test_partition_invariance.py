@@ -53,6 +53,12 @@ REPRESENTATIVE = [
     # round-10 continuation
     "substring_dup_spans",   # digest groupBy + covered-position
                              # distinct must not depend on layout
+    # round-11: the corpus rewrite — collect_list into cov arrays and
+    # the ordered array rebuild must erase layout entirely (the cut
+    # TEXT itself is compared, not just counts)
+    "substring_span_removal",
+    "substring_span_removal_raw",
+    "dup_span_intervals",    # islands window over covered positions
 ]
 
 
