@@ -377,6 +377,12 @@ _COMMIT_MARKERS = True  # module flag; tests toggle to model non-posix
 _MARKER_STALE_SEC = 3600.0  # claimed-but-never-published reclaim age
 
 
+# database locations are immutable for a database's lifetime; cache
+# them so the per-swap claim costs file ops, not a catalog query
+# (entries are tiny strings; temp test databases add a few dozen)
+_DB_LOC_CACHE: dict[str, str | None] = {}
+
+
 def _marker_path(spark: SparkSession, view_name: str,
                  gen: int) -> str | None:
     """Local-filesystem marker path for one generation claim, or None
@@ -386,12 +392,16 @@ def _marker_path(spark: SparkSession, view_name: str,
 
     db, _, stem = view_name.rpartition(".")
     db = db or spark.catalog.currentDatabase()
-    loc = None
-    for r in spark.sql(f"DESCRIBE DATABASE {db}").collect():
-        if (r[0] or "").strip().lower() in ("location",
-                                            "location uri"):
-            loc = r[1].strip()
-            break
+    if db in _DB_LOC_CACHE:
+        loc = _DB_LOC_CACHE[db]
+    else:
+        loc = None
+        for r in spark.sql(f"DESCRIBE DATABASE {db}").collect():
+            if (r[0] or "").strip().lower() in ("location",
+                                                "location uri"):
+                loc = r[1].strip()
+                break
+        _DB_LOC_CACHE[db] = loc
     if loc is None:
         return None
     if loc.startswith("file://"):

@@ -468,21 +468,33 @@ def point_lookup_candidates(
     m = spark.table(manifest_table(table_name))
     if generation is not None:
         m = m.filter(F.col("generation") == generation)
-    rows = (m.select("bloom", "bucket_id", "bloom_bits", "bloom_hashes",
-                     F.size("bloom").alias("__nwords")).collect())
-    if not rows:
+    # validation is ONE aggregate over the manifest — the driver sees
+    # counts and the distinct parameter pairs, never the bitmaps (a
+    # 1M-file manifest's blooms are hundreds of MB; collecting them
+    # here would make the PLANNING step the scale problem)
+    stats = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("bloom").isNull()
+                     | F.col("bucket_id").isNull(), 1)
+              .otherwise(0)).alias("bad"),
+        F.sum(F.when(F.size("bloom") * 64
+                     != F.col("bloom_bits"), 1)
+              .otherwise(0)).alias("wrong_size"),
+        F.collect_set(F.struct("bloom_bits", "bloom_hashes"))
+        .alias("params")).collect()[0]
+    if stats["n"] == 0:
         raise ValueError(
             f"manifest of {table_name} has no rows in scope "
             f"(generation={generation}) — was the write made with "
             f"manifest options?")
-    bad = sum(1 for r in rows
-              if r["bloom"] is None or r["bucket_id"] is None)
-    if bad:
+    if stats["bad"]:
         raise ValueError(
-            f"{bad} manifest row(s) of {table_name} lack a bloom or "
-            f"bucket id — point lookup needs every file covered "
-            f"(write_manifest with bloom_col on a bucketed layout)")
-    params = {(r["bloom_bits"], r["bloom_hashes"]) for r in rows}
+            f"{stats['bad']} manifest row(s) of {table_name} lack a "
+            f"bloom or bucket id — point lookup needs every file "
+            f"covered (write_manifest with bloom_col on a bucketed "
+            f"layout)")
+    params = {(p["bloom_bits"], p["bloom_hashes"])
+              for p in stats["params"]}
     if len(params) != 1 or None in next(iter(params)):
         raise ValueError(
             f"manifest of {table_name} records bloom params "
@@ -490,12 +502,11 @@ def point_lookup_candidates(
             f"(bloom_bits, bloom_hashes) pair (legacy manifests "
             f"predate the recording: re-run write_manifest)")
     (bloom_bits, bloom_hashes) = next(iter(params))
-    wrong = sum(1 for r in rows if r["__nwords"] * 64 != bloom_bits)
-    if wrong:
+    if stats["wrong_size"]:
         raise ValueError(
-            f"{wrong} bloom bitmap(s) of {table_name} disagree with "
-            f"the recorded bloom_bits={bloom_bits} — manifest is "
-            f"corrupt; re-run write_manifest")
+            f"{stats['wrong_size']} bloom bitmap(s) of {table_name} "
+            f"disagree with the recorded bloom_bits={bloom_bits} — "
+            f"manifest is corrupt; re-run write_manifest")
     p = probes.select(
         F.col(key_col),
         F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets))
