@@ -1082,11 +1082,20 @@ def remove_dup_spans_raw(
     left separator when its left neighbor was also kept, else to one
     space.  Tokens never shuffle (same plan shape as
     :func:`remove_dup_spans`)."""
+    # strip ALL leading/trailing whitespace, not trim()'s ASCII
+    # spaces only (ADVICE r11 medium: '\tfoo bar' under trim() keeps
+    # the tab, producing a LEADING sp entry that shifts every
+    # separator index by one — kept runs would rebuild with the
+    # wrong whitespace bytes, silently, since the oracle shared the
+    # same misalignment); after the \s-strip, separators sit exactly
+    # BETWEEN tokens: sp[i] separates token i from token i+1
+    stripped = (f"regexp_replace({text_col}, "
+                f"'^\\\\s+|\\\\s+$', '')")
     base = docs.select(
         F.col(id_col),
-        F.expr(f"regexp_extract_all(trim({text_col}), '\\\\S+', 0)")
+        F.expr(f"regexp_extract_all({stripped}, '\\\\S+', 0)")
         .alias("tr"),
-        F.expr(f"regexp_extract_all(trim({text_col}), '\\\\s+', 0)")
+        F.expr(f"regexp_extract_all({stripped}, '\\\\s+', 0)")
         .alias("sp"))
     n = F.size("tr")
     starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))) \

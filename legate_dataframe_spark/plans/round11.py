@@ -153,9 +153,13 @@ def substring_span_removal_raw(spark: SparkSession,
 
 SUBSTRING_SPAN_REMOVAL_RAW_SQL = r"""
 WITH base AS (
+  -- full \s strip, not trim()'s ASCII spaces (ADVICE r11: a leading
+  -- tab/newline would shift every separator index by one)
   SELECT doc_id,
-         regexp_extract_all(trim(text), '\S+') AS tr,
-         regexp_extract_all(trim(text), '\s+') AS sp
+         regexp_extract_all(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\S+') AS tr,
+         regexp_extract_all(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS sp
   FROM documents),
 kg AS (
   SELECT doc_id, i AS pos,

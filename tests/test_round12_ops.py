@@ -1,0 +1,224 @@
+"""Round-12 units: ADVICE-r11 fixes (session-TZ default stamps,
+atomic stale-marker reclaim, byte-preserving raw cut under non-space
+whitespace, DB-location cache invalidation) and the first-commit
+fast path (VERDICT r11 task 2)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------- session-TZ default commit stamps (ADVICE r11 medium)
+def test_default_stamp_resolves_immediately_under_non_utc_tz(
+        spark, tmp_path):
+    """A UTC-formatted default stamp parsed in a UTC-negative session
+    TZ lands hours in the FUTURE, so read_asof('now') misses the
+    just-published generation.  The stamp must be generated in the
+    session time zone end-to-end."""
+    import datetime as dt
+    import zoneinfo
+
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        read_asof,
+        swap_versioned,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.sql("CREATE DATABASE IF NOT EXISTS t12_tz "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/Los_Angeles")
+        v = "t12_tz.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        swap_versioned(spark, _df(spark, [(1, 2)], "k long, n long"),
+                       v, ["k"], num_buckets=2, keep_old=True)
+        # "now", formatted in the SESSION zone with a 2 s grace —
+        # under the pre-fix UTC stamps this misses by 7-8 HOURS
+        now = (dt.datetime.now(zoneinfo.ZoneInfo("America/Los_Angeles"))
+               + dt.timedelta(seconds=2)).strftime("%Y-%m-%d %H:%M:%S")
+        got = read_asof(spark, v, now)
+        assert got.collect()[0]["n"] == 2
+        # and the default stamps must ORDER against explicit ones: an
+        # explicit commit a minute from now sorts after both defaults
+        future = (dt.datetime.now(
+            zoneinfo.ZoneInfo("America/Los_Angeles"))
+            + dt.timedelta(minutes=1)).strftime("%Y-%m-%d %H:%M:%S")
+        swap_versioned(spark, _df(spark, [(1, 3)], "k long, n long"),
+                       v, ["k"], num_buckets=2, keep_old=True,
+                       committed_at=future)
+        assert read_asof(spark, v, now).collect()[0]["n"] == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        spark.sql("DROP DATABASE IF EXISTS t12_tz CASCADE")
+
+
+def test_session_tz_fixed_offset_forms(spark):
+    from legate_dataframe_spark.core.bucketing import _session_tz
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for name, hours in (("+08:00", 8), ("-0530", -5.5),
+                            ("GMT+8", 8), ("UTC", 0)):
+            spark.conf.set("spark.sql.session.timeZone", name)
+            tz = _session_tz(spark)
+            import datetime as dt
+
+            off = tz.utcoffset(dt.datetime(2026, 1, 1))
+            assert off == dt.timedelta(hours=hours), (name, off)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+# -------------- atomic stale-marker reclaim (ADVICE r11 medium TOCTOU)
+def test_reclaim_restores_stolen_fresh_marker(tmp_path):
+    """The exact ADVICE scenario: a reclaimer's rename lands on a
+    marker another racer already re-created.  The reclaim must detect
+    the FRESH tombstone, restore the marker byte-for-byte, and report
+    the slot live — never delete the rightful claim."""
+    from legate_dataframe_spark.core.bucketing import (
+        _reclaim_stale_marker,
+    )
+
+    p = str(tmp_path / "g1.commit")
+    with open(p, "w") as fh:
+        fh.write("4242@rightful-claimant\n")
+    assert _reclaim_stale_marker(p) == "live"
+    assert os.path.exists(p)
+    assert open(p).read() == "4242@rightful-claimant\n"
+
+
+def test_reclaim_removes_genuine_orphan(tmp_path):
+    from legate_dataframe_spark.core.bucketing import (
+        _reclaim_stale_marker,
+    )
+
+    p = str(tmp_path / "g1.commit")
+    open(p, "w").close()
+    os.utime(p, (1, 1))
+    assert _reclaim_stale_marker(p) == "reclaimed"
+    assert not os.path.exists(p)
+    assert glob.glob(f"{p}.tomb-*") == []
+
+
+def _race_reclaim_then_claim(args):
+    """Top-level for multiprocessing: every racer sees the same stale
+    marker, reclaims through the real primitive, then tries the
+    claim — the pre-fix remove() could double-claim here."""
+    path, barrier = args
+    from legate_dataframe_spark.core.bucketing import (
+        _reclaim_stale_marker,
+        _try_create_marker,
+    )
+
+    barrier.wait(timeout=30)
+    if _reclaim_stale_marker(path) == "live":
+        return False
+    return _try_create_marker(path)
+
+
+def test_stale_reclaim_race_single_winner(tmp_path):
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    n_workers, n_trials = 6, 10
+    for trial in range(n_trials):
+        path = str(tmp_path / f"g{trial}.commit")
+        open(path, "w").close()
+        os.utime(path, (1, 1))  # stale for every racer
+        with ctx.Manager() as mgr:
+            barrier = mgr.Barrier(n_workers)
+            with ctx.Pool(n_workers) as pool:
+                wins = pool.map(_race_reclaim_then_claim,
+                                [(path, barrier)] * n_workers)
+        assert sum(wins) == 1, (trial, wins)
+        assert os.path.exists(path)
+
+
+# -------- byte-preserving raw cut under tabs/newlines (ADVICE r11)
+def test_raw_span_removal_preserves_bytes_with_leading_whitespace(
+        spark):
+    """trim() strips only ASCII spaces while the tokenizer splits on
+    \\s+: a leading tab used to shift every separator index by one,
+    rebuilding kept runs with the wrong whitespace bytes."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_dup_spans_raw,
+    )
+
+    docs = _df(spark, [
+        (1, "\ta b c x\ty"),          # leading tab + internal tab
+        (2, "a b c z w"),
+        (3, "\n p\tq a b c r  s \n"),  # newline edges, double space
+        (4, "A B C m n"),              # case-insensitive detection
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["removed_tokens"],
+                         r["text_clean_raw"])
+           for r in remove_dup_spans_raw(docs, k=3).collect()}
+    # "a b c" is the one cross-doc duplicated 3-gram (docs 1,2,3,4)
+    assert got[1] == (5, 3, "x\ty")
+    assert got[2] == (5, 3, "z w")
+    assert got[3] == (7, 3, "p\tq r  s")
+    assert got[4] == (5, 3, "m n")
+
+
+# ---------------- DB-location cache invalidation (ADVICE r11 low)
+def test_marker_path_recomputes_after_db_relocation(spark, tmp_path):
+    from legate_dataframe_spark.core.bucketing import _marker_path
+
+    loc_a, loc_b = f"{tmp_path}/db_a", f"{tmp_path}/db_b"
+    spark.sql(f"CREATE DATABASE t12_move LOCATION '{loc_a}'")
+    try:
+        p1 = _marker_path(spark, "t12_move.s", 0)
+        assert loc_a in p1
+        spark.sql("DROP DATABASE t12_move CASCADE")
+        shutil.rmtree(loc_a, ignore_errors=True)
+        spark.sql(f"CREATE DATABASE t12_move LOCATION '{loc_b}'")
+        p2 = _marker_path(spark, "t12_move.s", 0)
+        assert loc_b in p2, "stale _DB_LOC_CACHE entry survived"
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t12_move CASCADE")
+
+
+# ---------------- first-commit fast path (VERDICT r11 task 2)
+def test_first_commit_uses_pyarrow_fast_path(spark, tmp_path):
+    """The timeline table's CREATE is catalog DDL + a pyarrow part
+    file — no Spark write job.  Every row in a fresh state's timeline
+    must carry the fast path's file naming, and AS-OF must resolve
+    through it."""
+    from legate_dataframe_spark.core.bucketing import (
+        init_versioned,
+        read_asof,
+        swap_versioned,
+    )
+    from legate_dataframe_spark.core.manifest import table_location
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS t12_fast "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        v = "t12_fast.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2,
+                       committed_at="2026-01-01 00:00:00")
+        swap_versioned(spark, _df(spark, [(1, 2)], "k long, n long"),
+                       v, ["k"], num_buckets=2, keep_old=True,
+                       committed_at="2026-01-02 00:00:00")
+        loc = table_location(spark, f"{v}__commits")
+        parts = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+        assert parts and all(f.startswith("part-ldfcommit-")
+                             for f in parts), parts
+        assert read_asof(spark, v, "2026-01-01 12:00:00") \
+            .collect()[0]["n"] == 1
+        assert read_asof(spark, v, "2026-01-03 00:00:00") \
+            .collect()[0]["n"] == 2
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t12_fast CASCADE")
