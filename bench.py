@@ -220,6 +220,8 @@ EXTRA = [
     "clean_corpus_export",
     "asof_unstamped_default",
     "stream_cdf_apply_chain",
+    # round-12 additions: tokenizer-independent span removal
+    "substring_span_removal_chars",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

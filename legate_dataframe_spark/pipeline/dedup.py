@@ -1140,6 +1140,81 @@ def remove_dup_spans_raw(
         F.array_join(piece, "").alias("text_clean_raw"))
 
 
+def remove_dup_spans_chars(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """CHARACTER-shingle span removal — the tokenizer-independent
+    form of :func:`remove_dup_spans` (VERDICT r11 task 3: the word
+    family splits on ``\\s+``, so scripts without whitespace word
+    boundaries — CJK, fused punctuation — get no or misaligned
+    coverage; Lee et al., arXiv:2107.06499, operate on BPE/byte
+    sequences, and char k-grams are the codepoint-level equivalent
+    that needs no vocabulary).  → (doc_id, n_chars, removed_chars,
+    kept_chars, dup_ratio, text_clean_chars), where a character
+    position is covered iff it lies inside a k-char substring that
+    appears verbatim (case-sensitive — byte fidelity) in ANOTHER
+    document, and ``text_clean_chars`` is the original text minus
+    the covered characters.  ``k`` is the minimum cut length in
+    characters (Lee et al. use 50 BPE tokens; 20–50 chars is the
+    comparable band).
+
+    This completes the span family's tokenizer CONTRACT: a span
+    operator = (position stream, k-gram digest per position, rebuild
+    by kept positions).  The word variants instantiate it with the
+    ``\\s+`` tokenizer; this one with the identity (per-character)
+    tokenizer; a BPE instantiation would slot into the same three
+    stages.
+
+    Scale shape: identical to the word form — ONE corpus-sized
+    k-gram digest groupBy (map-side combined; ~wordlen× more shingle
+    rows than the word form, the price of tokenizer independence),
+    the ×k position explode paid only by duplicated shingles, and a
+    per-doc whole-stage-codegen array rebuild; characters never
+    shuffle.  The rebuild materializes an int array per TOUCHED doc
+    (position arithmetic) — for multi-MB single documents compose
+    :func:`dup_span_intervals`-style islands with substring slicing
+    instead."""
+    base = docs.select(F.col(id_col), F.col(text_col).alias("__t"),
+                       F.length(F.col(text_col)).alias("__n"))
+    starts = F.when(
+        F.col("__n") >= k,
+        F.sequence(F.lit(1), F.col("__n") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    kg = (base.select(id_col, F.explode(starts).alias("pos"),
+                      F.col("__t"))
+          .select(id_col, "pos",
+                  F.md5(F.expr(f"substring(__t, pos, {k})"))
+                  .alias("dig")))
+    dup = (kg.groupBy("dig")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .filter(F.col("nd") > 1).select("dig"))
+    covered = _covered_positions(kg, dup, id_col, k)
+    cov_arr = (covered.groupBy(id_col)
+               .agg(F.collect_list("pos").alias("cov")))
+    j = base.join(cov_arr, id_col, "left")
+    kept_pos = F.array_except(
+        F.when(F.col("__n") >= 1,
+               F.sequence(F.lit(1), F.col("__n")))
+        .otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("cov"), F.array().cast("array<int>")))
+    n_removed = F.coalesce(F.size("cov"), F.lit(0))
+    return j.select(
+        id_col,
+        F.col("__n").cast("long").alias("n_chars"),
+        n_removed.cast("long").alias("removed_chars"),
+        (F.col("__n") - n_removed).cast("long").alias("kept_chars"),
+        F.when(F.col("__n") == 0, F.lit(0.0))
+        .otherwise(F.round(n_removed / F.col("__n"), 6))
+        .alias("dup_ratio"),
+        F.array_join(
+            F.transform(kept_pos,
+                        lambda i: F.substr("__t", i, F.lit(1))),
+            "").alias("text_clean_chars"))
+
+
 def dup_span_intervals(
     docs: DataFrame,
     text_col: str = "text",

@@ -24,6 +24,7 @@ from legate_dataframe_spark.plans import round9 as r9
 from legate_dataframe_spark.plans import round10 as r10
 from legate_dataframe_spark.plans import round10b as r10b
 from legate_dataframe_spark.plans import round11 as r11
+from legate_dataframe_spark.plans import round12 as r12
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -49,6 +50,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # very END (freshest verification).  Later blocks are ordered by
 # round of LAST driver verification, oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # ---- round-12 front: no driver row yet ---------------------------------
+    # tokenizer-independent (char-shingle) span removal: CJK/no-
+    # whitespace corpora get coverage the \s+ family cannot see
+    "substring_span_removal_chars": (
+        r12.substring_span_removal_chars,
+        r12.SUBSTRING_SPAN_REMOVAL_CHARS_SQL),
     # ---- round-11 front: no driver row yet ---------------------------------
     # the deduplicated corpus itself: duplicated spans CUT from the
     # text, accounting reconciled with the dup_ratio signal
