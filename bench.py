@@ -220,8 +220,10 @@ EXTRA = [
     "clean_corpus_export",
     "asof_unstamped_default",
     "stream_cdf_apply_chain",
-    # round-12 additions: tokenizer-independent span removal
+    # round-12 additions: tokenizer-independent span removal,
+    # object-store commit CAS
     "substring_span_removal_chars",
+    "swap_contention_objectstore",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

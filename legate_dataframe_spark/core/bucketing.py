@@ -384,6 +384,118 @@ _MARKER_STALE_SEC = 3600.0  # claimed-but-never-published reclaim age
 _DB_LOC_CACHE: dict[str, str | None] = {}
 
 
+# --------------- pluggable commit backends for non-posix warehouses
+# (r12, VERDICT r11 task 4): object stores have no O_EXCL, but every
+# major one HAS a conditional-commit primitive — S3 conditional PUT
+# (If-None-Match: *), GCS x-goog-if-generation-match: 0, ABFS
+# If-None-Match, or a DynamoDB-style lock table.  A deployment
+# registers its store's primitive once and the whole commit-marker
+# CAS (claim-before-write, stale reclaim, vacuum clearing) runs
+# through it; schemes with NO registered backend keep the r10
+# pointer-recheck as the documented plain-catalog bound.
+_COMMIT_BACKENDS: dict[str, "CommitBackend"] = {}
+
+
+class CommitBackend:
+    """Contract a commit backend implements for one URI scheme.
+    ``put_if_absent`` is the CAS primitive and must be atomic on the
+    store (conditional PUT / lock-table insert — exactly one caller
+    succeeds per key); the rest are bookkeeping.  All methods take
+    full ``scheme://...`` URIs."""
+
+    def put_if_absent(self, uri: str, payload: str) -> bool:
+        """Create ``uri`` with ``payload`` iff it does not exist.
+        True iff THIS caller created it."""
+        raise NotImplementedError
+
+    def delete(self, uri: str) -> None:
+        """Remove ``uri``; absent is not an error."""
+        raise NotImplementedError
+
+    def mtime(self, uri: str) -> float | None:
+        """Last-modified epoch seconds, or None when absent."""
+        raise NotImplementedError
+
+    def delete_prefix(self, uri: str) -> None:
+        """Remove every object under ``uri`` (a directory-ish
+        prefix); absent is not an error."""
+        raise NotImplementedError
+
+
+def register_commit_backend(scheme: str,
+                            backend: CommitBackend) -> None:
+    """Route commit markers of databases whose LOCATION uses
+    ``scheme:`` through ``backend`` — the non-posix half of the CAS
+    story (the data path resolves the same scheme through Hadoop;
+    the manifest metadata path through
+    :func:`~legate_dataframe_spark.core.manifest.register_filesystem`
+    — the three registrations together make a new store a config
+    change).  Limitation shared with any remote location: the
+    database-location cache cannot cheaply detect a drop+recreate at
+    a DIFFERENT URI mid-session (posix locations self-invalidate via
+    an existence probe); long-lived sessions spanning a database
+    relocation should restart or clear ``_DB_LOC_CACHE``."""
+    _COMMIT_BACKENDS[scheme] = backend
+
+
+def _backend_for(path: str) -> CommitBackend | None:
+    if "://" not in path:
+        return None
+    return _COMMIT_BACKENDS.get(path.split("://", 1)[0])
+
+
+class LocalDirCommitBackend(CommitBackend):
+    """Reference backend: conditional-put emulation over a local
+    directory — what the mock object store in the race tests uses,
+    and the shape a mounted-filesystem deployment (NFS with O_EXCL
+    semantics, fuse mounts) registers directly.  ``scheme://x/y``
+    maps to ``{root}/x/y``."""
+
+    def __init__(self, scheme: str, root: str) -> None:
+        self._prefix = f"{scheme}://"
+        self._root = root
+
+    def _local(self, uri: str) -> str:
+        import os as _os
+
+        assert uri.startswith(self._prefix), uri
+        return _os.path.join(self._root,
+                             uri[len(self._prefix):].lstrip("/"))
+
+    def put_if_absent(self, uri: str, payload: str) -> bool:
+        import os as _os
+
+        p = self._local(uri)
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        try:
+            fd = _os.open(p, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            return False
+        _os.write(fd, payload.encode())
+        _os.close(fd)
+        return True
+
+    def delete(self, uri: str) -> None:
+        import contextlib as _ctx
+        import os as _os
+
+        with _ctx.suppress(OSError):
+            _os.remove(self._local(uri))
+
+    def mtime(self, uri: str) -> float | None:
+        import os as _os
+
+        try:
+            return _os.path.getmtime(self._local(uri))
+        except OSError:
+            return None
+
+    def delete_prefix(self, uri: str) -> None:
+        import shutil as _shutil
+
+        _shutil.rmtree(self._local(uri), ignore_errors=True)
+
+
 def _marker_path(spark: SparkSession, view_name: str,
                  gen: int) -> str | None:
     """Local-filesystem marker path for one generation claim, or None
@@ -425,14 +537,21 @@ def _marker_path(spark: SparkSession, view_name: str,
     elif loc.startswith("file:"):
         loc = loc[5:]
     elif "://" in loc:
-        return None  # object store — no O_EXCL primitive there
+        # non-posix warehouse: markers are available iff the scheme
+        # registered a conditional-commit backend (r12); otherwise
+        # the pointer recheck is the documented plain-catalog bound
+        if _backend_for(loc) is None:
+            return None
+        return (f"{loc.rstrip('/')}/_ldf_commit_markers/{stem}/"
+                f"g{gen}.commit")
     return _os.path.join(loc, "_ldf_commit_markers", stem,
                          f"g{gen}.commit")
 
 
 def _try_create_marker(path: str, payload: str | None = None) -> bool:
-    """The raw CAS primitive: O_CREAT|O_EXCL — the kernel guarantees
-    exactly one winner across processes on a posix filesystem.
+    """The raw CAS primitive: O_CREAT|O_EXCL on posix (the kernel
+    guarantees exactly one winner across processes), the registered
+    backend's conditional put for ``scheme://`` marker paths (r12).
     Returns False when another writer already holds the path.  The
     marker records pid+hostname (ADVICE r11 low: a reclaim — or an
     operator — can then verify whether the claimant process is dead
@@ -440,15 +559,45 @@ def _try_create_marker(path: str, payload: str | None = None) -> bool:
     import os as _os
     import socket as _socket
 
+    if payload is None:
+        payload = f"{_os.getpid()}@{_socket.gethostname()}\n"
+    be = _backend_for(path)
+    if be is not None:
+        return be.put_if_absent(path, payload)
     try:
         fd = _os.open(path, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
     except FileExistsError:
         return False
-    _os.write(fd, (payload if payload is not None else
-                   f"{_os.getpid()}@{_socket.gethostname()}\n")
-              .encode())
+    _os.write(fd, payload.encode())
     _os.close(fd)
     return True
+
+
+def _marker_mtime(path: str) -> float | None:
+    """Marker last-modified epoch seconds (None when absent), via
+    the path's own primitive."""
+    import os as _os
+
+    be = _backend_for(path)
+    if be is not None:
+        return be.mtime(path)
+    try:
+        return _os.path.getmtime(path)
+    except OSError:
+        return None
+
+
+def _delete_marker(path: str) -> None:
+    import contextlib as _ctx
+    import os as _os
+
+    be = _backend_for(path)
+    if be is not None:
+        with _ctx.suppress(Exception):
+            be.delete(path)
+        return
+    with _ctx.suppress(OSError):
+        _os.remove(path)
 
 
 def _claim_commit_marker(spark: SparkSession, view_name: str,
@@ -462,7 +611,6 @@ def _claim_commit_marker(spark: SparkSession, view_name: str,
     after ``_MARKER_STALE_SEC`` (an in-flight writer publishes long
     before that), and by :func:`vacuum_generations` on the
     maintenance cadence."""
-    import contextlib as _ctx
     import os as _os
     import time as _time
 
@@ -471,7 +619,8 @@ def _claim_commit_marker(spark: SparkSession, view_name: str,
     p = _marker_path(spark, view_name, gen)
     if p is None:
         return None
-    _os.makedirs(_os.path.dirname(p), exist_ok=True)
+    if _backend_for(p) is None:
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
     for attempt in (0, 1):
         if _try_create_marker(p):
             return p
@@ -480,10 +629,10 @@ def _claim_commit_marker(spark: SparkSession, view_name: str,
                 f"generation {gen} of {view_name} was already "
                 f"published by a concurrent writer; retry the "
                 f"swap against the new current generation")
-        try:
-            age = _time.time() - _os.path.getmtime(p)
-        except OSError:
+        m = _marker_mtime(p)
+        if m is None:
             continue  # holder vanished between checks — re-claim
+        age = _time.time() - m
         if age > _MARKER_STALE_SEC and attempt == 0:
             # claimed but never published, older than any sane
             # publish: a crash orphan — reclaim once, and retry the
@@ -525,43 +674,37 @@ def _reclaim_stale_marker(path: str) -> str:
     claimed — fail the swap).  A crashed reclaimer's lock self-heals
     after ``_RECLAIM_LOCK_STALE_SEC`` (the lock guards milliseconds
     of file ops; the swap's view-generation CAS recheck remains the
-    second gate behind all marker machinery)."""
-    import contextlib as _ctx
-    import os as _os
+    second gate behind all marker machinery).  Dispatches through
+    the path's own primitive, so the protocol is identical on a
+    registered object-store backend — conditional put for the lock,
+    metadata mtime for the re-check."""
     import time as _time
 
     lock = f"{path}.reclaim"
     if not _try_create_marker(lock):
-        with _ctx.suppress(OSError):
-            if (_time.time() - _os.path.getmtime(lock)
-                    > _RECLAIM_LOCK_STALE_SEC):
-                _os.remove(lock)  # crashed reclaimer's lock
+        lm = _marker_mtime(lock)
+        if lm is not None and (_time.time() - lm
+                               > _RECLAIM_LOCK_STALE_SEC):
+            _delete_marker(lock)  # crashed reclaimer's lock
         return "lost"
     try:
-        try:
-            age = _time.time() - _os.path.getmtime(path)
-        except OSError:
+        m = _marker_mtime(path)
+        if m is None:
             return "lost"  # already reclaimed — retry the claim
-        if age <= _MARKER_STALE_SEC:
+        if _time.time() - m <= _MARKER_STALE_SEC:
             return "live"  # re-created since we observed staleness
-        with _ctx.suppress(OSError):
-            _os.remove(path)
+        _delete_marker(path)
         return "reclaimed"
     finally:
-        with _ctx.suppress(OSError):
-            _os.remove(lock)
+        _delete_marker(lock)
 
 
 def _release_commit_marker(path: str | None) -> None:
     """Drop an UNPUBLISHED claim (the swap failed between claim and
     repoint) so the slot does not dead-lock future writers.  A
     published generation keeps its marker — the claim record."""
-    import contextlib as _ctx
-    import os as _os
-
     if path is not None:
-        with _ctx.suppress(OSError):
-            _os.remove(path)
+        _delete_marker(path)
 
 
 def _clear_markers(spark: SparkSession, view_name: str,
@@ -569,20 +712,22 @@ def _clear_markers(spark: SparkSession, view_name: str,
     """Remove marker files — all of them on a rebuild (the lineage
     and its timeline restart), or a specific generation set on
     vacuum (a reclaimed orphan's marker must not block the slot)."""
-    import contextlib as _ctx
     import os as _os
     import shutil as _shutil
 
     p = _marker_path(spark, view_name, 0)
     if p is None:
         return
-    d = _os.path.dirname(p)
+    be = _backend_for(p)
+    d = p.rsplit("/", 1)[0] if be is not None else _os.path.dirname(p)
     if gens is None:
-        _shutil.rmtree(d, ignore_errors=True)
+        if be is not None:
+            be.delete_prefix(d)
+        else:
+            _shutil.rmtree(d, ignore_errors=True)
         return
     for g in gens:
-        with _ctx.suppress(OSError):
-            _os.remove(_os.path.join(d, f"g{g}.commit"))
+        _delete_marker(f"{d}/g{g}.commit")
 
 # same-session writers serialize on a per-view lock (two threads of
 # one maintenance job must not race the same physical __g{n+1} write);

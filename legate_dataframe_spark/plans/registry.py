@@ -56,6 +56,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "substring_span_removal_chars": (
         r12.substring_span_removal_chars,
         r12.SUBSTRING_SPAN_REMOVAL_CHARS_SQL),
+    # the swap race where the 100 TB table lives: markers through a
+    # registered object-store conditional-put backend
+    "swap_contention_objectstore": (
+        r12.swap_contention_objectstore,
+        r12.SWAP_CONTENTION_OBJECTSTORE_SQL),
     # ---- round-11 front: no driver row yet ---------------------------------
     # the deduplicated corpus itself: duplicated spans CUT from the
     # text, accounting reconciled with the dup_ratio signal

