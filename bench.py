@@ -224,6 +224,7 @@ EXTRA = [
     # object-store commit CAS
     "substring_span_removal_chars",
     "swap_contention_objectstore",
+    "takedown_clean_corpus_export",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

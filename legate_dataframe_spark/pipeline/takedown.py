@@ -134,3 +134,204 @@ def retained_occurrences(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ------------------- exported-shard takedown (r12, VERDICT r11 #8)
+# parquet bytes, but deliberately NOT named *.parquet: the export's
+# own footer accounting (dir_file_rows) and every directory-scan
+# reader must see shards only; explicit-path readers don't care
+_EXPORT_SIDECAR = "_ldf_export_manifest"
+
+
+def export_certified_shards(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    max_records_per_file: int,
+    bloom_col: str,
+    bloom_bits: int = 8192,
+    bloom_hashes: int = 5,
+) -> dict[str, int]:
+    """Size-bounded shard export WITH a takedown-ready sidecar
+    manifest: after the data write, one distributed pass records per
+    shard its footer row count and a Bloom bitmap over ``bloom_col``
+    into ``_ldf_export_manifest`` beside the shards (parquet bytes,
+    but underscore-prefixed and NOT ``*.parquet``-named, so neither
+    directory-scan readers nor the export's own footer accounting
+    ever see it as data).  The sidecar is
+    what makes the exported artifact MAINTAINABLE after the fact: a
+    takedown arriving post-export prunes to the shards whose bloom
+    may contain the ids instead of rewriting the corpus
+    (:func:`takedown_from_export`).  Returns {file: rows}."""
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.sources.parquet import parquet_write
+
+    parquet_write(df, out_dir,
+                  max_records_per_file=max_records_per_file)
+    rows = mf.dir_file_rows(out_dir)
+    blooms = mf._file_blooms(spark, sorted(rows), bloom_col,
+                             bloom_bits, bloom_hashes)
+    _write_export_sidecar(out_dir, rows, blooms, bloom_col,
+                          bloom_bits, bloom_hashes)
+    return rows
+
+
+def _write_export_sidecar(out_dir, rows, blooms, bloom_col,
+                          bloom_bits, bloom_hashes) -> None:
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = sorted(rows)
+    tab = pa.table({
+        "file": pa.array(files, pa.string()),
+        "rows": pa.array([rows[f] for f in files], pa.int64()),
+        "bloom": pa.array([blooms[f] for f in files],
+                          pa.list_(pa.int64())),
+        "bloom_col": pa.array([bloom_col] * len(files), pa.string()),
+        "bloom_bits": pa.array([bloom_bits] * len(files), pa.int64()),
+        "bloom_hashes": pa.array([bloom_hashes] * len(files),
+                                 pa.int64()),
+    })
+    # write-beside + rename: a reader never sees a half-written
+    # sidecar (the shard rewrites it describes are themselves
+    # replaced atomically, same discipline)
+    tmp = os.path.join(out_dir, f".{uuid.uuid4().hex}.sidecar.tmp")
+    pq.write_table(tab, tmp)
+    os.replace(tmp, os.path.join(out_dir, _EXPORT_SIDECAR))
+
+
+def read_export_sidecar(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The sidecar as a DataFrame.  Loaded via pyarrow — Hadoop's
+    path filter hides ``_``-prefixed files even on explicit paths —
+    and re-created as a local frame: the sidecar is file-count rows
+    by contract, the manifest scale class."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(os.path.join(out_dir, _EXPORT_SIDECAR))
+    return spark.createDataFrame(
+        tab.to_pylist(),
+        schema="file string, rows long, bloom array<bigint>, "
+               "bloom_col string, bloom_bits long, bloom_hashes long")
+
+
+def takedown_from_export(
+    spark: SparkSession,
+    out_dir: str,
+    doc_ids: Sequence,
+    id_col: str = "doc_id",
+) -> dict:
+    """Remove documents from an ALREADY-EXPORTED shard set, touching
+    only the shards that can contain them (VERDICT r11 task 8: the
+    takedown cascade rewrites versioned STATES; the exported corpus
+    was a one-shot artifact a late takedown could not reach).
+
+    1. **Prune**: the id probes join the sidecar's bloom bitmaps
+       (broadcast — the sidecar is file-count rows) under the
+       RECORDED (bloom_bits, bloom_hashes); a shard whose bitmap
+       lacks any probe's bits provably does not hold that id, so
+       untouched shards stay BYTE-IDENTICAL — the property the
+       caller can audit by checksum.
+    2. **Rewrite**: each candidate shard is filtered through a Spark
+       job and atomically replaced (write-beside + ``os.replace``);
+       a shard that turns out to be a bloom false positive (no row
+       matched) is left byte-identical too, not rewritten.
+    3. **Re-certify**: rewritten shards get fresh footer counts and
+       fresh blooms; the sidecar is atomically replaced so the next
+       takedown (or readback audit) plans against current metadata.
+
+    Returns {"candidates": [...], "rewritten": [...],
+    "rows_removed": n}.  Scale shape: pruning is one broadcast join
+    of |ids| × file-count rows; rewrite cost is O(touched shards'
+    rows) — the corpus is never rescanned.  Shards here are
+    size-bounded by the export cap, so per-shard jobs are small; a
+    mass takedown (ids ~ corpus) would batch all candidates through
+    one filtered write instead."""
+    import os
+    import tempfile
+    import uuid
+
+    from legate_dataframe_spark.core import manifest as mf
+
+    side = read_export_sidecar(spark, out_dir)
+    params = side.select("bloom_col", "bloom_bits",
+                         "bloom_hashes").distinct().collect()
+    if len(params) != 1:
+        raise ValueError(
+            f"export sidecar at {out_dir} records mixed bloom "
+            f"params: {params}")
+    bloom_col, bloom_bits, bloom_hashes = params[0]
+    if bloom_col != id_col:
+        raise ValueError(
+            f"sidecar blooms cover {bloom_col!r}, takedown keyed on "
+            f"{id_col!r} — pruning would be unsound")
+    ids = list(doc_ids)
+    probes = spark.createDataFrame([(i,) for i in ids],
+                                   f"{id_col} long")
+    p = probes.select(
+        id_col,
+        *[F.pmod(F.xxhash64(F.col(id_col), F.lit(i)),
+                 F.lit(bloom_bits)).alias(f"__p{i}")
+          for i in range(bloom_hashes)])
+    hits = " AND ".join(
+        f"(shiftright(element_at(bloom, CAST(__p{i} DIV 64 AS INT) + 1), "
+        f"CAST(__p{i} % 64 AS INT)) & 1) = 1"
+        for i in range(bloom_hashes))
+    # crossJoin is |ids| x file-count with the FILE side broadcast —
+    # both metadata-sized by the sidecar's contract (exports have no
+    # bucket ids to equi-join on, unlike point_lookup_candidates)
+    candidates = sorted(
+        r["file"] for r in
+        p.crossJoin(F.broadcast(side.select("file", "bloom")))
+        .filter(F.expr(hits)).select("file").distinct().collect())
+    rewritten: list[str] = []
+    rows_removed = 0
+    for f in candidates:
+        shard = spark.read.parquet(mf._spark_uri(f))
+        n_before = shard.count()
+        kept = shard.filter(~F.col(id_col).isin(ids))
+        n_after = kept.count()
+        if n_after == n_before:
+            continue  # bloom false positive — leave the bytes alone
+        stage = tempfile.mkdtemp(prefix="ldf_tk_stage_")
+        try:
+            kept.coalesce(1).write.mode("overwrite").parquet(
+                "file:" + stage)
+            part = [x for x in os.listdir(stage)
+                    if x.endswith(".parquet")]
+            if len(part) != 1:
+                raise AssertionError(
+                    f"staged rewrite of {f} produced {part}")
+            tmp = os.path.join(os.path.dirname(f),
+                               f".ldf_tk_{uuid.uuid4().hex}.tmp")
+            os.replace(os.path.join(stage, part[0]), tmp)
+            os.replace(tmp, f)  # atomic swap into place
+            # Hadoop's RawLocal checksum sidecar now describes the
+            # OLD bytes; a stale .crc fails every later read
+            crc = os.path.join(os.path.dirname(f),
+                               f".{os.path.basename(f)}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        finally:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+        rewritten.append(f)
+        rows_removed += n_before - n_after
+    if rewritten:
+        # re-certify: fresh footer counts for every shard (metadata-
+        # only), fresh blooms for the REWRITTEN shards only (one
+        # bounded distributed pass), untouched rows carried forward
+        rows = mf.dir_file_rows(out_dir)
+        blooms = {r["file"]: list(r["bloom"])
+                  for r in side.select("file", "bloom").collect()}
+        blooms.update(mf._file_blooms(spark, rewritten, id_col,
+                                      bloom_bits, bloom_hashes))
+        _write_export_sidecar(out_dir, rows, blooms, bloom_col,
+                              bloom_bits, bloom_hashes)
+    return {"candidates": candidates, "rewritten": rewritten,
+            "rows_removed": rows_removed}

@@ -61,6 +61,12 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "swap_contention_objectstore": (
         r12.swap_contention_objectstore,
         r12.SWAP_CONTENTION_OBJECTSTORE_SQL),
+    # a deletion request reaching the ALREADY-EXPORTED corpus:
+    # bloom-pruned shard rewrite + re-certification, untouched
+    # shards byte-identical
+    "takedown_clean_corpus_export": (
+        r12.takedown_clean_corpus_export,
+        r12.TAKEDOWN_CLEAN_CORPUS_EXPORT_SQL),
     # ---- round-11 front: no driver row yet ---------------------------------
     # the deduplicated corpus itself: duplicated spans CUT from the
     # text, accounting reconciled with the dup_ratio signal

@@ -210,3 +210,131 @@ def swap_contention_objectstore(spark: SparkSession,
 
 
 SWAP_CONTENTION_OBJECTSTORE_SQL = SWAP_CONTENTION_SQL
+
+
+# ========== takedown reaching the EXPORTED corpus (VERDICT r11 #8)
+def takedown_clean_corpus_export(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """A deletion request arriving AFTER the clean corpus shipped:
+    span-cut + quality-gated docs are exported as certified shards
+    with a bloom sidecar; then two documents (the gated set's min and
+    max ids — deterministic at any scale) are taken down FROM THE
+    EXPORT.  The takedown must rewrite only the shards whose bloom
+    may contain the ids and re-certify them; every other shard must
+    stay BYTE-IDENTICAL — asserted by md5 over the files themselves,
+    not by re-reading rows.  Also asserted: the two ids are gone from
+    the sidecar-planned readback, footer counts re-certify (sidecar
+    rows == footers for every shard, total drops by exactly 2), at
+    least one shard was rewritten and at least one left untouched
+    (both sides of the prune demonstrated), and rewrites ⊆ bloom
+    candidates.  Returns per-language aggregates over the surviving
+    export; the oracle recomputes cut, gate, and the min/max-id
+    takedown independently in DuckDB."""
+    import hashlib
+    import os
+
+    from legate_dataframe_spark.pipeline.dedup import remove_dup_spans
+    from legate_dataframe_spark.pipeline.takedown import (
+        export_certified_shards,
+        read_export_sidecar,
+        takedown_from_export,
+    )
+
+    def _md5(path: str) -> str:
+        h = hashlib.md5()
+        with open(path, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    d = load_table(spark, sf_dir, "documents")
+    cut = remove_dup_spans(d, k=8)
+    gated = (cut.join(d.select("doc_id", "lang"), "doc_id")
+             .filter((F.col("kept_tokens") >= 10)
+                     & (F.col("dup_ratio") <= 0.5))
+             .select("doc_id", "lang", "kept_tokens",
+                     "removed_tokens", "text_clean")
+             # spread ids across shards so the bloom prune has both
+             # hit and miss shards to demonstrate
+             .repartition(8, "doc_id"))
+    out_dir = tempfile.mkdtemp(prefix="ldf_r12_tkexp_")
+    try:
+        rows0 = export_certified_shards(spark, gated, out_dir,
+                                        max_records_per_file=200,
+                                        bloom_col="doc_id")
+        bounds = (read_export_sidecar(spark, out_dir)
+                  .agg(F.sum("rows").alias("n")).collect()[0])
+        mm = (spark.read.parquet("file:" + out_dir)
+              .agg(F.min("doc_id").alias("lo"),
+                   F.max("doc_id").alias("hi")).collect()[0])
+        takedown_ids = [mm["lo"], mm["hi"]]
+        sums_before = {f: _md5(f) for f in rows0}
+        res = takedown_from_export(spark, out_dir, takedown_ids)
+        if not res["rewritten"]:
+            raise AssertionError("takedown rewrote nothing")
+        if not set(res["rewritten"]) <= set(res["candidates"]):
+            raise AssertionError(
+                "rewrote a shard the bloom never flagged")
+        untouched = set(rows0) - set(res["rewritten"])
+        if not untouched:
+            raise AssertionError(
+                "bloom prune touched every shard — nothing audited "
+                "as byte-identical")
+        changed = [f for f in untouched if _md5(f) != sums_before[f]]
+        if changed:
+            raise AssertionError(
+                f"untouched shard(s) changed bytes: {changed}")
+        side = read_export_sidecar(spark, out_dir)
+        from legate_dataframe_spark.core import manifest as mf
+
+        footers = mf.dir_file_rows(out_dir)
+        cert = {r["file"]: r["rows"] for r in side.collect()}
+        if cert != footers:
+            raise AssertionError(
+                f"sidecar certification disagrees with footers: "
+                f"{cert} vs {footers}")
+        if sum(footers.values()) != bounds["n"] - 2:
+            raise AssertionError(
+                "takedown must remove exactly the two ids")
+        back = mf.read_from_manifest(spark, out_dir, sorted(footers),
+                                     schema=gated.schema)
+        leak = back.filter(F.col("doc_id").isin(takedown_ids)).count()
+        if leak:
+            raise AssertionError(
+                f"{leak} taken-down row(s) still readable")
+        out = (back.groupBy("lang")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("kept_tokens").alias("sum_kept"),
+                    F.sum("removed_tokens").alias("sum_removed"),
+                    F.sum(F.length("text_clean")).cast("bigint")
+                    .alias("sum_clean_chars"),
+                    F.min("doc_id").alias("min_doc"),
+                    F.max("doc_id").alias("max_doc")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+from legate_dataframe_spark.plans.round11 import (  # noqa: E402
+    SUBSTRING_SPAN_REMOVAL_SQL,
+)
+
+TAKEDOWN_CLEAN_CORPUS_EXPORT_SQL = f"""
+WITH cut AS ({SUBSTRING_SPAN_REMOVAL_SQL}),
+gated AS (
+  SELECT c.doc_id, d.lang, c.kept_tokens, c.removed_tokens,
+         c.text_clean
+  FROM cut c JOIN documents d USING (doc_id)
+  WHERE c.kept_tokens >= 10 AND c.dup_ratio <= 0.5),
+tk AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM gated)
+SELECT g.lang,
+       count(*) AS n_docs,
+       CAST(sum(g.kept_tokens) AS BIGINT) AS sum_kept,
+       CAST(sum(g.removed_tokens) AS BIGINT) AS sum_removed,
+       CAST(sum(length(g.text_clean)) AS BIGINT) AS sum_clean_chars,
+       min(g.doc_id) AS min_doc,
+       max(g.doc_id) AS max_doc
+FROM gated g, tk
+WHERE g.doc_id NOT IN (tk.lo, tk.hi)
+GROUP BY g.lang
+"""

@@ -10,6 +10,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _df(spark, rows, schema):
@@ -288,6 +289,58 @@ def test_objectstore_backend_swap_end_to_end(spark, tmp_path):
         _DB_LOC_CACHE.pop("t12_os", None)
         bucketing._COMMIT_BACKENDS.pop("mockstore", None)
         spark.sql("DROP DATABASE IF EXISTS t12_os CASCADE")
+
+
+# ------------- takedown reaching the exported corpus (r11 task 8)
+def test_takedown_from_export_rewrites_only_flagged_shards(
+        spark, tmp_path):
+    import hashlib
+    import os
+
+    from legate_dataframe_spark.core import manifest as mf
+    from legate_dataframe_spark.pipeline.takedown import (
+        export_certified_shards,
+        read_export_sidecar,
+        takedown_from_export,
+    )
+
+    def md5(p):
+        return hashlib.md5(open(p, "rb").read()).hexdigest()
+
+    out = str(tmp_path / "export")
+    df = (spark.range(0, 400)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("doc-"), F.col("id")).alias("text"))
+          .repartition(8, "doc_id"))
+    rows = export_certified_shards(spark, df, out,
+                                   max_records_per_file=100,
+                                   bloom_col="doc_id")
+    assert len(rows) == 8 and sum(rows.values()) == 400
+    before = {f: md5(f) for f in rows}
+    res = takedown_from_export(spark, out, [7, 311])
+    assert res["rows_removed"] == 2
+    assert res["rewritten"] and set(res["rewritten"]) <= set(
+        res["candidates"])
+    untouched = set(rows) - set(res["rewritten"])
+    assert untouched, "prune must leave shards alone"
+    assert all(md5(f) == before[f] for f in untouched)
+    # re-certification: sidecar rows == footers, total dropped by 2
+    side = {r["file"]: r["rows"]
+            for r in read_export_sidecar(spark, out).collect()}
+    footers = mf.dir_file_rows(out)
+    assert side == footers and sum(footers.values()) == 398
+    back = mf.read_from_manifest(spark, out, sorted(footers))
+    assert back.filter(F.col("doc_id").isin([7, 311])).count() == 0
+    assert back.count() == 398
+    # idempotent: a second takedown of the same ids is a no-op and
+    # every shard (incl. previously rewritten) keeps its bytes
+    sums = {f: md5(f) for f in footers}
+    res2 = takedown_from_export(spark, out, [7, 311])
+    assert res2["rows_removed"] == 0 and res2["rewritten"] == []
+    assert all(md5(f) == sums[f] for f in footers)
+    # keyed on a column the blooms don't cover → refuse loudly
+    with pytest.raises(ValueError, match="unsound"):
+        takedown_from_export(spark, out, [1], id_col="text")
 
 
 # ---------------- first-commit fast path (VERDICT r11 task 2)
