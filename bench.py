@@ -333,12 +333,45 @@ def join_throughput_gibs(spark, nrows: int = 1 << 24, nruns: int = 3) -> float:
     return round(nbytes / min(times) / 2**30, 3)
 
 
+def _last_quiet_ledger(here: str) -> dict | None:
+    """Most recent NON-contended full-ledger row in the committed
+    history — what a contended ledger freeze must point at as its
+    diff base (VERDICT r11 task 1: refuse-and-retag needs a
+    companion, or a round ships with no usable base)."""
+    hist = os.path.join(here, "BENCH_EXTRAS_HISTORY.jsonl")
+    best = None
+    try:
+        with open(hist) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if (rec.get("metric") == "all_queries_seconds_single_run"
+                        and not rec.get("contended")):
+                    best = rec
+    except OSError:
+        return None
+    if best is None:
+        return None
+    return {k: best.get(k) for k in
+            ("round", "commit", "ts_utc", "sentinel_sec")}
+
+
 def run_all() -> None:
     """Coverage ledger (VERDICT r07 task 7): time EVERY registry entry
     once — single run, no warm-up amortization, no best-of-N — so no
     entry has zero timing history.  This is a ledger, not a
     benchmark: one run under host noise bounds the cost to within
-    ~2×, which is enough to spot a pathological operator.  Output:
+    ~2×, which is enough to spot a pathological operator.
+
+    Contention refusal (VERDICT r11 task 1): a pass whose sentinel
+    lands above the quiet band RE-RUNS (up to
+    $SPARK_GRAFT_LEDGER_ATTEMPTS, default 3), keeping the first
+    quiet pass; if every attempt is contended the record tags
+    itself AND carries the last quiet ledger forward explicitly
+    (``diff_base``), so cross-round diffs always have a usable base
+    by construction, not by the reader's archaeology.  Output:
     BENCH_ALL.json (committed) + a line in BENCH_EXTRAS_HISTORY.jsonl."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -352,32 +385,59 @@ def run_all() -> None:
                         master=f"local[{cpus}]")
     here = os.path.dirname(os.path.abspath(__file__))
     out_path = os.path.join(here, "BENCH_ALL.json")
-    times: dict[str, float] = {}
-    for i, name in enumerate(sorted(QUERIES)):
-        t0 = time.perf_counter()
-        try:
-            (QUERIES[name](spark, sf_dir)
-             .write.format("noop").mode("overwrite").save())
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # record, don't abort the ledger
-            times[name] = -1.0
-            print(f"ERR {name}: {type(e).__name__}: {e}",
+
+    def ledger_pass() -> tuple[dict[str, float], float]:
+        times: dict[str, float] = {}
+        for i, name in enumerate(sorted(QUERIES)):
+            t0 = time.perf_counter()
+            try:
+                (QUERIES[name](spark, sf_dir)
+                 .write.format("noop").mode("overwrite").save())
+                times[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # record, don't abort the ledger
+                times[name] = -1.0
+                print(f"ERR {name}: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+            release_caches()
+            print(f"[{i + 1}/{len(QUERIES)}] {name} {times[name]}",
                   file=sys.stderr, flush=True)
-        release_caches()
-        print(f"[{i + 1}/{len(QUERIES)}] {name} {times[name]}",
+        return times, contention_sentinel()
+
+    try:
+        attempts = max(1, int(os.environ.get(
+            "SPARK_GRAFT_LEDGER_ATTEMPTS", "3")))
+    except ValueError:
+        attempts = 3
+    attempt_sentinels: list[float] = []
+    times: dict[str, float] = {}
+    ledger_sentinel = float("inf")
+    for attempt in range(attempts):
+        times, ledger_sentinel = ledger_pass()
+        attempt_sentinels.append(ledger_sentinel)
+        if ledger_sentinel <= CONTENDED_FACTOR * QUIET_SENTINEL_SEC:
+            break
+        print(f"ledger pass {attempt + 1}/{attempts} contended "
+              f"(sentinel {ledger_sentinel}); "
+              + ("re-running" if attempt + 1 < attempts
+                 else "giving up — tagging and carrying the last "
+                      "quiet ledger forward"),
               file=sys.stderr, flush=True)
     try:
         sf_num: float | str = float(sf)
     except ValueError:
         sf_num = sf
-    ledger_sentinel = contention_sentinel()
+    contended = (ledger_sentinel
+                 > CONTENDED_FACTOR * QUIET_SENTINEL_SEC)
     record = {"metric": "all_queries_seconds_single_run", "unit": "sec",
               "sf": sf_num, "queries": times,
               "sentinel_sec": ledger_sentinel,
               "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
-              "contended": ledger_sentinel
-              > CONTENDED_FACTOR * QUIET_SENTINEL_SEC,
+              "attempt_sentinels": attempt_sentinels,
+              "registry_count": len(QUERIES),
+              "contended": contended,
               **_run_tags()}
+    if contended:
+        record["diff_base"] = _last_quiet_ledger(here)
     with open(out_path, "w") as fh:
         json.dump(record, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -1,0 +1,136 @@
+"""Same-epoch-only cross-round ledger comparison (VERDICT r11 task 7).
+
+The best-of-round extras table used to mix records frozen on
+0.108-sentinel epochs with 0.17-epoch records, producing false 2-3x
+"regressions" that judge bisects then un-found.  This tool applies
+the BASELINE.md rule BY CODE: two timings are comparable iff the
+sentinels of the records they came from are within the ±1.2x band;
+anything else is reported as EPOCH-SUSPECT, not as a regression.
+
+For each query it takes the best (min) time per round among
+non-contended records, remembers which record's sentinel produced
+that best, and compares target round vs base round only when the two
+providing sentinels are in-band.
+
+Usage: python scripts/ledger_report.py [--target N] [--base M]
+       [--threshold 1.5] [--json]
+Defaults: target = newest round in history, base = newest earlier
+round sharing any in-band record, threshold = 1.5.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+BAND = 1.2  # the BASELINE.md same-epoch rule
+
+here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_history() -> list[dict]:
+    recs = []
+    with open(os.path.join(here, "BENCH_EXTRAS_HISTORY.jsonl")) as fh:
+        for line in fh:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if "queries" in rec and "sentinel_sec" in rec \
+                    and isinstance(rec.get("round"), int):
+                recs.append(rec)
+    return recs
+
+
+def best_of_round(recs: list[dict], rnd: int) -> dict[str, tuple]:
+    """query -> (best_sec, providing_sentinel); contended records are
+    excluded up front (they self-tagged for exactly this purpose)."""
+    out: dict[str, tuple] = {}
+    for rec in recs:
+        if rec["round"] != rnd or rec.get("contended"):
+            continue
+        s = rec["sentinel_sec"]
+        for q, t in rec["queries"].items():
+            if not isinstance(t, (int, float)) or t < 0:
+                continue
+            if q not in out or t < out[q][0]:
+                out[q] = (t, s)
+    return out
+
+
+def in_band(s1: float, s2: float) -> bool:
+    lo, hi = min(s1, s2), max(s1, s2)
+    return hi <= BAND * lo
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", type=int)
+    ap.add_argument("--base", type=int)
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    recs = load_history()
+    rounds = sorted({r["round"] for r in recs})
+    if not rounds:
+        print("no usable history records")
+        return 1
+    target = args.target or rounds[-1]
+    base = args.base or max((r for r in rounds if r < target),
+                            default=None)
+    if base is None:
+        print(f"no base round earlier than {target}")
+        return 1
+    t_best = best_of_round(recs, target)
+    b_best = best_of_round(recs, base)
+    regress, improve, suspect, flat = [], [], [], 0
+    for q in sorted(set(t_best) & set(b_best)):
+        (tt, ts), (bt, bs) = t_best[q], b_best[q]
+        if not in_band(ts, bs):
+            suspect.append((q, tt, ts, bt, bs))
+            continue
+        ratio = tt / bt if bt > 0 else float("inf")
+        if ratio >= args.threshold:
+            regress.append((q, ratio, tt, bt))
+        elif ratio <= 1 / args.threshold:
+            improve.append((q, ratio, tt, bt))
+        else:
+            flat += 1
+    if args.json:
+        print(json.dumps({
+            "target": target, "base": base, "band": BAND,
+            "threshold": args.threshold, "flat": flat,
+            "regressions": [
+                {"query": q, "ratio": round(r, 2), "target_sec": t,
+                 "base_sec": b} for q, r, t, b in regress],
+            "improvements": [
+                {"query": q, "ratio": round(r, 2), "target_sec": t,
+                 "base_sec": b} for q, r, t, b in improve],
+            "epoch_suspect": [
+                {"query": q, "target_sec": t, "target_sentinel": ts,
+                 "base_sec": b, "base_sentinel": bs}
+                for q, t, ts, b, bs in suspect]}, indent=1))
+        return 0
+    print(f"round {target} vs {base} — within-band only "
+          f"(sentinel +-{BAND}x); {flat} flat, "
+          f"{len(improve)} improved, {len(regress)} regressed, "
+          f"{len(suspect)} epoch-suspect (NOT comparable)")
+    for q, r, t, b in sorted(regress, key=lambda x: -x[1]):
+        print(f"  REGRESS {q}: {b}s -> {t}s ({r:.2f}x)")
+    for q, r, t, b in sorted(improve, key=lambda x: x[1])[:10]:
+        print(f"  improve {q}: {b}s -> {t}s ({r:.2f}x)")
+    if suspect:
+        print("  epoch-suspect (sentinels out of band — compare on "
+              "a matching epoch before believing any delta):")
+        for q, t, ts, b, bs in suspect[:20]:
+            print(f"    {q}: {b}s@{bs} vs {t}s@{ts}")
+        if len(suspect) > 20:
+            print(f"    ... and {len(suspect) - 20} more")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -111,8 +111,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck(args.sf_dir)
 
-    from legate_dataframe_spark.plans.registry import ORACLES
+    from legate_dataframe_spark.plans.registry import ORACLES, QUERIES
 
+    # record the registry size AT RUN TIME (VERDICT r11 task 5: an
+    # entry registered after the sweep froze skipped it silently);
+    # a full sweep that covers fewer entries than the registry holds
+    # FAILS — the evidence is stale by construction
+    print(f"registry_count={len(QUERIES)} oracle_count={len(ORACLES)}")
     names = args.names or list(ORACLES)[: args.first]
     bad: dict[str, list[str]] = {}
     for n in names:
@@ -123,11 +128,19 @@ def main() -> int:
             print(f"  {n}: EXCEPTION {e!r}")
         if issues:
             bad[n] = issues
-    print(f"\n{len(names) - len(bad)}/{len(names)} strictly clean")
+    full_sweep = not args.names and args.first >= len(ORACLES)
+    print(f"\n{len(names) - len(bad)}/{len(names)} strictly clean "
+          f"(swept={len(names)} registry_count={len(QUERIES)} "
+          f"full_sweep={full_sweep})")
     for n, iss in bad.items():
         print(f"FAIL {n}:")
         for i in iss:
             print(f"   - {i}")
+    if full_sweep and len(names) != len(QUERIES):
+        print(f"FAIL sweep-coverage: swept {len(names)} of "
+              f"{len(QUERIES)} registry entries — some entries carry "
+              f"no oracle or the registry moved mid-sweep")
+        return 1
     return 1 if bad else 0
 
 
