@@ -34,147 +34,55 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (the 7
-# round-11 additions), then entries whose implementation CHANGED this
-# round (the commit-marker CAS rides every swap_versioned — the race
-# entry demonstrates it; the manifest schema widened with recorded
-# bloom params — every manifest entry re-verifies; apply_diff went
-# null-safe — the CDF entry re-verifies; default commit stamps touch
-# every publish — the AS-OF entry re-verifies; takedown rides vacuum+
-# swap+manifest together), then the oldest stale-verification tranche:
-# VERDICT r10 task 2 names the r05 remainder (21 entries, join family /
-# sort / slice / scalar functions) and the r09 swap-adoption overflow
-# (13 of 15 fit) — 7 + 9 + 21 + 13 = exactly the 50-entry prefix.
-# Entries
-# greened by the r10 driver and unchanged this round rotate to the
-# very END (freshest verification).  Later blocks are ordered by
-# round of LAST driver verification, oldest first.
+# the front block holds queries with no green driver row yet (the 3
+# round-12 additions), then entries whose implementation CHANGED this
+# round (default commit stamps now session-TZ + pyarrow-converted; the
+# stale-marker reclaim is lock-protected; markers dispatch through
+# commit backends; the first commit rides the pyarrow fast path; the
+# raw span cut strips all \s — every swap/stamp/takedown entry
+# re-verifies, plus the two entries the r11 verdict queued), then the
+# oldest stale-verification tranche: the r06 block (VERDICT r11 task
+# 6) — 3 + 8 + 39 = exactly the 50-entry prefix, making r07 the
+# oldest driver green afterwards.  Entries greened by the r11 driver
+# and unchanged this round rotate to the very END (freshest
+# verification).  Later blocks are ordered by round of LAST driver
+# verification, oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- round-12 front: no driver row yet ---------------------------------
-    # tokenizer-independent (char-shingle) span removal: CJK/no-
-    # whitespace corpora get coverage the \s+ family cannot see
+    # tokenizer-independent (char-shingle) span removal;
+    # the swap race through an object-store conditional-put backend;
+    # a takedown reaching the already-exported corpus
     "substring_span_removal_chars": (
         r12.substring_span_removal_chars,
         r12.SUBSTRING_SPAN_REMOVAL_CHARS_SQL),
-    # the swap race where the 100 TB table lives: markers through a
-    # registered object-store conditional-put backend
     "swap_contention_objectstore": (
         r12.swap_contention_objectstore,
         r12.SWAP_CONTENTION_OBJECTSTORE_SQL),
-    # a deletion request reaching the ALREADY-EXPORTED corpus:
-    # bloom-pruned shard rewrite + re-certification, untouched
-    # shards byte-identical
     "takedown_clean_corpus_export": (
         r12.takedown_clean_corpus_export,
         r12.TAKEDOWN_CLEAN_CORPUS_EXPORT_SQL),
-    # ---- round-11 front: no driver row yet ---------------------------------
-    # the deduplicated corpus itself: duplicated spans CUT from the
-    # text, accounting reconciled with the dup_ratio signal
-    "substring_span_removal": (r11.substring_span_removal,
-                               r11.SUBSTRING_SPAN_REMOVAL_SQL),
-    # AS-OF over writes that never passed committed_at (default
-    # engine-clock stamps make time travel a platform property)
-    "asof_unstamped_default": (r11.asof_unstamped_default,
-                               r11.ASOF_UNSTAMPED_DEFAULT_SQL),
-    # streaming CDF mirror: replica == source after every trigger,
-    # per-trigger work change-sized by plan
-    "stream_cdf_apply_chain": (r11.stream_cdf_apply_chain,
-                               r11.STREAM_CDF_APPLY_CHAIN_SQL),
-    # the span-removal audit map: merged cut intervals per document
-    "dup_span_intervals": (r11.dup_span_intervals_q,
-                           r11.DUP_SPAN_INTERVALS_SQL),
-    # ingest-time span removal off the persisted k-gram index
-    "incremental_span_removal": (r11.incremental_span_removal,
-                                 r11.INCREMENTAL_SPAN_REMOVAL_SQL),
-    # the corpus-build last mile: cut → quality gate → certified
-    # size-bounded export → explicit-list readback
-    "clean_corpus_export": (r11.clean_corpus_export,
-                            r11.CLEAN_CORPUS_EXPORT_SQL),
-    # byte-preserving span removal on the ORIGINAL text (case +
-    # inner whitespace kept; raw↔normalized reconciliation asserted)
+    # ---- changed this round — re-verify (session-TZ default stamps,
+    # lock-protected stale reclaim, backend-dispatched markers, the
+    # pyarrow-path first commit, the raw-cut \s strip) + the two
+    # entries the r11 verdict queued (slid past the r11 boundary) ----
     "substring_span_removal_raw": (r11.substring_span_removal_raw,
                                    r11.SUBSTRING_SPAN_REMOVAL_RAW_SQL),
-    # ---- changed this round — re-verify -------------------------------------
-    # the two-writer race now runs under the commit-marker CAS: the
-    # loser fails at claim time, before its generation write
     "swap_contention": (r10b.swap_contention,
                         r10b.SWAP_CONTENTION_SQL),
-    # apply_diff anti-joins null-safely (ADVICE r10 medium)
-    "cdf_apply_roundtrip": (r10b.cdf_apply_roundtrip,
-                            r10b.CDF_APPLY_ROUNDTRIP_SQL),
-    # blooms sized from rows/file; params recorded in the manifest
-    # and read back at plan time (ADVICE r10 medium+low)
-    "manifest_bloom_lookup": (r10b.manifest_bloom_lookup,
-                              r10b.MANIFEST_BLOOM_LOOKUP_SQL),
-    # the stamped timeline now coexists with default stamps
-    "rollup_timetravel_asof": (r10b.rollup_timetravel_asof,
-                               r10b.ROLLUP_TIMETRAVEL_ASOF_SQL),
-    # manifest schema widened (bloom_bits/bloom_hashes columns +
-    # legacy-row padding) — every manifest-planned entry re-verifies
-    "rollup_manifest_refresh": (r10.rollup_manifest_refresh,
-                                r10.ROLLUP_MANIFEST_REFRESH_SQL),
-    "manifest_pruned_scan": (r10.manifest_pruned_scan,
-                             r10.MANIFEST_PRUNED_SCAN_SQL),
-    "index_compaction_signal": (r10.index_compaction_signal,
-                                r10.INDEX_COMPACTION_SIGNAL_SQL),
-    "stream_manifest_chain": (r10.stream_manifest_chain,
-                              r10.STREAM_MANIFEST_CHAIN_SQL),
-    # rides vacuum + swap + manifest-prune in one flow
-    "takedown_cascade": (r10b.takedown_cascade,
-                         r10b.TAKEDOWN_CASCADE_SQL),
-    # ---- stale tail: the r05 remainder, oldest first (VERDICT r10 task 2) --
-    "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
-    "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
-    "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
-    "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
-    "join_left": (r.join_left, r.JOIN_LEFT_SQL),
-    "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
-    "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
-    "join_full": (r.join_full, r.JOIN_FULL_SQL),
-    "skew_salted_join": (r.skew_salted_join, r.SKEW_SALTED_JOIN_SQL),
-    "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
-    "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
-    "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),
-    "distinct_keys": (r.distinct_keys, r.DISTINCT_KEYS_SQL),
-    "sort_topk": (r.sort_topk, r.SORT_TOPK_SQL),
-    "sort_tail": (r.sort_tail, r.SORT_TAIL_SQL),
-    "slice_offset": (r.slice_offset, r.SLICE_OFFSET_SQL),
-    "union_all": (r.union_all, r.UNION_ALL_SQL),
-    "case_when_bucket": (r.case_when_bucket, r.CASE_WHEN_SQL),
-    "isin_filter": (r.isin_filter, r.ISIN_SQL),
-    "string_match": (r.string_match, r.STRING_MATCH_SQL),
-    "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
-    # ---- r09 swap-adoption overflow (last driver greens r05-r08;
-    # strict-parity-swept r09+r10) ------------------------------------------
-    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
-    "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
-    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
-    "bm25_persisted_search": (r6.bm25_persisted_search,
-                              r6.BM25_PERSISTED_SEARCH_SQL),
-    "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
-    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
-    "ann_persisted_search": (r6.ann_persisted_search,
-                             r6.ANN_PERSISTED_SEARCH_SQL),
-    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
-    "components_serve_only": (r7.components_serve_only,
-                              r7.COMPONENTS_SERVE_ONLY_SQL),
-    "incremental_components": (r6.incremental_components,
-                               r6.INCREMENTAL_COMPONENTS_SQL),
-    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
-                              r6.STREAM_DEDUP_VS_INDEX_SQL),
-    "incremental_components_chain": (r7.incremental_components_chain,
-                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
-    "stream_dedup_chain": (r7.stream_dedup_chain,
-                           r7.STREAM_DEDUP_CHAIN_SQL),
-    # ======================== 50-entry prefix boundary =====================
-    # (rollup_swap_atomic and rollup_timetravel slid just past the
-    # boundary when the r11 front grew to 7 — they lead the r12
-    # rotation)
+    "asof_unstamped_default": (r11.asof_unstamped_default,
+                               r11.ASOF_UNSTAMPED_DEFAULT_SQL),
     "rollup_swap_atomic": (r8.rollup_swap_atomic,
                            r8.ROLLUP_SWAP_ATOMIC_SQL),
     "rollup_timetravel": (r8.rollup_timetravel,
                           r8.ROLLUP_TIMETRAVEL_SQL),
-    # ---- re-greened by the r06 driver (and later blocks unchanged) ---------
+    "dedup_index_timetravel": (r9.dedup_index_timetravel,
+                               r9.DEDUP_INDEX_TIMETRAVEL_SQL),
+    "takedown_cascade": (r10b.takedown_cascade,
+                         r10b.TAKEDOWN_CASCADE_SQL),
+    "rollup_timetravel_asof": (r10b.rollup_timetravel_asof,
+                               r10b.ROLLUP_TIMETRAVEL_ASOF_SQL),
+    # ---- stale tail: the r06 tranche, oldest driver greens first
+    # (VERDICT r11 task 6: r07 becomes the oldest green after r12) ----
     "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
     "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
     "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
@@ -216,6 +124,50 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "compaction_roundtrip": (r6.compaction_roundtrip,
                              r6.COMPACTION_ROUNDTRIP_SQL),
     "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
+    # ======================== 50-entry prefix boundary =====================
+    # ---- r06-tranche remainder, then blocks by round of last driver
+    # verification, oldest first (relative order unchanged) ----
+    "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
+    "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
+    "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
+    "join_inner": (r.join_inner, r.JOIN_INNER_SQL),
+    "join_left": (r.join_left, r.JOIN_LEFT_SQL),
+    "join_semi": (r.join_semi, r.JOIN_SEMI_SQL),
+    "join_anti": (r.join_anti, r.JOIN_ANTI_SQL),
+    "join_full": (r.join_full, r.JOIN_FULL_SQL),
+    "skew_salted_join": (r.skew_salted_join, r.SKEW_SALTED_JOIN_SQL),
+    "skew_salted_agg": (r.skew_salted_agg, r.SKEW_SALTED_AGG_SQL),
+    "groupby_aggs": (r.groupby_aggs, r.GROUPBY_AGGS_SQL),
+    "reduce_global": (r.reduce_global, r.REDUCE_GLOBAL_SQL),
+    "distinct_keys": (r.distinct_keys, r.DISTINCT_KEYS_SQL),
+    "sort_topk": (r.sort_topk, r.SORT_TOPK_SQL),
+    "sort_tail": (r.sort_tail, r.SORT_TAIL_SQL),
+    "slice_offset": (r.slice_offset, r.SLICE_OFFSET_SQL),
+    "union_all": (r.union_all, r.UNION_ALL_SQL),
+    "case_when_bucket": (r.case_when_bucket, r.CASE_WHEN_SQL),
+    "isin_filter": (r.isin_filter, r.ISIN_SQL),
+    "string_match": (r.string_match, r.STRING_MATCH_SQL),
+    "arithmetic_expr": (r.arithmetic_expr, r.ARITHMETIC_SQL),
+    "ann_index_compact": (r7.ann_index_compact, r7.ANN_INDEX_COMPACT_SQL),
+    "incremental_dedup": (r5.incremental_dedup, r5.INCREMENTAL_DEDUP_SQL),
+    "dedup_serve_only": (r7.dedup_serve_only, r7.DEDUP_SERVE_ONLY_SQL),
+    "bm25_persisted_search": (r6.bm25_persisted_search,
+                              r6.BM25_PERSISTED_SEARCH_SQL),
+    "ann_ivf_search": (pq.ann_ivf_search, pq.ANN_IVF_SEARCH_SQL),
+    "ann_kmeans_search": (pq.ann_kmeans_search, pq.ANN_KMEANS_SQL),
+    "ann_persisted_search": (r6.ann_persisted_search,
+                             r6.ANN_PERSISTED_SEARCH_SQL),
+    "bm25_serve_only": (r7.bm25_serve_only, r7.BM25_SERVE_ONLY_SQL),
+    "components_serve_only": (r7.components_serve_only,
+                              r7.COMPONENTS_SERVE_ONLY_SQL),
+    "incremental_components": (r6.incremental_components,
+                               r6.INCREMENTAL_COMPONENTS_SQL),
+    "stream_dedup_vs_index": (r6.stream_dedup_vs_index,
+                              r6.STREAM_DEDUP_VS_INDEX_SQL),
+    "incremental_components_chain": (r7.incremental_components_chain,
+                                     r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
+    "stream_dedup_chain": (r7.stream_dedup_chain,
+                           r7.STREAM_DEDUP_CHAIN_SQL),
     "incremental_rollup": (r6.incremental_rollup,
                            r6.INCREMENTAL_ROLLUP_SQL),
     "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
@@ -310,7 +262,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                               pq.EMBEDDING_STANDARDIZE_SQL),
     "stream_stream_join": (pq.stream_stream_join, pq.STREAM_STREAM_JOIN_SQL),
     "leakage_free_split": (pq.leakage_free_split, pq.LEAKAGE_FREE_SPLIT_SQL),
-    # ---- re-greened by the r09 driver (freshest — rotate last) -------------
     "hybrid_rrf_search": (pq.hybrid_rrf_search, pq.HYBRID_RRF_SQL),
     "ann_recall_audit": (pq.ann_recall_audit, pq.ANN_RECALL_AUDIT_SQL),
     "stats_moments": (r4.stats_moments, r4.STATS_MOMENTS_SQL),
@@ -368,13 +319,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                           r8.ANN_INDEX_RETRAIN_SQL),
     "ann_serve_only": (r7.ann_serve_only, r7.ANN_SERVE_ONLY_SQL),
     "ann_index_insert": (r6.ann_index_insert, r6.ANN_INDEX_INSERT_SQL),
-    "dedup_index_timetravel": (r9.dedup_index_timetravel,
-                               r9.DEDUP_INDEX_TIMETRAVEL_SQL),
     "bm25_index_timetravel": (r9.bm25_index_timetravel,
                               r9.BM25_INDEX_TIMETRAVEL_SQL),
     "ann_index_timetravel": (r9.ann_index_timetravel,
                              r9.ANN_INDEX_TIMETRAVEL_SQL),
-    # ---- greened by the r10 driver, unchanged this round (freshest) --------
     "rollup_schema_evolution": (r10.rollup_schema_evolution,
                                 r10.ROLLUP_SCHEMA_EVOLUTION_SQL),
     "substring_dup_spans": (r10b.substring_dup_spans_q,
@@ -427,6 +375,29 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cube_orders": (r.cube_orders, r.CUBE_SQL),
     "grouping_sets_mix": (r.grouping_sets_mix, r.GROUPING_SETS_SQL),
     "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
+    # ---- greened by the r11 driver, unchanged this round (freshest) ----
+    "substring_span_removal": (r11.substring_span_removal,
+                               r11.SUBSTRING_SPAN_REMOVAL_SQL),
+    "stream_cdf_apply_chain": (r11.stream_cdf_apply_chain,
+                               r11.STREAM_CDF_APPLY_CHAIN_SQL),
+    "dup_span_intervals": (r11.dup_span_intervals_q,
+                           r11.DUP_SPAN_INTERVALS_SQL),
+    "incremental_span_removal": (r11.incremental_span_removal,
+                                 r11.INCREMENTAL_SPAN_REMOVAL_SQL),
+    "clean_corpus_export": (r11.clean_corpus_export,
+                            r11.CLEAN_CORPUS_EXPORT_SQL),
+    "manifest_bloom_lookup": (r10b.manifest_bloom_lookup,
+                              r10b.MANIFEST_BLOOM_LOOKUP_SQL),
+    "cdf_apply_roundtrip": (r10b.cdf_apply_roundtrip,
+                            r10b.CDF_APPLY_ROUNDTRIP_SQL),
+    "rollup_manifest_refresh": (r10.rollup_manifest_refresh,
+                                r10.ROLLUP_MANIFEST_REFRESH_SQL),
+    "manifest_pruned_scan": (r10.manifest_pruned_scan,
+                             r10.MANIFEST_PRUNED_SCAN_SQL),
+    "index_compaction_signal": (r10.index_compaction_signal,
+                                r10.INDEX_COMPACTION_SIGNAL_SQL),
+    "stream_manifest_chain": (r10.stream_manifest_chain,
+                              r10.STREAM_MANIFEST_CHAIN_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

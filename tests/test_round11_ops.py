@@ -657,8 +657,16 @@ def test_registry_prefix_matches_rotation_protocol():
     from legate_dataframe_spark.plans.registry import QUERIES
 
     names = list(QUERIES)
-    assert names[0] == "substring_span_removal_chars"
-    assert "swap_contention_objectstore" in names[:4]
+    assert names[:3] == [
+        "substring_span_removal_chars", "swap_contention_objectstore",
+        "takedown_clean_corpus_export"]
+    assert set(names[3:11]) == {
+        "substring_span_removal_raw", "swap_contention",
+        "asof_unstamped_default", "rollup_swap_atomic",
+        "rollup_timetravel", "dedup_index_timetravel",
+        "takedown_cascade", "rollup_timetravel_asof"}
+    assert names[11] == "dedup_exact"  # the r06 tranche leads the tail
+    assert names[49] == "dq_checks"  # the boundary entry
     assert len(names) == len(set(names))
 
 
