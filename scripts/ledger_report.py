@@ -44,12 +44,20 @@ def load_history() -> list[dict]:
     return recs
 
 
-def best_of_round(recs: list[dict], rnd: int) -> dict[str, tuple]:
+def best_of_round(recs: list[dict], rnd: int,
+                  metric: str | None = None) -> dict[str, tuple]:
     """query -> (best_sec, providing_sentinel); contended records are
-    excluded up front (they self-tagged for exactly this purpose)."""
+    excluded up front (they self-tagged for exactly this purpose).
+    ``metric`` restricts to one record TYPE — a best-of-3 extras
+    number and a single-run cold ledger number are not comparable
+    (the ledger pays first-run JVM/codegen/Python-worker warm-up per
+    query), so cross-round deltas must be extras-vs-extras or
+    ledger-vs-ledger, never mixed."""
     out: dict[str, tuple] = {}
     for rec in recs:
         if rec["round"] != rnd or rec.get("contended"):
+            continue
+        if metric is not None and rec.get("metric") != metric:
             continue
         s = rec["sentinel_sec"]
         for q, t in rec["queries"].items():
@@ -71,6 +79,11 @@ def main() -> int:
     ap.add_argument("--base", type=int)
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--metric",
+                    default="all_queries_seconds_single_run",
+                    help="record type to compare (ledger single-run "
+                         "by default; pass extra_queries_seconds for "
+                         "the best-of-3 extras; empty string = mixed)")
     args = ap.parse_args()
 
     recs = load_history()
@@ -79,13 +92,24 @@ def main() -> int:
         print("no usable history records")
         return 1
     target = args.target or rounds[-1]
-    base = args.base or max((r for r in rounds if r < target),
+    metric = args.metric or None
+    rounds_m = sorted({r["round"] for r in recs
+                       if not r.get("contended")
+                       and (metric is None
+                            or r.get("metric") == metric)})
+    if target not in rounds_m:
+        print(f"round {target} has no quiet {metric or 'any'} "
+              f"record — nothing to compare")
+        return 1
+    base = args.base or max((r for r in rounds_m if r < target),
                             default=None)
     if base is None:
-        print(f"no base round earlier than {target}")
+        print(f"no quiet base round earlier than {target} for "
+              f"metric {metric or 'any'}")
         return 1
-    t_best = best_of_round(recs, target)
-    b_best = best_of_round(recs, base)
+    print(f"metric: {metric or 'ALL (mixed — prefer --metric)'}")
+    t_best = best_of_round(recs, target, metric)
+    b_best = best_of_round(recs, base, metric)
     regress, improve, suspect, flat = [], [], [], 0
     for q in sorted(set(t_best) & set(b_best)):
         (tt, ts), (bt, bs) = t_best[q], b_best[q]
