@@ -225,6 +225,7 @@ EXTRA = [
     "substring_span_removal_chars",
     "swap_contention_objectstore",
     "takedown_clean_corpus_export",
+    "decontaminate_spans",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

@@ -1140,6 +1140,38 @@ def remove_dup_spans_raw(
         F.array_join(piece, "").alias("text_clean_raw"))
 
 
+def remove_contaminated_spans(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """SPAN-LEVEL DECONTAMINATION: cut from every TRAIN document each
+    ≥k-token run that appears verbatim (case-insensitive) anywhere in
+    the TEST corpus — the contamination-removal pass a training
+    pipeline runs against its benchmark suites (doc- or n-gram-level
+    decontamination drops whole documents or just FLAGS overlap; the
+    span cut keeps the rest of the document, losing only the leaked
+    benchmark text).  Same output schema as :func:`remove_dup_spans`
+    (n_tokens, removed_tokens, kept_tokens, dup_ratio, text_clean)
+    over the train side.  A test k-gram marks train positions whether
+    or not any train document shares it with ANOTHER train document —
+    one occurrence of benchmark text is already contamination.
+
+    Scale shape: the train side pays exactly the
+    :func:`remove_dup_spans` plan (one corpus-sized digest exchange,
+    explode only on contaminated shingles, codegen rebuild); the test
+    side — benchmark suites, orders of magnitude smaller than the
+    corpus — contributes one distinct-digest set to the semi-join
+    (NOT force-broadcast: "benchmark-sized" is usually small but is
+    not a bound, and AQE broadcasts it when it is)."""
+    _, kg = _doc_kgrams(train, text_col, id_col, k)
+    _, test_kg = _doc_kgrams(test, text_col, id_col, k)
+    return _span_removal(train, kg, test_kg.select("dig").distinct(),
+                         text_col, id_col, k)
+
+
 def remove_dup_spans_chars(
     docs: DataFrame,
     text_col: str = "text",

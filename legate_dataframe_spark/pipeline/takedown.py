@@ -185,10 +185,14 @@ def _write_export_sidecar(out_dir, rows, blooms, bloom_col,
     import pyarrow.parquet as pq
 
     files = sorted(rows)
+    # an EMPTY shard (a partition the gate emptied) has no rows for
+    # the bloom pass to see; its bitmap is all zeros — "contains
+    # nothing" is exactly right and prunes every probe
+    zero = [0] * (bloom_bits // 64)
     tab = pa.table({
         "file": pa.array(files, pa.string()),
         "rows": pa.array([rows[f] for f in files], pa.int64()),
-        "bloom": pa.array([blooms[f] for f in files],
+        "bloom": pa.array([blooms.get(f, zero) for f in files],
                           pa.list_(pa.int64())),
         "bloom_col": pa.array([bloom_col] * len(files), pa.string()),
         "bloom_bits": pa.array([bloom_bits] * len(files), pa.int64()),

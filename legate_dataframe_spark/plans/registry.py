@@ -61,6 +61,11 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "takedown_clean_corpus_export": (
         r12.takedown_clean_corpus_export,
         r12.TAKEDOWN_CLEAN_CORPUS_EXPORT_SQL),
+    # benchmark leakage cut at SPAN level (decontaminate_overlap only
+    # FLAGS; doc-level would drop whole documents), with the zero-
+    # surviving-benchmark-kgram certificate asserted on the output
+    "decontaminate_spans": (r12.decontaminate_spans,
+                            r12.DECONTAMINATE_SPANS_SQL),
     # ---- changed this round — re-verify (session-TZ default stamps,
     # lock-protected stale reclaim, backend-dispatched markers, the
     # pyarrow-path first commit, the raw-cut \s strip) + the two
@@ -123,10 +128,13 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
     "compaction_roundtrip": (r6.compaction_roundtrip,
                              r6.COMPACTION_ROUNDTRIP_SQL),
-    "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
     # ======================== 50-entry prefix boundary =====================
+    # (4 new + 8 changed + 38 of the r06 tranche; dq_checks slid just
+    # past when decontaminate_spans joined the front — it leads the
+    # r13 rotation)
     # ---- r06-tranche remainder, then blocks by round of last driver
     # verification, oldest first (relative order unchanged) ----
+    "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
     "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
     "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
     "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),

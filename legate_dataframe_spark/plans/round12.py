@@ -267,6 +267,25 @@ def takedown_clean_corpus_export(spark: SparkSession,
         mm = (spark.read.parquet("file:" + out_dir)
               .agg(F.min("doc_id").alias("lo"),
                    F.max("doc_id").alias("hi")).collect()[0])
+        if mm["lo"] is None:
+            # nothing survived the gate (a degenerate corpus — the
+            # 10x replica probe makes every doc a full dup clique
+            # with dup_ratio 1.0): there is no export to take down;
+            # return the empty accounting the oracle also produces
+            from legate_dataframe_spark.core import manifest as mf
+
+            back = mf.read_from_manifest(spark, out_dir,
+                                         sorted(rows0),
+                                         schema=gated.schema)
+            return (back.groupBy("lang")
+                    .agg(F.count(F.lit(1)).alias("n_docs"),
+                         F.sum("kept_tokens").alias("sum_kept"),
+                         F.sum("removed_tokens").alias("sum_removed"),
+                         F.sum(F.length("text_clean")).cast("bigint")
+                         .alias("sum_clean_chars"),
+                         F.min("doc_id").alias("min_doc"),
+                         F.max("doc_id").alias("max_doc"))
+                    .localCheckpoint(eager=True))
         takedown_ids = [mm["lo"], mm["hi"]]
         sums_before = {f: _md5(f) for f in rows0}
         res = takedown_from_export(spark, out_dir, takedown_ids)
@@ -337,4 +356,93 @@ SELECT g.lang,
 FROM gated g, tk
 WHERE g.doc_id NOT IN (tk.lo, tk.hi)
 GROUP BY g.lang
+"""
+
+
+# ===== span-level decontamination: cut benchmark text out of TRAIN
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark leakage removed at SPAN level: documents split into
+    a TRAIN corpus (doc_id % 10 != 7) and a TEST/benchmark suite
+    (doc_id % 10 == 7); every ≥8-token run of benchmark text is cut
+    from the train documents — the rest of each document survives
+    (doc-level decontamination would drop it whole;
+    ``decontaminate_overlap`` only FLAGS the overlap).  In-query laws
+    asserted: removed + kept == n_tokens, token count of text_clean
+    == kept_tokens, and zero train documents retain any benchmark
+    8-gram after the cut (the decontamination certificate, checked
+    by re-shingling the CLEANED text against the test digest set).
+    Oracle: the identical construction in DuckDB, hash covering the
+    cleaned text."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        _doc_kgrams,
+        remove_contaminated_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 7)
+    test = d.filter(F.col("doc_id") % 10 == 7)
+    out = remove_contaminated_spans(train, test, k=8) \
+        .localCheckpoint(eager=True)
+    bad = out.filter(
+        (F.col("removed_tokens") + F.col("kept_tokens")
+         != F.col("n_tokens"))
+        | ~((F.col("kept_tokens") == 0) & (F.col("text_clean") == "")
+            | (F.size(F.split(F.col("text_clean"), " "))
+               == F.col("kept_tokens")))).count()
+    if bad:
+        raise AssertionError(
+            f"{bad} row(s) break the decontamination accounting laws")
+    # the certificate: re-shingle the CLEANED text; no k-gram of it
+    # may exist in the benchmark digest set.  (Positions merge across
+    # a cut — a kept prefix and kept suffix become adjacent — so this
+    # is a REAL law about the output, not a restatement of the cut.)
+    _, clean_kg = _doc_kgrams(
+        out.select("doc_id", F.col("text_clean").alias("text")),
+        "text", "doc_id", 8)
+    _, test_kg = _doc_kgrams(test, "text", "doc_id", 8)
+    leaked = (clean_kg.join(test_kg.select("dig").distinct(), "dig",
+                            "left_semi").count())
+    if leaked:
+        raise AssertionError(
+            f"{leaked} benchmark 8-gram(s) survive in the cleaned "
+            f"train corpus")
+    return out
+
+
+DECONTAMINATE_SPANS_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+tr AS (SELECT * FROM tokens WHERE doc_id % 10 <> 7),
+te AS (SELECT * FROM tokens WHERE doc_id % 10 = 7),
+tdig AS (
+  SELECT DISTINCT md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM te, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+kg AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM tr, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+cover AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN tdig USING (dig), unnest(generate_series(0, 7)) AS o(off)),
+tok AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM tr, unnest(generate_series(1, len(ts))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.t = t.pos
+  WHERE c.doc_id IS NULL),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id),
+cov AS (SELECT doc_id, count(*) AS removed FROM cover GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.ts) - coalesce(cov.removed, 0) AS BIGINT)
+         AS kept_tokens,
+       round(coalesce(cov.removed, 0) / len(t.ts), 6) AS dup_ratio,
+       coalesce(clean.text_clean, '') AS text_clean
+FROM tr t
+LEFT JOIN cov USING (doc_id)
+LEFT JOIN clean USING (doc_id)
 """

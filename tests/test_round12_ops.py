@@ -343,6 +343,36 @@ def test_takedown_from_export_rewrites_only_flagged_shards(
         takedown_from_export(spark, out, [1], id_col="text")
 
 
+# --------------- span-level decontamination (train vs benchmark)
+def test_remove_contaminated_spans_cuts_only_benchmark_runs(spark):
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_contaminated_spans,
+    )
+
+    train = _df(spark, [
+        (1, "a b c d e f g"),   # "c d e" leaked from the benchmark
+        (2, "x y z w v"),       # clean
+        (3, "c d e c d e q"),   # leak twice, overlapping windows
+    ], "doc_id long, text string")
+    test = _df(spark, [(100, "m n c d e p")],
+               "doc_id long, text string")
+    got = {r["doc_id"]: (r["removed_tokens"], r["text_clean"])
+           for r in remove_contaminated_spans(train, test,
+                                              k=3).collect()}
+    assert got[1] == (3, "a b f g")
+    assert got[2] == (0, "x y z w v")
+    assert got[3] == (6, "q")
+    # intra-train duplication alone must NOT cut (docs 1 and 3 share
+    # "c d e" but that is benchmark-driven here; "x y z" appears in
+    # one train doc only — verify a train-only shared run survives)
+    train2 = _df(spark, [(1, "p q r s t"), (2, "p q r u v")],
+                 "doc_id long, text string")
+    got2 = {r["doc_id"]: r["removed_tokens"]
+            for r in remove_contaminated_spans(
+                train2, test, k=3).collect()}
+    assert got2 == {1: 0, 2: 0}
+
+
 # ---------------- first-commit fast path (VERDICT r11 task 2)
 def test_first_commit_uses_pyarrow_fast_path(spark, tmp_path):
     """The timeline table's CREATE is catalog DDL + a pyarrow part
