@@ -226,6 +226,7 @@ EXTRA = [
     "swap_contention_objectstore",
     "takedown_clean_corpus_export",
     "decontaminate_spans",
+    "repeated_span_removal",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

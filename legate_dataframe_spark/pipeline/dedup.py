@@ -1172,6 +1172,63 @@ def remove_contaminated_spans(
                          text_col, id_col, k)
 
 
+def remove_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """INTRA-document repetition removal: cut every ≥k-token run that
+    already occurred EARLIER in the same document, keeping the first
+    occurrence — the within-doc half of Lee et al.'s dedup (navbars,
+    repeated boilerplate blocks, degenerate generation loops repeat
+    INSIDE a page; the cross-doc operators deliberately exclude
+    same-doc repeats via ``count_distinct(doc)``).  Deterministic
+    keep-first policy: a position is covered iff it lies inside a
+    k-window whose k-gram has an occurrence starting at a STRICTLY
+    EARLIER position in the same document.  Same output schema as
+    :func:`remove_dup_spans`.
+
+    Scale shape: the duplicated-window detection is a per-(doc,
+    digest) min-position aggregate — partitioned BY DOCUMENT, so the
+    exchange key space is the corpus's shingle stream but every
+    group is doc-local (no cross-doc hot digests: the boilerplate
+    k-gram that appears in a billion documents lands in a billion
+    separate groups, not one); the ×k explode is paid only by repeat
+    windows and the rebuild is the family's shared codegen array
+    arithmetic."""
+    from pyspark.sql import Window
+
+    _, kg = _doc_kgrams(docs, text_col, id_col, k)
+    w = Window.partitionBy(id_col, "dig")
+    repeats = (kg.withColumn("first_pos", F.min("pos").over(w))
+               .filter(F.col("pos") > F.col("first_pos"))
+               .select(id_col, "pos"))
+    covered = (repeats.select(id_col, F.explode(F.sequence(
+        F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("pos"))
+        .distinct())
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("ts"))
+    cov_arr = (covered.groupBy(id_col)
+               .agg(F.collect_list("pos").alias("cov")))
+    j = toks.join(cov_arr, id_col, "left")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("ts")),
+        F.coalesce(F.col("cov"), F.array().cast("array<int>")))
+    n_removed = F.coalesce(F.size("cov"), F.lit(0))
+    return j.select(
+        id_col,
+        F.size("ts").cast("long").alias("n_tokens"),
+        n_removed.cast("long").alias("removed_tokens"),
+        (F.size("ts") - n_removed).cast("long").alias("kept_tokens"),
+        F.round(n_removed / F.size("ts"), 6).alias("dup_ratio"),
+        F.array_join(
+            F.transform(kept_pos,
+                        lambda i: F.element_at(F.col("ts"), i)),
+            " ").alias("text_clean"))
+
+
 def remove_dup_spans_chars(
     docs: DataFrame,
     text_col: str = "text",

@@ -34,7 +34,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (the 3
+# the front block holds queries with no green driver row yet (the 5
 # round-12 additions), then entries whose implementation CHANGED this
 # round (default commit stamps now session-TZ + pyarrow-converted; the
 # stale-marker reclaim is lock-protected; markers dispatch through
@@ -42,7 +42,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # raw span cut strips all \s — every swap/stamp/takedown entry
 # re-verifies, plus the two entries the r11 verdict queued), then the
 # oldest stale-verification tranche: the r06 block (VERDICT r11 task
-# 6) — 3 + 8 + 39 = exactly the 50-entry prefix, making r07 the
+# 6) — 5 + 8 + 37 = exactly the 50-entry prefix, making r07 the
 # oldest driver green afterwards.  Entries greened by the r11 driver
 # and unchanged this round rotate to the very END (freshest
 # verification).  Later blocks are ordered by round of LAST driver
@@ -66,6 +66,10 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # surviving-benchmark-kgram certificate asserted on the output
     "decontaminate_spans": (r12.decontaminate_spans,
                             r12.DECONTAMINATE_SPANS_SQL),
+    # the within-doc half of span dedup: repeated runs cut keep-first,
+    # idempotence asserted on the output
+    "repeated_span_removal": (r12.repeated_span_removal,
+                              r12.REPEATED_SPAN_REMOVAL_SQL),
     # ---- changed this round — re-verify (session-TZ default stamps,
     # lock-protected stale reclaim, backend-dispatched markers, the
     # pyarrow-path first commit, the raw-cut \s strip) + the two
@@ -126,14 +130,14 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
     "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
     "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
-    "compaction_roundtrip": (r6.compaction_roundtrip,
-                             r6.COMPACTION_ROUNDTRIP_SQL),
     # ======================== 50-entry prefix boundary =====================
-    # (4 new + 8 changed + 38 of the r06 tranche; dq_checks slid just
-    # past when decontaminate_spans joined the front — it leads the
-    # r13 rotation)
+    # (5 new + 8 changed + 37 of the r06 tranche; compaction_roundtrip
+    # and dq_checks slid just past as the r12 front grew — they lead
+    # the r13 rotation)
     # ---- r06-tranche remainder, then blocks by round of last driver
     # verification, oldest first (relative order unchanged) ----
+    "compaction_roundtrip": (r6.compaction_roundtrip,
+                             r6.COMPACTION_ROUNDTRIP_SQL),
     "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
     "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
     "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),

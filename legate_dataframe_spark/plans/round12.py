@@ -446,3 +446,80 @@ FROM tr t
 LEFT JOIN cov USING (doc_id)
 LEFT JOIN clean USING (doc_id)
 """
+
+
+# ====== intra-document repetition removal (the within-doc cut)
+def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WITHIN-document half of span dedup: every ≥8-token run
+    that already occurred earlier in the SAME document is cut,
+    keeping the first occurrence — repeated boilerplate blocks,
+    navbars, degenerate loops (the cross-doc operators deliberately
+    exclude same-doc repeats).  In-query laws asserted: the
+    accounting identities, and idempotence — running the cut on its
+    own output removes nothing (a second pass finds no repeated
+    8-gram; windows formed across cut junctions would break this,
+    so it is a real law about the output).  Oracle: the identical
+    keep-first construction in DuckDB (min-position window per
+    (doc, digest)), hash covering the cleaned text."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_repeated_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = remove_repeated_spans(d, k=8).localCheckpoint(eager=True)
+    bad = out.filter(
+        (F.col("removed_tokens") + F.col("kept_tokens")
+         != F.col("n_tokens"))
+        | ~((F.col("kept_tokens") == 0) & (F.col("text_clean") == "")
+            | (F.size(F.split(F.col("text_clean"), " "))
+               == F.col("kept_tokens")))).count()
+    if bad:
+        raise AssertionError(
+            f"{bad} row(s) break the repetition-removal accounting")
+    again = remove_repeated_spans(
+        out.select("doc_id", F.col("text_clean").alias("text")), k=8)
+    not_fixed = again.filter(F.col("removed_tokens") > 0).count()
+    if not_fixed:
+        raise AssertionError(
+            f"{not_fixed} doc(s) still carry repeated 8-grams after "
+            f"the cut — the removal is not idempotent")
+    return out
+
+
+REPEATED_SPAN_REMOVAL_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+kg AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM tokens, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+rep AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(pos) OVER (PARTITION BY doc_id, dig) AS fp
+    FROM kg) WHERE pos > fp),
+cover AS (
+  SELECT DISTINCT r.doc_id, r.pos + o.off AS t
+  FROM rep r, unnest(generate_series(0, 7)) AS o(off)),
+tok AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM tokens, unnest(generate_series(1, len(ts))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.t = t.pos
+  WHERE c.doc_id IS NULL),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id),
+cov AS (SELECT doc_id, count(*) AS removed FROM cover GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.ts) - coalesce(cov.removed, 0) AS BIGINT)
+         AS kept_tokens,
+       round(coalesce(cov.removed, 0) / len(t.ts), 6) AS dup_ratio,
+       coalesce(clean.text_clean, '') AS text_clean
+FROM tokens t
+LEFT JOIN cov USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""

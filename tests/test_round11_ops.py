@@ -657,16 +657,17 @@ def test_registry_prefix_matches_rotation_protocol():
     from legate_dataframe_spark.plans.registry import QUERIES
 
     names = list(QUERIES)
-    assert names[:4] == [
+    assert names[:5] == [
         "substring_span_removal_chars", "swap_contention_objectstore",
-        "takedown_clean_corpus_export", "decontaminate_spans"]
-    assert set(names[4:12]) == {
+        "takedown_clean_corpus_export", "decontaminate_spans",
+        "repeated_span_removal"]
+    assert set(names[5:13]) == {
         "substring_span_removal_raw", "swap_contention",
         "asof_unstamped_default", "rollup_swap_atomic",
         "rollup_timetravel", "dedup_index_timetravel",
         "takedown_cascade", "rollup_timetravel_asof"}
-    assert names[12] == "dedup_exact"  # the r06 tranche leads the tail
-    assert names[49] == "compaction_roundtrip"  # the boundary entry
+    assert names[13] == "dedup_exact"  # the r06 tranche leads the tail
+    assert names[49] == "window_cumsum"  # the boundary entry
     assert len(names) == len(set(names))
 
 

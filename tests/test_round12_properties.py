@@ -38,6 +38,52 @@ def _ref_char_covered(docs):
     return cov
 
 
+_WORDS = ["aa", "bb", "c", "dd"]  # tiny vocab → dense repeats
+
+
+@st.composite
+def word_corpora(draw):
+    n_docs = draw(st.integers(1, 4))
+    return [(i, " ".join(draw(st.sampled_from(_WORDS))
+                         for _ in range(draw(st.integers(0, 12)))))
+            for i in range(n_docs)]
+
+
+def _ref_repeat_covered(toks, k):
+    """Covered 1-based positions: union of k-windows whose k-gram has
+    an occurrence starting STRICTLY earlier in the same doc."""
+    first: dict[tuple, int] = {}
+    cov: set[int] = set()
+    for p in range(len(toks) - k + 1):
+        g = tuple(toks[p:p + k])
+        if g in first:
+            cov.update(range(p + 1, p + k + 1))
+        else:
+            first[g] = p
+    return cov
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(word_corpora())
+def test_repeated_span_removal_matches_bruteforce(spark, docs):
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_repeated_spans,
+    )
+
+    K = 2
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_repeated_spans(sdf, k=K).collect()}
+    for i, text in docs:
+        toks = text.strip().lower().split() or [""]
+        cov = _ref_repeat_covered(toks, K)
+        kept = [t for j, t in enumerate(toks, start=1)
+                if j not in cov]
+        assert got[i]["removed_tokens"] == len(cov), (i, text)
+        assert got[i]["text_clean"] == " ".join(kept), (i, text)
+
+
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(corpora())
