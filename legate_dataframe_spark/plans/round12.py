@@ -1,5 +1,5 @@
-"""Round-12 queries — tokenizer-independent corpus rewrite and
-object-store commit semantics.
+"""Round-12 queries — the span family completes (char / contamination
+/ intra-doc cuts) and the commit primitive goes portable.
 
 - ``substring_span_removal_chars`` — CHARACTER-shingle span removal
   (VERDICT r11 task 3): the span family's cut semantics without the
@@ -13,6 +13,18 @@ object-store commit semantics.
   conditional-commit backend (VERDICT r11 task 4): the posix O_EXCL
   story, re-run where the 100 TB table actually lives — the loser
   still fails at claim time, before its generation write.
+
+- ``takedown_clean_corpus_export`` — a deletion request reaching the
+  ALREADY-EXPORTED corpus (VERDICT r11 task 8): bloom-sidecar-pruned
+  shard rewrite + re-certification, untouched shards byte-identical
+  (audited by md5 over the files).
+
+- ``decontaminate_spans`` — benchmark leakage cut at SPAN level from
+  the training corpus, with the zero-surviving-benchmark-kgram
+  certificate asserted on the cleaned output.
+
+- ``repeated_span_removal`` — the WITHIN-document half of span dedup
+  (repeated runs cut keep-first), idempotence asserted on the output.
 
 Catalog hygiene matches rounds 7–11: uuid-suffixed session-temp
 databases dropped (CASCADE) before returning.
