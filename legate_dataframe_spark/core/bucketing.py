@@ -1044,10 +1044,17 @@ def _now_stamp(spark: SparkSession) -> str:
     try:
         tz = _session_tz(spark)
     except Exception:
-        # unparseable session TZ: the Spark writer will interpret
-        # the stamp in the session zone either way, so fall back to
-        # the process-local zone (Spark's own default session TZ)
-        tz = None
+        # zoneinfo cannot parse the session TZ (Spark accepts ids —
+        # e.g. three-letter zones — that zoneinfo rejects).  The
+        # process-local zone is NOT a safe stand-in: the stamp is
+        # parsed back in the SESSION zone, so formatting it in any
+        # other zone reintroduces the future-stamp AS-OF skew this
+        # function exists to fix (ADVICE r12).  Let Spark itself
+        # format "now" — formatter and parser then share one zone by
+        # construction.
+        return spark.sql(
+            "SELECT date_format(current_timestamp(), "
+            "'yyyy-MM-dd HH:mm:ss.SSSSSS')").collect()[0][0]
     return _dt.datetime.now(tz).strftime("%Y-%m-%d %H:%M:%S.%f")
 
 

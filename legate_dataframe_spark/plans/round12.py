@@ -383,17 +383,25 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     == kept_tokens, and zero train documents retain any benchmark
     8-gram after the cut (the decontamination certificate, checked
     by re-shingling the CLEANED text against the test digest set).
-    Oracle: the identical construction in DuckDB, hash covering the
-    cleaned text."""
+    The cut runs to a FIXPOINT (ADVICE r12: one pass is not enough
+    in general — removing a span can join its kept neighbors into a
+    NEW benchmark k-gram; the loop re-cuts until no leaked digest
+    remains, so the certificate is a guaranteed law rather than an
+    assumption that crashes on adversarial corpora).  Oracle: the
+    single-pass construction in DuckDB, hash covering the cleaned
+    text — exact whenever the first pass converges (the fixpoint
+    then IS the single pass; the in-query loop verifies convergence
+    by running one probe pass, and real corpora, including this
+    one, converge in one)."""
     from legate_dataframe_spark.pipeline.dedup import (
         _doc_kgrams,
-        remove_contaminated_spans,
+        remove_contaminated_spans_fixpoint,
     )
 
     d = load_table(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 10 != 7)
     test = d.filter(F.col("doc_id") % 10 == 7)
-    out = remove_contaminated_spans(train, test, k=8) \
+    out = remove_contaminated_spans_fixpoint(train, test, k=8) \
         .localCheckpoint(eager=True)
     bad = out.filter(
         (F.col("removed_tokens") + F.col("kept_tokens")
@@ -407,7 +415,8 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the certificate: re-shingle the CLEANED text; no k-gram of it
     # may exist in the benchmark digest set.  (Positions merge across
     # a cut — a kept prefix and kept suffix become adjacent — so this
-    # is a REAL law about the output, not a restatement of the cut.)
+    # is a REAL law about the output; the fixpoint loop GUARANTEES it
+    # and this independent re-check keeps the guarantee honest.)
     _, clean_kg = _doc_kgrams(
         out.select("doc_id", F.col("text_clean").alias("text")),
         "text", "doc_id", 8)
@@ -466,19 +475,26 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     that already occurred earlier in the SAME document is cut,
     keeping the first occurrence — repeated boilerplate blocks,
     navbars, degenerate loops (the cross-doc operators deliberately
-    exclude same-doc repeats).  In-query laws asserted: the
-    accounting identities, and idempotence — running the cut on its
-    own output removes nothing (a second pass finds no repeated
-    8-gram; windows formed across cut junctions would break this,
-    so it is a real law about the output).  Oracle: the identical
-    keep-first construction in DuckDB (min-position window per
-    (doc, digest)), hash covering the cleaned text."""
+    exclude same-doc repeats).  The cut runs to a FIXPOINT (ADVICE
+    r12: a junction formed by a cut can itself repeat earlier
+    same-doc text, so single-pass idempotence is not a theorem —
+    the loop re-cuts until a pass removes nothing).  In-query laws
+    asserted: the accounting identities, and idempotence — running
+    the cut on its own output removes nothing (guaranteed by the
+    fixpoint loop's exit condition; the independent re-run keeps the
+    guarantee honest).  Oracle: the single-pass keep-first
+    construction in DuckDB (min-position window per (doc, digest)),
+    hash covering the cleaned text — exact whenever pass 1
+    converges, which the in-query probe pass verifies (real corpora,
+    including this one, converge in one)."""
     from legate_dataframe_spark.pipeline.dedup import (
         remove_repeated_spans,
+        remove_repeated_spans_fixpoint,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    out = remove_repeated_spans(d, k=8).localCheckpoint(eager=True)
+    out = remove_repeated_spans_fixpoint(d, k=8) \
+        .localCheckpoint(eager=True)
     bad = out.filter(
         (F.col("removed_tokens") + F.col("kept_tokens")
          != F.col("n_tokens"))
