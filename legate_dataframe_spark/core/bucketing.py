@@ -496,6 +496,115 @@ class LocalDirCommitBackend(CommitBackend):
         _shutil.rmtree(self._local(uri), ignore_errors=True)
 
 
+class S3ConditionalPutCommitBackend(CommitBackend):
+    """Commit backend over S3's native conditional PUT
+    (``If-None-Match: *`` — public API, GA since 2024-08): the PUT
+    succeeds iff no object exists at the key, so exactly one claimant
+    per marker wins, enforced BY THE STORE across any number of
+    writer hosts — the real-deployment half of the CAS story
+    (``LocalDirCommitBackend`` is the posix/NFS shape).
+
+    Construction: ``S3ConditionalPutCommitBackend()`` builds a boto3
+    client lazily (optional dependency — importing this module never
+    requires boto3; constructing without it raises ImportError with
+    the install hint).  Pass ``client=`` to inject any object that
+    speaks the five calls used here (``put_object`` honoring
+    ``IfNoneMatch``, ``delete_object``, ``head_object``,
+    ``list_objects_v2``, ``delete_objects``) — the contract race
+    suite injects a filesystem-backed stub and re-runs the same
+    6-process single-winner trials through this class's error
+    handling.  No credentials are read or stored here; boto3's
+    standard resolution chain applies.
+
+    Conditional-PUT outcomes: 412 PreconditionFailed = key exists →
+    claim lost (False); 409 ConditionalRequestConflict = concurrent
+    conditional writers raced and S3 asks the caller to retry — the
+    outcome is UNKNOWN, so the put retries (bounded) until it
+    resolves to created/exists.  Everything else propagates."""
+
+    def __init__(self, client=None, scheme: str = "s3",
+                 conflict_retries: int = 8) -> None:
+        if client is None:
+            try:
+                import boto3
+            except ImportError as e:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    "S3ConditionalPutCommitBackend needs boto3 "
+                    "(pip install boto3) or an injected client"
+                ) from e
+            client = boto3.client("s3")
+        self._c = client
+        self._prefix = f"{scheme}://"
+        self._retries = conflict_retries
+
+    def _bucket_key(self, uri: str) -> tuple[str, str]:
+        assert uri.startswith(self._prefix), uri
+        rest = uri[len(self._prefix):]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    @staticmethod
+    def _error_signals(e) -> tuple[str | None, int | None]:
+        r = getattr(e, "response", None) or {}
+        return (r.get("Error", {}).get("Code"),
+                r.get("ResponseMetadata", {}).get("HTTPStatusCode"))
+
+    def put_if_absent(self, uri: str, payload: str) -> bool:
+        b, k = self._bucket_key(uri)
+        for _ in range(self._retries + 1):
+            try:
+                self._c.put_object(Bucket=b, Key=k,
+                                   Body=payload.encode(),
+                                   IfNoneMatch="*")
+                return True
+            except Exception as e:  # noqa: BLE001 - mapped below
+                code, status = self._error_signals(e)
+                if code == "PreconditionFailed" or status == 412:
+                    return False  # key exists: claim lost cleanly
+                if (code == "ConditionalRequestConflict"
+                        or status == 409):
+                    continue  # unresolved race: retry the CAS
+                raise
+        raise RuntimeError(
+            f"conditional PUT of {uri} still conflicted after "
+            f"{self._retries} retries")
+
+    def delete(self, uri: str) -> None:
+        b, k = self._bucket_key(uri)
+        self._c.delete_object(Bucket=b, Key=k)  # absent: S3 204s
+
+    def mtime(self, uri: str) -> float | None:
+        b, k = self._bucket_key(uri)
+        try:
+            head = self._c.head_object(Bucket=b, Key=k)
+        except Exception as e:  # noqa: BLE001 - mapped below
+            code, status = self._error_signals(e)
+            if code in ("404", "NoSuchKey", "NotFound") \
+                    or status == 404:
+                return None
+            raise
+        lm = head["LastModified"]
+        return lm if isinstance(lm, (int, float)) else lm.timestamp()
+
+    def delete_prefix(self, uri: str) -> None:
+        b, k = self._bucket_key(uri)
+        prefix = k.rstrip("/") + "/"
+        token = None
+        while True:
+            kwargs = {"Bucket": b, "Prefix": prefix}
+            if token:
+                kwargs["ContinuationToken"] = token
+            page = self._c.list_objects_v2(**kwargs)
+            keys = [{"Key": o["Key"]}
+                    for o in page.get("Contents", [])]
+            if keys:
+                self._c.delete_objects(Bucket=b,
+                                       Delete={"Objects": keys})
+            if not page.get("IsTruncated"):
+                return
+            token = page.get("NextContinuationToken")
+
+
 def _marker_path(spark: SparkSession, view_name: str,
                  gen: int) -> str | None:
     """Local-filesystem marker path for one generation claim, or None

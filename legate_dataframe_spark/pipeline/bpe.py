@@ -148,3 +148,48 @@ def apply_bpe_merges(
     return (docs.join(F.broadcast(rules))
             .select(F.col(id_col), F.size(words).cast("long")
                     .alias("n_words"), n_tokens.alias("n_tokens")))
+
+
+def bpe_token_stream(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document to its FULL BPE token stream →
+    (id, text) where ``text`` is the space-joined sequence of BPE
+    tokens in document order — the representation Lee et al.
+    (arXiv:2107.06499) deduplicate over (their ExactSubstr operates
+    on tokenizer output, not words).  Rendering the stream as a
+    space-joined string makes every downstream ``\\s+``-tokenized
+    span operator (remove_dup_spans & family) a BPE-token operator
+    for free: BPE symbols are ``[a-z]+`` pieces, so the join is
+    lossless and re-splitting recovers the exact token sequence.
+
+    Same scale shape as :func:`apply_bpe_merges`: the merge table is
+    one broadcast row of ordered pattern/replacement arrays and the
+    encode is a pure narrow map — zero shuffles, scan-bound."""
+    ordered = F.array_sort(F.collect_list(F.struct(
+        F.col("round").alias("r"),
+        F.concat(F.lit("<"), F.col("a"), F.lit("><"), F.col("b"),
+                 F.lit(">")).alias("pat"),
+        F.concat(F.lit("<"), F.col("merged"), F.lit(">")).alias("rep"))))
+    rules = (merges.groupBy().agg(ordered.alias("rules"))
+             .select(F.transform("rules", lambda s: s["pat"]).alias("pats"),
+                     F.transform("rules", lambda s: s["rep"]).alias("reps")))
+    words = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z]+"), 0)
+    encoded = F.transform(
+        words,
+        lambda w: F.aggregate(
+            F.sequence(F.lit(1), F.size(F.col("pats"))),
+            F.regexp_replace(w, "(.)", "<$1>"),
+            lambda acc, i: F.replace(acc, F.element_at(F.col("pats"), i),
+                                     F.element_at(F.col("reps"), i))))
+    # <h><el><lo> → [h, el, lo]; flatten across words in doc order
+    toks = F.flatten(F.transform(
+        encoded,
+        lambda e: F.split(F.regexp_replace(e, "^<|>$", ""), "><")))
+    return (docs.join(F.broadcast(rules))
+            .select(F.col(id_col),
+                    F.array_join(toks, " ").alias("text")))

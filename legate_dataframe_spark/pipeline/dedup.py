@@ -53,7 +53,11 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     O(k·n) times per document — 50× slower at 5k docs.  Slices
     evaluate the split once each.
     """
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    return word_shingles_of(F.split(F.trim(F.lower(text)), r"\s+"), k)
+
+
+def word_shingles_of(toks: Column, k: int = 3) -> Column:
+    """k-word shingles of an already-tokenized array column."""
     m = F.greatest(F.size(toks) - (k - 1), F.lit(0))  # shingle count
     out = F.slice(toks, 1, m)
     for j in range(1, k):
@@ -935,14 +939,39 @@ def substring_dup_spans(
 
 def _doc_kgrams(docs, text_col: str, id_col: str, k: int):
     """(per-doc sizes frame, positional k-gram digest stream) — the
-    shared front of the substring-span family."""
+    shared front of the substring-span family.
+
+    Two builders by k: small k keeps the ``word_shingles`` zip_with
+    chain + md5 (the measured-stable path every k=8 entry froze its
+    numbers on); large k (>12 — Lee et al.'s 50-BPE-token band)
+    switches to hashing k-length SLICES of the token array inside a
+    per-position transform, because the zip_with chain does O(k)
+    array passes each concatenating strings that grow to k words —
+    O(k²·n) character work per doc and a k-deep expression tree —
+    while the slice hash is O(k·n) with no shingle strings built at
+    all (xxhash64 over an array<string> slice discriminates exactly
+    like md5 over the joined string; digests are internal equality
+    proxies on both sides of every oracle)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col),
                        F.size(toks).cast("long").alias("n_tokens"),
-                       word_shingles(F.col(text_col), k).alias("sh"))
-    kg = (base.select(id_col, F.posexplode("sh").alias("off", "s"))
-          .select(id_col, (F.col("off") + 1).alias("pos"),
-                  F.md5("s").alias("dig")))
+                       toks.alias("__ts"))
+    if k <= 12:
+        kg = (base.select(
+                  id_col,
+                  F.posexplode(word_shingles_of(F.col("__ts"), k))
+                  .alias("off", "s"))
+              .select(id_col, (F.col("off") + 1).alias("pos"),
+                      F.md5("s").alias("dig")))
+        return base, kg
+    digs = F.when(
+        F.size("__ts") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ts") - F.lit(k - 1)),
+            lambda i: F.xxhash64(F.slice(F.col("__ts"), i, k)))
+    ).otherwise(F.array().cast("array<bigint>"))
+    kg = (base.select(id_col, F.posexplode(digs).alias("off", "dig"))
+          .select(id_col, (F.col("off") + 1).alias("pos"), "dig"))
     return base, kg
 
 

@@ -25,6 +25,7 @@ from legate_dataframe_spark.plans import round10 as r10
 from legate_dataframe_spark.plans import round10b as r10b
 from legate_dataframe_spark.plans import round11 as r11
 from legate_dataframe_spark.plans import round12 as r12
+from legate_dataframe_spark.plans import round13 as r13
 from legate_dataframe_spark.plans import roundtrip as rt
 from legate_dataframe_spark.plans.relational import load_table
 
@@ -34,111 +35,110 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (the 5
-# round-12 additions), then entries whose implementation CHANGED this
-# round (default commit stamps now session-TZ + pyarrow-converted; the
-# stale-marker reclaim is lock-protected; markers dispatch through
-# commit backends; the first commit rides the pyarrow fast path; the
-# raw span cut strips all \s — every swap/stamp/takedown entry
-# re-verifies, plus the two entries the r11 verdict queued), then the
-# oldest stale-verification tranche: the r06 block (VERDICT r11 task
-# 6) — 5 + 8 + 37 = exactly the 50-entry prefix, making r07 the
-# oldest driver green afterwards.  Entries greened by the r11 driver
-# and unchanged this round rotate to the very END (freshest
-# verification).  Later blocks are ordered by round of LAST driver
-# verification, oldest first.
+# the front block holds queries with no green driver row yet (the 2
+# round-13 additions), then entries whose implementation CHANGED this
+# round (the span family's shared _doc_kgrams front + the char form's
+# linear front/interval rebuild + the fixpoint cuts + the takedown
+# staging/null-id fixes — 11 entries), then the oldest
+# stale-verification tranche: the 3 remaining r06 greens + 34 of the
+# 39 r07 greens (VERDICT r12 task 6) — 2 + 11 + 3 + 34 = exactly the
+# 50-entry prefix.  Five r07 greens did not fit behind the
+# changed-machinery head; they lead the r14 rotation (so r07, not
+# r08, stays the oldest green — by 5 entries).  Entries greened by
+# the r12 driver and unchanged this round rotate to the very END
+# (freshest verification).  Later blocks are ordered by round of LAST
+# driver verification, oldest first.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # ---- round-12 front: no driver row yet ---------------------------------
-    # tokenizer-independent (char-shingle) span removal;
-    # the swap race through an object-store conditional-put backend;
-    # a takedown reaching the already-exported corpus
+    # ---- round-13 front: no driver row yet ---------------------------------
+    # the composed one-shingle-pass corpus build (decontaminate +
+    # cross-doc + intra-doc off ONE positional exchange) and the BPE
+    # instantiation of the span tokenizer contract (Lee et al.'s
+    # 50-BPE-token cut over an in-query learned vocabulary)
+    "clean_corpus_onepass": (r13.clean_corpus_onepass,
+                             r13.CLEAN_CORPUS_ONEPASS_SQL),
+    "substring_span_removal_bpe": (
+        r13.substring_span_removal_bpe,
+        r13.SUBSTRING_SPAN_REMOVAL_BPE_SQL),
+    # ---- changed this round — re-verify (the span family's shared
+    # _doc_kgrams front now carries the token array and dispatches
+    # large k to slice-hash digests; the char form gained the linear
+    # shingle front + interval rebuild; decontaminate/repeated cuts
+    # iterate to a fixpoint; takedown staging moved inside the export
+    # dir and keeps null-id rows) ----
     "substring_span_removal_chars": (
         r12.substring_span_removal_chars,
         r12.SUBSTRING_SPAN_REMOVAL_CHARS_SQL),
-    "swap_contention_objectstore": (
-        r12.swap_contention_objectstore,
-        r12.SWAP_CONTENTION_OBJECTSTORE_SQL),
+    "decontaminate_spans": (r12.decontaminate_spans,
+                            r12.DECONTAMINATE_SPANS_SQL),
+    "repeated_span_removal": (r12.repeated_span_removal,
+                              r12.REPEATED_SPAN_REMOVAL_SQL),
     "takedown_clean_corpus_export": (
         r12.takedown_clean_corpus_export,
         r12.TAKEDOWN_CLEAN_CORPUS_EXPORT_SQL),
-    # benchmark leakage cut at SPAN level (decontaminate_overlap only
-    # FLAGS; doc-level would drop whole documents), with the zero-
-    # surviving-benchmark-kgram certificate asserted on the output
-    "decontaminate_spans": (r12.decontaminate_spans,
-                            r12.DECONTAMINATE_SPANS_SQL),
-    # the within-doc half of span dedup: repeated runs cut keep-first,
-    # idempotence asserted on the output
-    "repeated_span_removal": (r12.repeated_span_removal,
-                              r12.REPEATED_SPAN_REMOVAL_SQL),
-    # ---- changed this round — re-verify (session-TZ default stamps,
-    # lock-protected stale reclaim, backend-dispatched markers, the
-    # pyarrow-path first commit, the raw-cut \s strip) + the two
-    # entries the r11 verdict queued (slid past the r11 boundary) ----
-    "substring_span_removal_raw": (r11.substring_span_removal_raw,
-                                   r11.SUBSTRING_SPAN_REMOVAL_RAW_SQL),
-    "swap_contention": (r10b.swap_contention,
-                        r10b.SWAP_CONTENTION_SQL),
-    "asof_unstamped_default": (r11.asof_unstamped_default,
-                               r11.ASOF_UNSTAMPED_DEFAULT_SQL),
-    "rollup_swap_atomic": (r8.rollup_swap_atomic,
-                           r8.ROLLUP_SWAP_ATOMIC_SQL),
-    "rollup_timetravel": (r8.rollup_timetravel,
-                          r8.ROLLUP_TIMETRAVEL_SQL),
-    "dedup_index_timetravel": (r9.dedup_index_timetravel,
-                               r9.DEDUP_INDEX_TIMETRAVEL_SQL),
-    "takedown_cascade": (r10b.takedown_cascade,
-                         r10b.TAKEDOWN_CASCADE_SQL),
-    "rollup_timetravel_asof": (r10b.rollup_timetravel_asof,
-                               r10b.ROLLUP_TIMETRAVEL_ASOF_SQL),
-    # ---- stale tail: the r06 tranche, oldest driver greens first
-    # (VERDICT r11 task 6: r07 becomes the oldest green after r12) ----
-    "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
-    "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
-    "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
-    "dedup_clusters": (pq.dedup_clusters, pq.DEDUP_CLUSTERS_SQL),
-    "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
-    "dedup_levenshtein": (pq.dedup_levenshtein, pq.DEDUP_LEVENSHTEIN_SQL),
-    "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
-    "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
-    "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
-    "kmeans_centroids": (pq.kmeans_centroids, pq.KMEANS_SQL),
-    "pq_codes": (pq.pq_codes, pq.PQ_CODES_SQL),
-    "pq_adc_search": (pq.pq_adc_search, pq.PQ_ADC_SEARCH_SQL),
-    "ivfpq_search": (pq.ivfpq_search, pq.IVFPQ_SEARCH_SQL),
-    "embedding_norms": (pq.embedding_norms, pq.EMBEDDING_NORMS_SQL),
-    "text_stats": (pq.text_stats, pq.TEXT_STATS_SQL),
-    "token_count": (pq.token_count, pq.TOKEN_COUNT_SQL),
-    "lang_id": (pq.lang_id, pq.LANG_ID_SQL),
-    "doc_fingerprint": (pq.doc_fingerprint, pq.DOC_FINGERPRINT_SQL),
-    "quality_scores": (pq.quality_scores, pq.QUALITY_SCORES_SQL),
-    "doc_chunks": (pq.doc_chunks, pq.DOC_CHUNKS_SQL),
-    "repetition_signals": (pq.repetition_signals_q, pq.REPETITION_SIGNALS_SQL),
-    "decontaminate_overlap": (pq.decontaminate_overlap, pq.DECONTAMINATE_SQL),
-    "stratified_sample": (pq.stratified_sample_q, pq.STRATIFIED_SAMPLE_SQL),
-    "unigram_logprob": (pq.unigram_logprob_q, pq.UNIGRAM_LOGPROB_SQL),
-    "bm25_search": (pq.bm25_search, pq.BM25_SEARCH_SQL),
-    "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
-    "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),
-    "multimodal_features": (pq.multimodal_features, pq.MULTIMODAL_FEATURES_SQL),
-    "multimodal_frames": (pq.multimodal_frames, pq.MULTIMODAL_FRAMES_SQL),
-    "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),
-    "events_stream_tumbling": (pq.events_stream_tumbling,
-                               pq.EVENTS_STREAM_TUMBLING_SQL),
-    "user_retention": (pq.user_retention, pq.USER_RETENTION_SQL),
-    "events_sliding": (pq.events_sliding, pq.EVENTS_SLIDING_SQL),
-    "sessionize": (pq.sessionize, pq.SESSIONIZE_SQL),
-    "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
-    "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
-    "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
-    # ======================== 50-entry prefix boundary =====================
-    # (5 new + 8 changed + 37 of the r06 tranche; compaction_roundtrip
-    # and dq_checks slid just past as the r12 front grew — they lead
-    # the r13 rotation)
-    # ---- r06-tranche remainder, then blocks by round of last driver
-    # verification, oldest first (relative order unchanged) ----
+    "substring_dup_spans": (r10b.substring_dup_spans_q,
+                            r10b.SUBSTRING_DUP_SPANS_SQL),
+    "substring_span_removal": (r11.substring_span_removal,
+                               r11.SUBSTRING_SPAN_REMOVAL_SQL),
+    "incremental_substring_spans": (r10b.incremental_substring_spans,
+                                    r10b.INCREMENTAL_SUBSTRING_SPANS_SQL),
+    "stream_substring_chain": (r10b.stream_substring_chain,
+                               r10b.STREAM_SUBSTRING_CHAIN_SQL),
+    "incremental_span_removal": (r11.incremental_span_removal,
+                                 r11.INCREMENTAL_SPAN_REMOVAL_SQL),
+    "dup_span_intervals": (r11.dup_span_intervals_q,
+                           r11.DUP_SPAN_INTERVALS_SQL),
+    "clean_corpus_export": (r11.clean_corpus_export,
+                            r11.CLEAN_CORPUS_EXPORT_SQL),
+    # ---- stale tail: the three remaining r06 greens, then the r07
+    # tranche (VERDICT r12 task 6) — 2 + 11 + 3 + 34 = the 50-entry
+    # prefix; five r07 greens (quality_filter .. asof_tolerance) did
+    # not fit behind the changed-machinery head and lead the r14
+    # rotation ----
     "compaction_roundtrip": (r6.compaction_roundtrip,
                              r6.COMPACTION_ROUNDTRIP_SQL),
     "dq_checks": (r6.dq_checks, r6.DQ_CHECKS_SQL),
+    "incremental_rollup": (r6.incremental_rollup,
+                           r6.INCREMENTAL_ROLLUP_SQL),
+    "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
+    "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
+    "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
+    "event_pairs_within": (pq.event_pairs_within, pq.EVENT_PAIRS_SQL),
+    "window_cumall": (r.window_cumall, r.WINDOW_CUMALL_SQL),
+    "window_topn_per_group": (r.window_topn_per_group, r.WINDOW_TOPN_SQL),
+    "replace_nulls": (pq.replace_nulls_q, pq.REPLACE_NULLS_SQL),
+    "sort_nulls_first": (pq.sort_nulls_first, pq.SORT_NULLS_FIRST_SQL),
+    "quantile_stats": (r.quantile_stats, r.QUANTILE_STATS_SQL),
+    "minmax_by": (r.minmax_by, r.MINMAX_BY_SQL),
+    "sequence_agg": (r.sequence_agg, r.SEQUENCE_AGG_SQL),
+    "contains_column": (r.contains_column_q, r.CONTAINS_COLUMN_SQL),
+    "user_event_gaps": (pq.user_event_gaps_q, pq.USER_EVENT_GAPS_SQL),
+    "multimodal_real_decode": (pq.multimodal_real_decode,
+                               pq.MULTIMODAL_REAL_DECODE_SQL),
+    "bigram_fluency": (pq.bigram_fluency, pq.BIGRAM_FLUENCY_SQL),
+    "pii_redaction": (pq.pii_redaction, pq.PII_REDACTION_SQL),
+    "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
+    "stream_user_stats": (pq.stream_user_stats_drain, pq.STREAM_USER_STATS_SQL),
+    "stream_etl_ingest": (pq.stream_etl_ingest, pq.STREAM_ETL_INGEST_SQL),
+    "events_stream_sliding": (pq.events_stream_sliding,
+                              pq.EVENTS_STREAM_SLIDING_SQL),
+    "events_stream_session": (pq.events_stream_session,
+                              pq.EVENTS_STREAM_SESSION_SQL),
+    "semantic_dedup": (pq.semantic_dedup_q, pq.SEMANTIC_DEDUP_SQL),
+    "sq8_search": (pq.sq8_search, pq.SQ8_SEARCH_SQL),
+    "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
+    "pagerank_users": (pq.pagerank_users, pq.PAGERANK_SQL),
+    "correlated_subquery": (r.correlated_subquery, r.CORRELATED_SUBQUERY_SQL),
+    "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
+    "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
+    "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
+    "parquet_roundtrip": (rt.parquet_roundtrip, rt.PARQUET_ROUNDTRIP_SQL),
+    "csv_roundtrip": (rt.csv_roundtrip, rt.CSV_ROUNDTRIP_SQL),
+    "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),
+    "arrow_roundtrip": (rt.arrow_roundtrip, rt.ARROW_ROUNDTRIP_SQL),
+    "ngram_dup_counts": (pq.ngram_dup_counts, pq.NGRAM_DUP_SQL),
+    # ======================== 50-entry prefix boundary =====================
+    # ---- later blocks by round of last driver verification, oldest
+    # first (relative order unchanged) ----
     "except_custkeys": (r.except_custkeys, r.EXCEPT_SQL),
     "math_functions": (r.math_functions, r.MATH_FUNCTIONS_SQL),
     "asof_purchase_view": (r.asof_purchase_view, r.ASOF_SQL),
@@ -180,45 +180,6 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                                      r7.INCREMENTAL_COMPONENTS_CHAIN_SQL),
     "stream_dedup_chain": (r7.stream_dedup_chain,
                            r7.STREAM_DEDUP_CHAIN_SQL),
-    "incremental_rollup": (r6.incremental_rollup,
-                           r6.INCREMENTAL_ROLLUP_SQL),
-    "rollup_serve_only": (r7.rollup_serve_only, r7.ROLLUP_SERVE_ONLY_SQL),
-    "trend_per_group": (r6.trend_per_group, r6.TREND_PER_GROUP_SQL),
-    "kcore_peel": (r4.kcore_peel_q, r4.KCORE_PEEL_SQL),
-    "event_pairs_within": (pq.event_pairs_within, pq.EVENT_PAIRS_SQL),
-    "window_cumall": (r.window_cumall, r.WINDOW_CUMALL_SQL),
-    "window_topn_per_group": (r.window_topn_per_group, r.WINDOW_TOPN_SQL),
-    "replace_nulls": (pq.replace_nulls_q, pq.REPLACE_NULLS_SQL),
-    "sort_nulls_first": (pq.sort_nulls_first, pq.SORT_NULLS_FIRST_SQL),
-    "quantile_stats": (r.quantile_stats, r.QUANTILE_STATS_SQL),
-    "minmax_by": (r.minmax_by, r.MINMAX_BY_SQL),
-    "sequence_agg": (r.sequence_agg, r.SEQUENCE_AGG_SQL),
-    "contains_column": (r.contains_column_q, r.CONTAINS_COLUMN_SQL),
-    "user_event_gaps": (pq.user_event_gaps_q, pq.USER_EVENT_GAPS_SQL),
-    "multimodal_real_decode": (pq.multimodal_real_decode,
-                               pq.MULTIMODAL_REAL_DECODE_SQL),
-    "bigram_fluency": (pq.bigram_fluency, pq.BIGRAM_FLUENCY_SQL),
-    "pii_redaction": (pq.pii_redaction, pq.PII_REDACTION_SQL),
-    "stream_dedup_drain": (pq.stream_dedup_drain, pq.STREAM_DEDUP_SQL),
-    "stream_user_stats": (pq.stream_user_stats_drain, pq.STREAM_USER_STATS_SQL),
-    "stream_etl_ingest": (pq.stream_etl_ingest, pq.STREAM_ETL_INGEST_SQL),
-    "events_stream_sliding": (pq.events_stream_sliding,
-                              pq.EVENTS_STREAM_SLIDING_SQL),
-    "events_stream_session": (pq.events_stream_session,
-                              pq.EVENTS_STREAM_SESSION_SQL),
-    "semantic_dedup": (pq.semantic_dedup_q, pq.SEMANTIC_DEDUP_SQL),
-    "sq8_search": (pq.sq8_search, pq.SQ8_SEARCH_SQL),
-    "ivf_sq8_search": (pq.ivf_sq8_search, pq.IVF_SQ8_SEARCH_SQL),
-    "pagerank_users": (pq.pagerank_users, pq.PAGERANK_SQL),
-    "correlated_subquery": (r.correlated_subquery, r.CORRELATED_SUBQUERY_SQL),
-    "exists_subquery": (r.exists_subquery, r.EXISTS_SUBQUERY_SQL),
-    "train_split_stats": (pq.train_split_stats, pq.TRAIN_SPLIT_SQL),
-    "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
-    "parquet_roundtrip": (rt.parquet_roundtrip, rt.PARQUET_ROUNDTRIP_SQL),
-    "csv_roundtrip": (rt.csv_roundtrip, rt.CSV_ROUNDTRIP_SQL),
-    "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),
-    "arrow_roundtrip": (rt.arrow_roundtrip, rt.ARROW_ROUNDTRIP_SQL),
-    "ngram_dup_counts": (pq.ngram_dup_counts, pq.NGRAM_DUP_SQL),
     "quality_filter": (pq.quality_filter, pq.QUALITY_FILTER_SQL),
     "json_extract_props": (pq.json_extract_props, pq.JSON_EXTRACT_SQL),
     "rolling_range_window": (pq.rolling_range_window, pq.ROLLING_RANGE_SQL),
@@ -337,13 +298,7 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                              r9.ANN_INDEX_TIMETRAVEL_SQL),
     "rollup_schema_evolution": (r10.rollup_schema_evolution,
                                 r10.ROLLUP_SCHEMA_EVOLUTION_SQL),
-    "substring_dup_spans": (r10b.substring_dup_spans_q,
-                            r10b.SUBSTRING_DUP_SPANS_SQL),
     "export_shards": (r10b.export_shards, r10b.EXPORT_SHARDS_SQL),
-    "incremental_substring_spans": (r10b.incremental_substring_spans,
-                                    r10b.INCREMENTAL_SUBSTRING_SPANS_SQL),
-    "stream_substring_chain": (r10b.stream_substring_chain,
-                               r10b.STREAM_SUBSTRING_CHAIN_SQL),
     "rollup_histogram_rebin": (r9.rollup_histogram_rebin,
                                r9.ROLLUP_HISTOGRAM_REBIN_SQL),
     "rollup_histogram_chain": (r8.rollup_histogram_chain,
@@ -387,17 +342,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cube_orders": (r.cube_orders, r.CUBE_SQL),
     "grouping_sets_mix": (r.grouping_sets_mix, r.GROUPING_SETS_SQL),
     "intersect_custkeys": (r.intersect_custkeys, r.INTERSECT_SQL),
-    # ---- greened by the r11 driver, unchanged this round (freshest) ----
-    "substring_span_removal": (r11.substring_span_removal,
-                               r11.SUBSTRING_SPAN_REMOVAL_SQL),
     "stream_cdf_apply_chain": (r11.stream_cdf_apply_chain,
                                r11.STREAM_CDF_APPLY_CHAIN_SQL),
-    "dup_span_intervals": (r11.dup_span_intervals_q,
-                           r11.DUP_SPAN_INTERVALS_SQL),
-    "incremental_span_removal": (r11.incremental_span_removal,
-                                 r11.INCREMENTAL_SPAN_REMOVAL_SQL),
-    "clean_corpus_export": (r11.clean_corpus_export,
-                            r11.CLEAN_CORPUS_EXPORT_SQL),
     "manifest_bloom_lookup": (r10b.manifest_bloom_lookup,
                               r10b.MANIFEST_BLOOM_LOOKUP_SQL),
     "cdf_apply_roundtrip": (r10b.cdf_apply_roundtrip,
@@ -410,6 +356,64 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
                                 r10.INDEX_COMPACTION_SIGNAL_SQL),
     "stream_manifest_chain": (r10.stream_manifest_chain,
                               r10.STREAM_MANIFEST_CHAIN_SQL),
+    # ---- greened by the r12 driver, unchanged this round (freshest) ----
+    "swap_contention_objectstore": (
+        r12.swap_contention_objectstore,
+        r12.SWAP_CONTENTION_OBJECTSTORE_SQL),
+    "substring_span_removal_raw": (r11.substring_span_removal_raw,
+                                   r11.SUBSTRING_SPAN_REMOVAL_RAW_SQL),
+    "swap_contention": (r10b.swap_contention,
+                        r10b.SWAP_CONTENTION_SQL),
+    "asof_unstamped_default": (r11.asof_unstamped_default,
+                               r11.ASOF_UNSTAMPED_DEFAULT_SQL),
+    "rollup_swap_atomic": (r8.rollup_swap_atomic,
+                           r8.ROLLUP_SWAP_ATOMIC_SQL),
+    "rollup_timetravel": (r8.rollup_timetravel,
+                          r8.ROLLUP_TIMETRAVEL_SQL),
+    "dedup_index_timetravel": (r9.dedup_index_timetravel,
+                               r9.DEDUP_INDEX_TIMETRAVEL_SQL),
+    "takedown_cascade": (r10b.takedown_cascade,
+                         r10b.TAKEDOWN_CASCADE_SQL),
+    "rollup_timetravel_asof": (r10b.rollup_timetravel_asof,
+                               r10b.ROLLUP_TIMETRAVEL_ASOF_SQL),
+    "dedup_exact": (pq.dedup_exact, pq.DEDUP_EXACT_SQL),
+    "dedup_ngram": (pq.dedup_ngram, pq.DEDUP_NGRAM_SQL),
+    "dedup_minhash": (pq.dedup_minhash, pq.DEDUP_MINHASH_SQL),
+    "dedup_clusters": (pq.dedup_clusters, pq.DEDUP_CLUSTERS_SQL),
+    "dedup_simhash": (pq.dedup_simhash, pq.DEDUP_SIMHASH_SQL),
+    "dedup_levenshtein": (pq.dedup_levenshtein, pq.DEDUP_LEVENSHTEIN_SQL),
+    "embedding_neardup": (pq.embedding_neardup, pq.EMBEDDING_NEARDUP_SQL),
+    "similarity_topk": (pq.similarity_topk, pq.SIMILARITY_TOPK_SQL),
+    "ann_ivf_assign": (pq.ann_ivf_assign, pq.ANN_IVF_SQL),
+    "kmeans_centroids": (pq.kmeans_centroids, pq.KMEANS_SQL),
+    "pq_codes": (pq.pq_codes, pq.PQ_CODES_SQL),
+    "pq_adc_search": (pq.pq_adc_search, pq.PQ_ADC_SEARCH_SQL),
+    "ivfpq_search": (pq.ivfpq_search, pq.IVFPQ_SEARCH_SQL),
+    "embedding_norms": (pq.embedding_norms, pq.EMBEDDING_NORMS_SQL),
+    "text_stats": (pq.text_stats, pq.TEXT_STATS_SQL),
+    "token_count": (pq.token_count, pq.TOKEN_COUNT_SQL),
+    "lang_id": (pq.lang_id, pq.LANG_ID_SQL),
+    "doc_fingerprint": (pq.doc_fingerprint, pq.DOC_FINGERPRINT_SQL),
+    "quality_scores": (pq.quality_scores, pq.QUALITY_SCORES_SQL),
+    "doc_chunks": (pq.doc_chunks, pq.DOC_CHUNKS_SQL),
+    "repetition_signals": (pq.repetition_signals_q, pq.REPETITION_SIGNALS_SQL),
+    "decontaminate_overlap": (pq.decontaminate_overlap, pq.DECONTAMINATE_SQL),
+    "stratified_sample": (pq.stratified_sample_q, pq.STRATIFIED_SAMPLE_SQL),
+    "unigram_logprob": (pq.unigram_logprob_q, pq.UNIGRAM_LOGPROB_SQL),
+    "bm25_search": (pq.bm25_search, pq.BM25_SEARCH_SQL),
+    "pack_assignments": (pq.pack_assignments, pq.PACK_ASSIGNMENTS_SQL),
+    "byte_stats_arrow": (pq.byte_stats_arrow, pq.BYTE_STATS_ARROW_SQL),
+    "multimodal_features": (pq.multimodal_features, pq.MULTIMODAL_FEATURES_SQL),
+    "multimodal_frames": (pq.multimodal_frames, pq.MULTIMODAL_FRAMES_SQL),
+    "events_tumbling": (pq.events_tumbling, pq.EVENTS_TUMBLING_SQL),
+    "events_stream_tumbling": (pq.events_stream_tumbling,
+                               pq.EVENTS_STREAM_TUMBLING_SQL),
+    "user_retention": (pq.user_retention, pq.USER_RETENTION_SQL),
+    "events_sliding": (pq.events_sliding, pq.EVENTS_SLIDING_SQL),
+    "sessionize": (pq.sessionize, pq.SESSIONIZE_SQL),
+    "ts_extract": (r.ts_extract, r.TS_EXTRACT_SQL),
+    "ts_parse": (r.ts_parse, r.TS_PARSE_SQL),
+    "window_cumsum": (r.window_cumsum, r.WINDOW_CUMSUM_SQL),
 }
 
 def _with_cache_release(fn: QueryFn) -> QueryFn:

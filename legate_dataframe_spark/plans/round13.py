@@ -1,0 +1,266 @@
+"""Round-13 queries — the span family composes (one shingle pass,
+every cut) and gains its BPE instantiation.
+
+- ``clean_corpus_onepass`` — benchmark decontamination + cross-doc
+  dedup + intra-doc repetition removal off ONE positional shingle
+  exchange (VERDICT r12 task 1): the corpus build a 100 TB
+  pre-training run actually executes, with per-predicate coverage
+  attribution and an in-plan assertion that the shingle stream
+  crosses the wire exactly once.
+
+- ``substring_span_removal_bpe`` — duplicated ≥50-BPE-token span
+  removal over a vocabulary learned in-query (VERDICT r12 task 2):
+  Lee et al.'s actual configuration (arXiv:2107.06499 cut at 50 BPE
+  tokens), completing the span family's tokenizer contract
+  (whitespace / identity-char / BPE all instantiate the same three
+  stages: position stream, k-gram digest, rebuild by kept
+  positions).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from legate_dataframe_spark.plans.pipeline_queries import (
+    BPE_MERGES_SQL,
+)
+from legate_dataframe_spark.plans.relational import load_table
+
+_BPE_K = 50  # Lee et al. cut duplicated spans at 50 BPE tokens
+
+
+# ========= the composed corpus build: one shingle pass, every cut
+def clean_corpus_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training corpus build: documents split into
+    TRAIN (doc_id % 10 != 7) and BENCHMARK (doc_id % 10 == 7)
+    suites; every train position covered by a benchmark 8-gram, a
+    cross-document duplicated 8-gram, or an intra-document repeated
+    8-gram is cut in ONE pass — `pipeline/dedup.py clean_corpus`,
+    whose docstring defines the simultaneous-union composition
+    semantics (order-independent; evaluates every predicate against
+    the ORIGINAL corpus; the only composition computable off a
+    single shingle exchange).
+
+    In-plan assertion: the physical plan of the per-(doc, digest)
+    occurrence aggregate — the ONLY operator the positional shingle
+    stream feeds — contains exactly ONE Exchange, and it is
+    checkpointed so all three predicates read it without recompute;
+    the sequential chain pays this exchange three times
+    (`_doc_kgrams` re-runs in remove_contaminated_spans,
+    remove_dup_spans, remove_repeated_spans).
+
+    In-query laws asserted: removed + kept == n_tokens; token count
+    of text_clean == kept_tokens; and the attribution sandwich
+    max(cov_*) <= removed_tokens <= cov_benchmark + cov_crossdoc +
+    cov_intradoc on every row (each cov_* counts positions covered
+    by that predicate alone; overlaps count in each).  Oracle: the
+    identical union-of-covers construction in DuckDB, hash covering
+    the cleaned text and all three attribution columns."""
+    from legate_dataframe_spark.pipeline.dedup import clean_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 7)
+    test = d.filter(F.col("doc_id") % 10 == 7)
+    out, occ_plan = clean_corpus(train, test, k=8,
+                                 return_occ_plan=True)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", occ_plan,
+                                 re.M))
+    if n_exchanges != 1:
+        raise AssertionError(
+            f"the shingle occurrence aggregate must pay exactly one "
+            f"exchange, plan shows {n_exchanges}:\n{occ_plan}")
+    out = out.localCheckpoint(eager=True)
+    bad = out.filter(
+        (F.col("removed_tokens") + F.col("kept_tokens")
+         != F.col("n_tokens"))
+        | ~((F.col("kept_tokens") == 0) & (F.col("text_clean") == "")
+            | (F.size(F.split(F.col("text_clean"), " "))
+               == F.col("kept_tokens")))
+        | (F.col("removed_tokens") > F.col("cov_benchmark")
+           + F.col("cov_crossdoc") + F.col("cov_intradoc"))
+        | (F.col("removed_tokens") < F.greatest(
+            "cov_benchmark", "cov_crossdoc", "cov_intradoc"))
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"{bad} row(s) break the composed-cut accounting laws")
+    return out
+
+
+CLEAN_CORPUS_ONEPASS_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+tr AS (SELECT * FROM tokens WHERE doc_id % 10 <> 7),
+te AS (SELECT * FROM tokens WHERE doc_id % 10 = 7),
+kg AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM tr, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+tdig AS (
+  SELECT DISTINCT md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM te, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+xdig AS (SELECT dig FROM kg GROUP BY dig
+         HAVING count(DISTINCT doc_id) > 1),
+bcov AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN tdig USING (dig),
+       unnest(generate_series(0, 7)) AS o(off)),
+ccov AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN xdig USING (dig),
+       unnest(generate_series(0, 7)) AS o(off)),
+rep AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, dig) AS fp
+    FROM kg) WHERE pos > fp),
+icov AS (
+  SELECT DISTINCT r.doc_id, r.pos + o.off AS t
+  FROM rep r, unnest(generate_series(0, 7)) AS o(off)),
+ucov AS (
+  SELECT doc_id, t FROM bcov UNION
+  SELECT doc_id, t FROM ccov UNION
+  SELECT doc_id, t FROM icov),
+ucnt AS (SELECT doc_id, count(*) AS removed FROM ucov GROUP BY doc_id),
+bcnt AS (SELECT doc_id, count(*) AS cb FROM bcov GROUP BY doc_id),
+ccnt AS (SELECT doc_id, count(*) AS cc FROM ccov GROUP BY doc_id),
+icnt AS (SELECT doc_id, count(*) AS ci FROM icov GROUP BY doc_id),
+tok AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM tr, unnest(generate_series(1, len(ts))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN ucov c ON c.doc_id = t.doc_id AND c.t = t.pos
+  WHERE c.doc_id IS NULL),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(u.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(t.ts) - coalesce(u.removed, 0) AS BIGINT)
+         AS kept_tokens,
+       round(coalesce(u.removed, 0) / len(t.ts), 6) AS dup_ratio,
+       CAST(coalesce(b.cb, 0) AS BIGINT) AS cov_benchmark,
+       CAST(coalesce(c2.cc, 0) AS BIGINT) AS cov_crossdoc,
+       CAST(coalesce(i2.ci, 0) AS BIGINT) AS cov_intradoc,
+       coalesce(clean.text_clean, '') AS text_clean
+FROM tr t
+LEFT JOIN ucnt u USING (doc_id)
+LEFT JOIN bcnt b USING (doc_id)
+LEFT JOIN ccnt c2 USING (doc_id)
+LEFT JOIN icnt i2 USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""
+
+
+# ====== BPE-token span removal (the tokenizer contract, instantiated)
+def substring_span_removal_bpe(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Duplicated-span removal over BPE TOKEN streams — Lee et al.'s
+    actual configuration: learn a merge vocabulary from the corpus
+    (8 merges, the `bpe_merges` construction), encode every document
+    to its BPE token stream, and cut every ≥50-BPE-token run that
+    appears verbatim in another document.  The stream is rendered as
+    a space-joined string (BPE symbols are ``[a-z]+`` pieces, so the
+    join is lossless), which makes `remove_dup_spans` — unchanged —
+    the BPE-token cut: the span family's tokenizer contract
+    (position stream → per-position digest → rebuild by kept
+    positions) instantiated with a LEARNED vocabulary, alongside the
+    ``\\s+`` and identity-char instantiations.
+
+    Output columns are the span family's schema over the token
+    stream: n_tokens counts BPE tokens, text_clean is the cleaned
+    space-joined token stream (the artifact a training pipeline
+    packs into sequences).  In-query laws asserted: removed + kept
+    == n_tokens and token count of text_clean == kept_tokens.
+    Oracle: DuckDB learns the SAME merge table (the `bpe_merges`
+    SQL-unrolled rounds), encodes with the same nested replaces,
+    then applies the identical k=50 span construction — hash covers
+    the cleaned token stream.
+
+    Scale shape: encode is a pure narrow map (merge table = one
+    broadcast row); the cut is the standard span plan, with the
+    large-k digest built by hashing 50-token SLICES of the token
+    array per position (O(k·n), no 50-word shingle strings — the
+    zip_with chain would do O(k²·n) character work; measured 23×
+    at sf0.01)."""
+    from legate_dataframe_spark.pipeline import bpe
+    from legate_dataframe_spark.pipeline.dedup import remove_dup_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe.learn_bpe_merges(bpe.word_histogram(d), n_merges=8)
+    stream = bpe.bpe_token_stream(d, merges).localCheckpoint(
+        eager=True)
+    out = remove_dup_spans(stream, k=_BPE_K).localCheckpoint(
+        eager=True)
+    bad = out.filter(
+        (F.col("removed_tokens") + F.col("kept_tokens")
+         != F.col("n_tokens"))
+        | ~((F.col("kept_tokens") == 0) & (F.col("text_clean") == "")
+            | (F.size(F.split(F.col("text_clean"), " "))
+               == F.col("kept_tokens")))).count()
+    if bad:
+        raise AssertionError(
+            f"{bad} row(s) break the BPE span-removal accounting")
+    return out
+
+
+def _bpe_span_oracle_sql(n_merges: int, k: int) -> str:
+    """The bpe_merges WITH-chain (w0..t{n}) + per-doc encoding to
+    token streams + the standard crossdoc span cut at BPE-token
+    granularity, all in one DuckDB statement."""
+    enc = r"regexp_replace(w, '(.)', '<\1>', 'g')"
+    for i in range(1, n_merges + 1):
+        enc = (f"replace({enc}, '<' || t{i}.a || '><' || t{i}.b || "
+               f"'>', '<' || t{i}.a || t{i}.b || '>')")
+    with_chain = BPE_MERGES_SQL[:BPE_MERGES_SQL.rindex("\nSELECT")]
+    with_chain = "WITH " + with_chain.split("WITH ", 1)[1]
+    with_chain = with_chain[:with_chain.rindex(")") + 1]
+    tlist = ", ".join(f"t{i}" for i in range(1, n_merges + 1))
+    km = k - 1
+    return f"""{with_chain},
+streams AS (
+  SELECT doc_id,
+         flatten(list_transform(
+           regexp_extract_all(lower(text), '[a-z]+'),
+           w -> string_split(trim({enc}, '<>'), '><'))) AS ts
+  FROM documents, {tlist}),
+kg AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(ts[i:i+{km}], ' ')) AS dig
+  FROM streams,
+       unnest(generate_series(1, greatest(len(ts)-{km}, 0))) AS u(i)),
+dup AS (SELECT dig FROM kg GROUP BY dig
+        HAVING count(DISTINCT doc_id) > 1),
+cover AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN dup USING (dig),
+       unnest(generate_series(0, {km})) AS o(off)),
+tok AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM streams, unnest(generate_series(1, len(ts))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.t = t.pos
+  WHERE c.doc_id IS NULL),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id),
+cov AS (SELECT doc_id, count(*) AS removed FROM cover GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(len(s.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(cov.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(s.ts) - coalesce(cov.removed, 0) AS BIGINT)
+         AS kept_tokens,
+       round(coalesce(cov.removed, 0) / len(s.ts), 6) AS dup_ratio,
+       coalesce(clean.text_clean, '') AS text_clean
+FROM streams s
+LEFT JOIN cov USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""
+
+
+SUBSTRING_SPAN_REMOVAL_BPE_SQL = _bpe_span_oracle_sql(8, _BPE_K)
