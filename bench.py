@@ -227,6 +227,10 @@ EXTRA = [
     "takedown_clean_corpus_export",
     "decontaminate_spans",
     "repeated_span_removal",
+    # round-13 additions: the composed one-shingle-pass corpus build
+    # and the BPE instantiation of the span cut
+    "clean_corpus_onepass",
+    "substring_span_removal_bpe",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

@@ -1413,18 +1413,25 @@ def clean_corpus(
     recomputation.  Cross-doc duplication needs one further
     DIGEST-CARDINALITY exchange over occ (8-byte digests,
     map-side-combined counts — a fraction of the positional
-    exchange's bytes); benchmark digests ride a semi-join
-    (benchmark-sized, AQE-broadcast when small); the intra-doc
-    predicate is ``poss[2:]`` per occ row — NO exchange at all.
-    Only predicate-hit occurrences pay the ×k cover explode, and the
+    exchange's bytes); benchmark and crossdoc marks merge into ONE
+    dig-keyed flags table joined once against occ (AQE-broadcast
+    when small); the intra-doc predicate is positional (idx ≥ 1)
+    inside the same explode — NO exchange at all.  Predicate-hit
+    starts explode ONCE carrying a 3-bit mask (per-predicate tagged
+    streams would re-explode shared windows 2–3× on
+    heavily-duplicated corpora), and the
     rebuild is the family's shared codegen array arithmetic over a
     second column-pruned (id, text) scan of the source.  Pass
     ``return_occ_plan=True`` to also get occ's physical-plan string
     (captured BEFORE checkpointing) so callers can assert the
     one-exchange property."""
     _, kg = _doc_kgrams(docs, text_col, id_col, k)
+    # unsorted collect_list: order inside a group is irrelevant —
+    # the keep-first rule needs only the MINIMUM position, computed
+    # per row before the explode (sort_array paid a per-group sort
+    # inside the object aggregate for nothing)
     occ = (kg.groupBy(id_col, "dig")
-           .agg(F.sort_array(F.collect_list("pos")).alias("poss")))
+           .agg(F.collect_list("pos").alias("poss")))
     occ_plan = None
     if return_occ_plan:
         import contextlib
@@ -1442,37 +1449,51 @@ def clean_corpus(
     crossdup_digs = (occ.groupBy("dig")
                      .agg(F.count(F.lit(1)).alias("nd"))
                      .filter(F.col("nd") > 1).select("dig"))
-
-    def _starts(frame: DataFrame, tag: str) -> DataFrame:
-        return frame.select(F.col(id_col),
-                            F.explode("poss").alias("pos"),
-                            F.lit(tag).alias("src"))
-
-    starts = (
-        _starts(occ.join(bench_digs, "dig", "left_semi"), "b")
-        .unionByName(
-            _starts(occ.join(crossdup_digs, "dig", "left_semi"), "c"))
-        .unionByName(
-            occ.filter(F.size("poss") > 1)
-            .select(F.col(id_col),
-                    F.explode(F.slice(
-                        "poss", 2, F.size("poss") - 1)).alias("pos"),
-                    F.lit("i").alias("src"))))
+    # ONE dig-keyed flags table (benchmark ∪ crossdoc marks), ONE join
+    # against occ, ONE windowed explode carrying a predicate BITMASK —
+    # not three tagged start streams: on heavily-duplicated corpora
+    # the benchmark and crossdoc covers are each ~every position, so
+    # per-predicate streams explode the same windows 2–3× (measured
+    # 2× the SUM of the individual cuts at the 10× replica layout;
+    # the bitmask form explodes each start once)
+    dig_flags = (crossdup_digs.withColumn("c", F.lit(True))
+                 .join(bench_digs.withColumn("b", F.lit(True)),
+                       "dig", "full")
+                 .select("dig", F.coalesce("b", F.lit(False)).alias("b"),
+                         F.coalesce("c", F.lit(False)).alias("c")))
+    hits = (occ.join(dig_flags, "dig", "left")
+            .select(id_col, "poss",
+                    F.array_min("poss").alias("fp"),
+                    F.coalesce("b", F.lit(False)).alias("b"),
+                    F.coalesce("c", F.lit(False)).alias("c"))
+            .filter(F.col("b") | F.col("c")
+                    | (F.size("poss") > 1)))
+    # keep-first rule: a start is an intra-doc repeat iff it is not
+    # the group's MINIMUM position; b/c apply to every occurrence
+    starts = (hits.select(
+        F.col(id_col), F.col("b"), F.col("c"), F.col("fp"),
+        F.explode("poss").alias("pos"))
+        .select(id_col, "pos",
+                (F.when(F.col("b"), 4).otherwise(0)
+                 + F.when(F.col("c"), 2).otherwise(0)
+                 + F.when(F.col("pos") > F.col("fp"), 1).otherwise(0))
+                .alias("mask"))
+        .filter(F.col("mask") > 0))
     covered = starts.select(
-        F.col(id_col), F.col("src"),
+        F.col(id_col), F.col("mask"),
         F.explode(F.sequence(
             F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p"))
     cov = (covered.groupBy(id_col)
            .agg(F.collect_set("p").alias("cov"),
                 F.count_distinct(
-                    F.when(F.col("src") == "b", F.col("p")))
-                .alias("cov_benchmark"),
+                    F.when(F.col("mask").bitwiseAND(4) > 0,
+                           F.col("p"))).alias("cov_benchmark"),
                 F.count_distinct(
-                    F.when(F.col("src") == "c", F.col("p")))
-                .alias("cov_crossdoc"),
+                    F.when(F.col("mask").bitwiseAND(2) > 0,
+                           F.col("p"))).alias("cov_crossdoc"),
                 F.count_distinct(
-                    F.when(F.col("src") == "i", F.col("p")))
-                .alias("cov_intradoc")))
+                    F.when(F.col("mask").bitwiseAND(1) > 0,
+                           F.col("p"))).alias("cov_intradoc")))
     toks = docs.select(
         F.col(id_col),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("ts"))

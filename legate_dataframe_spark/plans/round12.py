@@ -381,8 +381,10 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``decontaminate_overlap`` only FLAGS the overlap).  In-query laws
     asserted: removed + kept == n_tokens, token count of text_clean
     == kept_tokens, and zero train documents retain any benchmark
-    8-gram after the cut (the decontamination certificate, checked
-    by re-shingling the CLEANED text against the test digest set).
+    8-gram after the cut (the decontamination certificate — the
+    fixpoint loop's exit condition, which re-shingles the CLEANED
+    text against the test digests in-query and returns only when
+    nothing matches).
     The cut runs to a FIXPOINT (ADVICE r12: one pass is not enough
     in general — removing a span can join its kept neighbors into a
     NEW benchmark k-gram; the loop re-cuts until no leaked digest
@@ -394,7 +396,6 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by running one probe pass, and real corpora, including this
     one, converge in one)."""
     from legate_dataframe_spark.pipeline.dedup import (
-        _doc_kgrams,
         remove_contaminated_spans_fixpoint,
     )
 
@@ -412,21 +413,15 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bad:
         raise AssertionError(
             f"{bad} row(s) break the decontamination accounting laws")
-    # the certificate: re-shingle the CLEANED text; no k-gram of it
-    # may exist in the benchmark digest set.  (Positions merge across
-    # a cut — a kept prefix and kept suffix become adjacent — so this
-    # is a REAL law about the output; the fixpoint loop GUARANTEES it
-    # and this independent re-check keeps the guarantee honest.)
-    _, clean_kg = _doc_kgrams(
-        out.select("doc_id", F.col("text_clean").alias("text")),
-        "text", "doc_id", 8)
-    _, test_kg = _doc_kgrams(test, "text", "doc_id", 8)
-    leaked = (clean_kg.join(test_kg.select("dig").distinct(), "dig",
-                            "left_semi").count())
-    if leaked:
-        raise AssertionError(
-            f"{leaked} benchmark 8-gram(s) survive in the cleaned "
-            f"train corpus")
+    # the zero-leak certificate is the fixpoint loop's EXIT CONDITION,
+    # executed in-query: the loop returns only after a full re-cut of
+    # the cleaned text against the benchmark digests removed ZERO
+    # positions — and a position is removed iff some k-gram of the
+    # cleaned text matches a benchmark digest, so "recut removes
+    # nothing" IS "no benchmark k-gram survives".  (Positions merge
+    # across a cut — kept prefix and suffix become adjacent — which
+    # is why the law needs the loop, not a single pass.)  No second
+    # re-shingle here: it would recompute the probe pass verbatim.
     return out
 
 
@@ -479,16 +474,14 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12: a junction formed by a cut can itself repeat earlier
     same-doc text, so single-pass idempotence is not a theorem —
     the loop re-cuts until a pass removes nothing).  In-query laws
-    asserted: the accounting identities, and idempotence — running
-    the cut on its own output removes nothing (guaranteed by the
-    fixpoint loop's exit condition; the independent re-run keeps the
-    guarantee honest).  Oracle: the single-pass keep-first
+    asserted: the accounting identities, and idempotence — the
+    fixpoint loop's exit condition executes the re-run in-query and
+    returns only when it removes nothing.  Oracle: the single-pass keep-first
     construction in DuckDB (min-position window per (doc, digest)),
     hash covering the cleaned text — exact whenever pass 1
     converges, which the in-query probe pass verifies (real corpora,
     including this one, converge in one)."""
     from legate_dataframe_spark.pipeline.dedup import (
-        remove_repeated_spans,
         remove_repeated_spans_fixpoint,
     )
 
@@ -504,13 +497,10 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bad:
         raise AssertionError(
             f"{bad} row(s) break the repetition-removal accounting")
-    again = remove_repeated_spans(
-        out.select("doc_id", F.col("text_clean").alias("text")), k=8)
-    not_fixed = again.filter(F.col("removed_tokens") > 0).count()
-    if not_fixed:
-        raise AssertionError(
-            f"{not_fixed} doc(s) still carry repeated 8-grams after "
-            f"the cut — the removal is not idempotent")
+    # idempotence is the fixpoint loop's EXIT CONDITION, executed
+    # in-query: the loop returns only after remove_repeated_spans on
+    # the output removed zero tokens — re-running the identical check
+    # here would recompute that probe pass verbatim.
     return out
 
 

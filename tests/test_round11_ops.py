@@ -650,24 +650,25 @@ def test_fast_commit_append_matches_spark_writer_tz(spark, tmp_path):
 def test_registry_prefix_matches_rotation_protocol():
     """The driver samples the first ~50 registry entries; an
     accidental reorder silently un-rotates the round's verification
-    plan.  Pin the r12 rotation (VERDICT r11 task 6): new r12
-    entries lead, then the changed swap/stamp machinery (including
-    the two entries that slid past the r11 boundary), then the r06
-    tranche fills the 50."""
+    plan.  Pin the r13 rotation (VERDICT r12 task 6): new r13
+    entries lead, then the changed span-family/takedown machinery,
+    then the 3 remaining r06 greens + 34 r07 greens fill the 50."""
     from legate_dataframe_spark.plans.registry import QUERIES
 
     names = list(QUERIES)
-    assert names[:5] == [
-        "substring_span_removal_chars", "swap_contention_objectstore",
-        "takedown_clean_corpus_export", "decontaminate_spans",
-        "repeated_span_removal"]
-    assert set(names[5:13]) == {
-        "substring_span_removal_raw", "swap_contention",
-        "asof_unstamped_default", "rollup_swap_atomic",
-        "rollup_timetravel", "dedup_index_timetravel",
-        "takedown_cascade", "rollup_timetravel_asof"}
-    assert names[13] == "dedup_exact"  # the r06 tranche leads the tail
-    assert names[49] == "window_cumsum"  # the boundary entry
+    assert names[:2] == ["clean_corpus_onepass",
+                         "substring_span_removal_bpe"]
+    assert set(names[2:13]) == {
+        "substring_span_removal_chars", "decontaminate_spans",
+        "repeated_span_removal", "takedown_clean_corpus_export",
+        "substring_dup_spans", "substring_span_removal",
+        "incremental_substring_spans", "stream_substring_chain",
+        "incremental_span_removal", "dup_span_intervals",
+        "clean_corpus_export"}
+    assert set(names[13:16]) == {
+        "compaction_roundtrip", "dq_checks", "incremental_rollup"}
+    assert names[16] == "rollup_serve_only"  # the r07 tranche
+    assert names[49] == "ngram_dup_counts"  # the boundary entry
     assert len(names) == len(set(names))
 
 
