@@ -231,6 +231,7 @@ EXTRA = [
     # and the BPE instantiation of the span cut
     "clean_corpus_onepass",
     "substring_span_removal_bpe",
+    "incremental_clean_corpus",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

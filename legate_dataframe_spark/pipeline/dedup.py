@@ -1449,6 +1449,21 @@ def clean_corpus(
     crossdup_digs = (occ.groupBy("dig")
                      .agg(F.count(F.lit(1)).alias("nd"))
                      .filter(F.col("nd") > 1).select("dig"))
+    out = _composed_cut(docs, occ, bench_digs, crossdup_digs,
+                        text_col, id_col, k)
+    if return_occ_plan:
+        return out, occ_plan
+    return out
+
+
+def _composed_cut(docs, occ, bench_digs, crossdup_digs,
+                  text_col: str, id_col: str, k: int):
+    """Shared back half of the composed corpus build: given the
+    per-(doc, digest) occurrence aggregate and the two predicate
+    digest sets, produce the attributed 9-column cut frame — used by
+    :func:`clean_corpus` (full corpus) and
+    :func:`clean_corpus_batch` (ingest-time, crossdup set includes
+    the persisted corpus index)."""
     # ONE dig-keyed flags table (benchmark ∪ crossdoc marks), ONE join
     # against occ, ONE windowed explode carrying a predicate BITMASK —
     # not three tagged start streams: on heavily-duplicated corpora
@@ -1518,9 +1533,54 @@ def clean_corpus(
             F.transform(kept_pos,
                         lambda i: F.element_at(F.col("ts"), i)),
             " ").alias("text_clean"))
-    if return_occ_plan:
-        return out, occ_plan
     return out
+
+
+def clean_corpus_batch(
+    spark,
+    batch: DataFrame,
+    benchmarks: DataFrame,
+    table_prefix: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """The composed corpus build as an INGEST step: arriving batch
+    documents get all three cuts — benchmark decontamination,
+    cross-document dedup against corpus ∪ batch, intra-document
+    repetition removal — off the batch's OWN shingle pass plus one
+    probe into the persisted k-gram index
+    (:func:`build_substring_index`); the admitted corpus is never
+    rescanned.  A batch position's cross-doc predicate holds iff its
+    digest exists in the index (some admitted document carries it)
+    or ≥2 distinct batch documents share it — exactly the full
+    :func:`clean_corpus` recompute over corpus ∪ batch restricted to
+    the batch (the index records presence of ≥1 corpus doc, and the
+    batch occurrence itself supplies the second document), so the
+    equivalence is unconditional, not a disjointness assumption.
+    Same 9-column attributed output as :func:`clean_corpus`.
+
+    Scale shape: the batch pays its own (doc, digest) occurrence
+    aggregate (batch-sized); the index side is read in place
+    (bucketed on dig — plan-assertable); benchmark digests ride the
+    shared flags join; the rebuild touches batch docs only."""
+    from legate_dataframe_spark.core.bucketing import read_bucketed
+
+    _, kg = _doc_kgrams(batch, text_col, id_col, k)
+    occ = (kg.groupBy(id_col, "dig")
+           .agg(F.collect_list("pos").alias("poss"))
+           .localCheckpoint(eager=True))
+    idx = read_bucketed(spark, f"{table_prefix}_kgrams").select("dig")
+    bench_digs = (_doc_kgrams(benchmarks, text_col, id_col, k)[1]
+                  .select("dig").distinct())
+    in_corpus = (occ.select("dig").distinct()
+                 .join(idx, "dig", "left_semi"))
+    intra_batch = (occ.groupBy("dig")
+                   .agg(F.count(F.lit(1)).alias("nd"))
+                   .filter(F.col("nd") > 1).select("dig"))
+    crossdup_digs = in_corpus.unionByName(intra_batch).distinct()
+    return _composed_cut(batch, occ, bench_digs, crossdup_digs,
+                         text_col, id_col, k)
 
 
 def remove_dup_spans_chars(

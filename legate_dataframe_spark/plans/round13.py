@@ -264,3 +264,84 @@ LEFT JOIN clean USING (doc_id)
 
 
 SUBSTRING_SPAN_REMOVAL_BPE_SQL = _bpe_span_oracle_sql(8, _BPE_K)
+
+
+# ====== the composed build as an ingest step (index-gated)
+def incremental_clean_corpus(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The composed corpus build at INGEST time: benchmark suite =
+    doc_id % 10 == 7, admitted corpus = the rest except % 10 == 0,
+    arriving batch = % 10 == 0.  The corpus's k-gram digest state is
+    paid once (`build_substring_index`); the batch then takes ALL
+    THREE cuts — decontamination, cross-doc vs corpus ∪ batch,
+    intra-doc — off its own shingle pass plus one index probe, with
+    the index read IN PLACE (``Bucketed: true`` asserted with
+    broadcast and auto-bucketed-scan rewriting disabled).
+
+    The equivalence is unconditional (see clean_corpus_batch): the
+    index records ≥1 admitted document per digest and the batch
+    occurrence supplies the second, so the oracle is the FULL
+    simultaneous-union recompute over every non-benchmark document,
+    restricted to the batch.  In-query laws: the attribution
+    sandwich and accounting identities, as in clean_corpus_onepass.
+    """
+    from legate_dataframe_spark.pipeline.dedup import (
+        build_substring_index,
+        clean_corpus_batch,
+    )
+    from legate_dataframe_spark.plans.round10b import (
+        _plan_of,
+        _temp_db,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter((F.col("doc_id") % 10 != 7)
+                      & (F.col("doc_id") % 10 != 0))
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    with _temp_db(spark, "ldf_r13_cleaninc") as db:
+        idx = f"{db}.idx"
+        build_substring_index(spark, corpus, idx, k=8)
+        prev_bc = spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold")
+        prev_abs = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        try:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan"
+                ".enabled", "false")
+            out = clean_corpus_batch(spark, batch, test, idx, k=8)
+            plan = _plan_of(out)
+            if "Bucketed: true" not in plan:
+                raise AssertionError(
+                    "composed ingest gate did not read the k-gram "
+                    "index bucket-aware:\n" + plan)
+            out = out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           prev_bc)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan"
+                ".enabled", prev_abs)
+    bad = out.filter(
+        (F.col("removed_tokens") + F.col("kept_tokens")
+         != F.col("n_tokens"))
+        | ~((F.col("kept_tokens") == 0) & (F.col("text_clean") == "")
+            | (F.size(F.split(F.col("text_clean"), " "))
+               == F.col("kept_tokens")))
+        | (F.col("removed_tokens") > F.col("cov_benchmark")
+           + F.col("cov_crossdoc") + F.col("cov_intradoc"))
+        | (F.col("removed_tokens") < F.greatest(
+            "cov_benchmark", "cov_crossdoc", "cov_intradoc"))
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"{bad} row(s) break the composed ingest-cut laws")
+    return out
+
+
+INCREMENTAL_CLEAN_CORPUS_SQL = (
+    f"SELECT * FROM ({CLEAN_CORPUS_ONEPASS_SQL}) "
+    f"WHERE doc_id % 10 = 0")

@@ -119,6 +119,42 @@ def test_fixpoint_divergence_guard(spark):
                                        k=8, max_iters=1)
 
 
+# ---------- composed ingest cut == full recompute ------------------
+def test_clean_corpus_batch_equals_full_recompute(spark, tmp_path):
+    """The index-gated composed cut must equal the full clean_corpus
+    recompute over corpus ∪ batch restricted to the batch — the
+    equivalence is unconditional (the index records presence of ≥1
+    admitted doc; the batch occurrence supplies the second), checked
+    on the real documents table including all attribution columns."""
+    from pyspark.sql import functions as F
+
+    from legate_dataframe_spark.pipeline.dedup import (
+        build_substring_index,
+        clean_corpus,
+        clean_corpus_batch,
+    )
+    from legate_dataframe_spark.plans.relational import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    test = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter((F.col("doc_id") % 10 != 7)
+                      & (F.col("doc_id") % 10 != 0))
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    spark.sql("CREATE DATABASE IF NOT EXISTS t13_ccb")
+    try:
+        build_substring_index(spark, corpus, "t13_ccb.idx", k=8)
+        inc = clean_corpus_batch(spark, batch, test, "t13_ccb.idx",
+                                 k=8)
+        full = clean_corpus(d.filter(F.col("doc_id") % 10 != 7),
+                            test, k=8) \
+            .filter(F.col("doc_id") % 10 == 0)
+        assert inc.exceptAll(full).isEmpty()
+        assert full.exceptAll(inc).isEmpty()
+        assert inc.count() == batch.count()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS t13_ccb CASCADE")
+
+
 # ---------- takedown: null ids survive, staging stays local -------
 def test_takedown_from_export_keeps_null_id_rows(spark, tmp_path):
     """NOT IN is three-valued: without the explicit isNull() keep, a
