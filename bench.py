@@ -232,6 +232,7 @@ EXTRA = [
     "clean_corpus_onepass",
     "substring_span_removal_bpe",
     "incremental_clean_corpus",
+    "stream_clean_corpus_chain",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

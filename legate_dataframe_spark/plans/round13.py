@@ -345,3 +345,217 @@ def incremental_clean_corpus(spark: SparkSession,
 INCREMENTAL_CLEAN_CORPUS_SQL = (
     f"SELECT * FROM ({CLEAN_CORPUS_ONEPASS_SQL}) "
     f"WHERE doc_id % 10 = 0")
+
+
+# ====== the composed build as a CLOSED streaming loop
+def stream_clean_corpus_chain(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The composed corpus build run as a STREAM — the clean-corpus
+    twin of ``stream_substring_chain``: three staged micro-batches
+    each take all three cuts (benchmark decontamination, cross-doc
+    vs corpus ∪ earlier batches off the persisted k-gram index,
+    intra-doc keep-first) via :func:`clean_corpus_batch`, then are
+    ADMITTED through the O(batch) delta append — so duplicates
+    arriving WITHIN the stream are cut too, with stage-ordered
+    semantics: batch i's cross-doc predicate sees corpus ∪ batches
+    < i plus ≥2-doc sharing inside batch i itself, never later
+    batches (the gate ran before they arrived).
+
+    Exactly-once rig and the exact-fold law follow the r07/r10b
+    chains: batch_id done-markers, per-batch overwrite dirs,
+    per-trigger relation-cache refresh, and after the drain the
+    folded index counts must equal a fresh build over corpus ∪ all
+    admitted batches.  Oracle: the stage-ordered union-of-covers in
+    SQL — corpus is stage −1, a batch k-gram is cross-covered iff
+    its digest occurs at a LOWER stage or ≥2 distinct docs share it
+    at the SAME stage; benchmark and intra-doc covers are
+    stage-independent."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from legate_dataframe_spark.core.bucketing import (
+        current_generation_table,
+    )
+    from legate_dataframe_spark.pipeline.dedup import (
+        _doc_kgrams,
+        append_substring_delta,
+        build_substring_index,
+        clean_corpus_batch,
+    )
+    from legate_dataframe_spark.plans.round4 import _stage_single_file
+    from legate_dataframe_spark.plans.round10b import _temp_db
+
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(F.col("doc_id") % 10 == 7)
+    corpus = d.filter((F.col("doc_id") % 10 != 7)
+                      & (F.col("doc_id") % 10 != 0))
+    todays = d.filter(F.col("doc_id") % 10 == 0)
+    with _temp_db(spark, "ldf_r13_ccchain") as db:
+        idx = f"{db}.idx"
+        build_substring_index(spark, corpus, idx, k=8)
+        stage = tempfile.mkdtemp(prefix="ldf_r13_ccchain_stage_")
+        outdir = tempfile.mkdtemp(prefix="ldf_r13_ccchain_out_")
+        ck = tempfile.mkdtemp(prefix="ldf_r13_ccchain_ck_")
+        try:
+            now = _time.time()
+            for i in range(3):
+                _stage_single_file(
+                    todays.filter(
+                        F.floor(F.col("doc_id") / 10) % 3 == i),
+                    stage, f"b{i}.parquet", now - 300 + i * 100)
+            stream = (spark.readStream.schema(todays.schema)
+                      .option("maxFilesPerTrigger", 1).parquet(stage))
+
+            def gate_and_admit(batch_df: DataFrame,
+                               batch_id: int) -> None:
+                done = _os.path.join(ck, f"ldf_batch_{batch_id}.done")
+                if _os.path.exists(done):
+                    return
+                sess = batch_df.sparkSession
+                sess.catalog.refreshTable(
+                    current_generation_table(sess, f"{idx}_kgrams"))
+                bench = (load_table(sess, sf_dir, "documents")
+                         .filter(F.col("doc_id") % 10 == 7))
+                frozen = batch_df.localCheckpoint(eager=True)
+                (clean_corpus_batch(sess, frozen, bench, idx, k=8)
+                 .write.mode("overwrite")
+                 .parquet(_os.path.join(outdir, f"b{batch_id}")))
+                append_substring_delta(sess, frozen, idx, k=8)
+                open(done, "w").close()
+
+            q = (stream.writeStream.outputMode("append")
+                 .foreachBatch(gate_and_admit)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            finished = q.awaitTermination(300)
+            if q.exception() is not None:
+                raise q.exception()
+            if not finished:
+                q.stop()
+                raise TimeoutError(
+                    "stream_clean_corpus_chain drain > 300s")
+            parts = sorted(_glob.glob(f"{outdir}/b*"))
+            if len(parts) != 3:
+                raise AssertionError(
+                    f"expected 3 drained batches, saw {parts}")
+            # exact-fold law: aggregated index counts == fresh build
+            # over every non-benchmark document
+            spark.catalog.refreshTable(
+                current_generation_table(spark, f"{idx}_kgrams"))
+            folded = (spark.table(f"{idx}_kgrams")
+                      .groupBy("dig")
+                      .agg(F.sum("n_docs").cast("long")
+                           .alias("n_docs")))
+            _, kg_all = _doc_kgrams(
+                d.filter(F.col("doc_id") % 10 != 7),
+                "text", "doc_id", 8)
+            fresh = (kg_all.select("dig", "doc_id").distinct()
+                     .groupBy("dig")
+                     .agg(F.count(F.lit(1)).cast("long")
+                          .alias("n_docs")))
+            if (folded.exceptAll(fresh).count()
+                    or fresh.exceptAll(folded).count()):
+                raise AssertionError(
+                    "streamed delta folds drifted from a fresh build")
+            out = spark.read.parquet(*parts).localCheckpoint(
+                eager=True)
+            bad = out.filter(
+                (F.col("removed_tokens") + F.col("kept_tokens")
+                 != F.col("n_tokens"))
+                | (F.col("removed_tokens") > F.col("cov_benchmark")
+                   + F.col("cov_crossdoc") + F.col("cov_intradoc"))
+                | (F.col("removed_tokens") < F.greatest(
+                    "cov_benchmark", "cov_crossdoc", "cov_intradoc"))
+            ).count()
+            if bad:
+                raise AssertionError(
+                    f"{bad} row(s) break the streamed composed-cut "
+                    f"laws")
+            return out
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+            shutil.rmtree(outdir, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+
+
+STREAM_CLEAN_CORPUS_CHAIN_SQL = r"""
+WITH tokens AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+  FROM documents),
+te AS (SELECT * FROM tokens WHERE doc_id % 10 = 7),
+tr AS (
+  SELECT doc_id, ts,
+         CASE WHEN doc_id % 10 = 0
+              THEN CAST(floor(doc_id / 10) % 3 AS INT)
+              ELSE -1 END AS stage
+  FROM tokens WHERE doc_id % 10 <> 7),
+kg AS (
+  SELECT doc_id, stage, i AS pos,
+         md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM tr, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+tdig AS (
+  SELECT DISTINCT md5(array_to_string(ts[i:i+7], ' ')) AS dig
+  FROM te, unnest(generate_series(1, greatest(len(ts)-7, 0))) AS u(i)),
+digstage AS (
+  SELECT dig, stage, count(DISTINCT doc_id) AS nd
+  FROM kg GROUP BY dig, stage),
+bk AS (SELECT doc_id, stage, pos, dig FROM kg WHERE stage >= 0),
+bstart AS (SELECT bk.doc_id, bk.pos FROM bk JOIN tdig USING (dig)),
+cstart AS (
+  SELECT DISTINCT bk.doc_id, bk.pos
+  FROM bk JOIN digstage ds ON bk.dig = ds.dig
+  WHERE ds.stage < bk.stage
+     OR (ds.stage = bk.stage AND ds.nd > 1)),
+rep AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           min(pos) OVER (PARTITION BY doc_id, dig) AS fp
+    FROM bk) WHERE pos > fp),
+bcov AS (
+  SELECT DISTINCT s.doc_id, s.pos + o.off AS t
+  FROM bstart s, unnest(generate_series(0, 7)) AS o(off)),
+ccov AS (
+  SELECT DISTINCT s.doc_id, s.pos + o.off AS t
+  FROM cstart s, unnest(generate_series(0, 7)) AS o(off)),
+icov AS (
+  SELECT DISTINCT r.doc_id, r.pos + o.off AS t
+  FROM rep r, unnest(generate_series(0, 7)) AS o(off)),
+ucov AS (
+  SELECT doc_id, t FROM bcov UNION
+  SELECT doc_id, t FROM ccov UNION
+  SELECT doc_id, t FROM icov),
+ucnt AS (SELECT doc_id, count(*) AS removed FROM ucov GROUP BY doc_id),
+bcnt AS (SELECT doc_id, count(*) AS cb FROM bcov GROUP BY doc_id),
+ccnt AS (SELECT doc_id, count(*) AS cc FROM ccov GROUP BY doc_id),
+icnt AS (SELECT doc_id, count(*) AS ci FROM icov GROUP BY doc_id),
+batch AS (SELECT doc_id, ts FROM tr WHERE stage >= 0),
+tok AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok
+  FROM batch, unnest(generate_series(1, len(ts))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN ucov c ON c.doc_id = t.doc_id AND c.t = t.pos
+  WHERE c.doc_id IS NULL),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(b.ts) AS BIGINT) AS n_tokens,
+       CAST(coalesce(u.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(b.ts) - coalesce(u.removed, 0) AS BIGINT)
+         AS kept_tokens,
+       round(coalesce(u.removed, 0) / len(b.ts), 6) AS dup_ratio,
+       CAST(coalesce(bc.cb, 0) AS BIGINT) AS cov_benchmark,
+       CAST(coalesce(cc2.cc, 0) AS BIGINT) AS cov_crossdoc,
+       CAST(coalesce(ic.ci, 0) AS BIGINT) AS cov_intradoc,
+       coalesce(clean.text_clean, '') AS text_clean
+FROM batch b
+LEFT JOIN ucnt u USING (doc_id)
+LEFT JOIN bcnt bc USING (doc_id)
+LEFT JOIN ccnt cc2 USING (doc_id)
+LEFT JOIN icnt ic USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""

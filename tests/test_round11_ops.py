@@ -656,20 +656,21 @@ def test_registry_prefix_matches_rotation_protocol():
     from legate_dataframe_spark.plans.registry import QUERIES
 
     names = list(QUERIES)
-    assert names[:3] == ["clean_corpus_onepass",
+    assert names[:4] == ["clean_corpus_onepass",
                          "substring_span_removal_bpe",
-                         "incremental_clean_corpus"]
-    assert set(names[3:14]) == {
+                         "incremental_clean_corpus",
+                         "stream_clean_corpus_chain"]
+    assert set(names[4:15]) == {
         "substring_span_removal_chars", "decontaminate_spans",
         "repeated_span_removal", "takedown_clean_corpus_export",
         "substring_dup_spans", "substring_span_removal",
         "incremental_substring_spans", "stream_substring_chain",
         "incremental_span_removal", "dup_span_intervals",
         "clean_corpus_export"}
-    assert set(names[14:17]) == {
+    assert set(names[15:18]) == {
         "compaction_roundtrip", "dq_checks", "incremental_rollup"}
-    assert names[17] == "rollup_serve_only"  # the r07 tranche
-    assert names[49] == "arrow_roundtrip"  # the boundary entry
+    assert names[18] == "rollup_serve_only"  # the r07 tranche
+    assert names[49] == "json_roundtrip"  # the boundary entry
     assert len(names) == len(set(names))
 
 
