@@ -233,6 +233,7 @@ EXTRA = [
     "substring_span_removal_bpe",
     "incremental_clean_corpus",
     "stream_clean_corpus_chain",
+    "clean_corpus_raw_onepass",
 ]
 
 # quiet-box sentinel nominal (BASELINE.md: ~0.14 s, epochs 0.108–0.22

@@ -1583,6 +1583,137 @@ def clean_corpus_batch(
                          text_col, id_col, k)
 
 
+def _raw_kgrams(docs, text_col: str, id_col: str, k: int):
+    """(tokens+separators frame, positional k-gram digest stream) for
+    the BYTE-PRESERVING span family: tr/sp from the \\s-stripped
+    ORIGINAL text (separators sit exactly between tokens), digests
+    over lowercased k-gram strings — detection case-insensitive, the
+    rewrite byte-faithful.  Both sides of a raw cut (train and
+    benchmark) must shingle through THIS construction: the
+    normalized family's ``trim()`` is ASCII-space-only, so its token
+    positions can shift by one on leading-tab documents."""
+    stripped = (f"regexp_replace({text_col}, "
+                f"'^\\\\s+|\\\\s+$', '')")
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"regexp_extract_all({stripped}, '\\\\S+', 0)")
+        .alias("tr"),
+        F.expr(f"regexp_extract_all({stripped}, '\\\\s+', 0)")
+        .alias("sp"))
+    n = F.size("tr")
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    kg = (base.select(id_col, F.explode(starts).alias("pos"),
+                      F.col("tr"))
+          .select(id_col, "pos",
+                  F.md5(F.lower(F.array_join(
+                      F.slice("tr", F.col("pos"), k), " ")))
+                  .alias("dig")))
+    return base, kg
+
+
+def clean_corpus_raw(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """The composed corpus build with the BYTE-PRESERVING rewrite —
+    :func:`clean_corpus`'s simultaneous-union cover (benchmark ∪
+    cross-doc ∪ intra-doc, all evaluated on the original corpus)
+    applied through :func:`remove_dup_spans_raw`'s rebuild: original
+    case and inner whitespace kept inside every surviving run, each
+    cut collapsing to one space, detection case-insensitive.  This
+    is the artifact a production pipeline actually ships — the
+    normalized form destroys bytes; Lee et al.'s tool cuts the raw
+    text.  Output: the attributed 9-column schema with
+    ``text_clean_raw`` in place of ``text_clean``.
+
+    Same scale shape as :func:`clean_corpus`: one positional
+    occurrence exchange (doc-local groups), a dig-keyed flags join,
+    one masked cover explode, and a per-doc codegen rebuild — the
+    raw rebuild adds only the separator array and the
+    glue-to-original-left-separator transform."""
+    base, kg = _raw_kgrams(docs, text_col, id_col, k)
+    occ = (kg.groupBy(id_col, "dig")
+           .agg(F.collect_list("pos").alias("poss"))
+           .localCheckpoint(eager=True))
+    bench_digs = (_raw_kgrams(benchmarks, text_col, id_col, k)[1]
+                  .select("dig").distinct())
+    crossdup_digs = (occ.groupBy("dig")
+                     .agg(F.count(F.lit(1)).alias("nd"))
+                     .filter(F.col("nd") > 1).select("dig"))
+    dig_flags = (crossdup_digs.withColumn("c", F.lit(True))
+                 .join(bench_digs.withColumn("b", F.lit(True)),
+                       "dig", "full")
+                 .select("dig",
+                         F.coalesce("b", F.lit(False)).alias("b"),
+                         F.coalesce("c", F.lit(False)).alias("c")))
+    hits = (occ.join(dig_flags, "dig", "left")
+            .select(id_col, "poss",
+                    F.array_min("poss").alias("fp"),
+                    F.coalesce("b", F.lit(False)).alias("b"),
+                    F.coalesce("c", F.lit(False)).alias("c"))
+            .filter(F.col("b") | F.col("c")
+                    | (F.size("poss") > 1)))
+    starts = (hits.select(
+        F.col(id_col), F.col("b"), F.col("c"), F.col("fp"),
+        F.explode("poss").alias("pos"))
+        .select(id_col, "pos",
+                (F.when(F.col("b"), 4).otherwise(0)
+                 + F.when(F.col("c"), 2).otherwise(0)
+                 + F.when(F.col("pos") > F.col("fp"), 1)
+                 .otherwise(0)).alias("mask"))
+        .filter(F.col("mask") > 0))
+    covered = starts.select(
+        F.col(id_col), F.col("mask"),
+        F.explode(F.sequence(
+            F.col("pos"), F.col("pos") + F.lit(k - 1))).alias("p"))
+    cov = (covered.groupBy(id_col)
+           .agg(F.collect_set("p").alias("cov"),
+                F.count_distinct(
+                    F.when(F.col("mask").bitwiseAND(4) > 0,
+                           F.col("p"))).alias("cov_benchmark"),
+                F.count_distinct(
+                    F.when(F.col("mask").bitwiseAND(2) > 0,
+                           F.col("p"))).alias("cov_crossdoc"),
+                F.count_distinct(
+                    F.when(F.col("mask").bitwiseAND(1) > 0,
+                           F.col("p"))).alias("cov_intradoc")))
+    j = base.join(cov, id_col, "left")
+    n = F.size("tr")
+    kept_pos = F.array_except(
+        F.when(n >= 1, F.sequence(F.lit(1), n))
+        .otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("cov"), F.array().cast("array<int>")))
+    # the byte-preserving rebuild (remove_dup_spans_raw): a kept
+    # token glues to its ORIGINAL left separator when its left
+    # neighbor was also kept, else to one space
+    piece = F.transform(
+        kept_pos,
+        lambda i, idx: F.when(idx == 0, F.get(F.col("tr"), i - 1))
+        .when(F.get(kept_pos, idx - 1) == i - 1,
+              F.concat(F.get(F.col("sp"), i - 2),
+                       F.get(F.col("tr"), i - 1)))
+        .otherwise(F.concat(F.lit(" "), F.get(F.col("tr"), i - 1))))
+    n_removed = F.coalesce(F.size("cov"), F.lit(0))
+    return j.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        n_removed.cast("long").alias("removed_tokens"),
+        (n - n_removed).cast("long").alias("kept_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(n_removed / n, 6)).alias("dup_ratio"),
+        F.coalesce("cov_benchmark", F.lit(0)).cast("long")
+        .alias("cov_benchmark"),
+        F.coalesce("cov_crossdoc", F.lit(0)).cast("long")
+        .alias("cov_crossdoc"),
+        F.coalesce("cov_intradoc", F.lit(0)).cast("long")
+        .alias("cov_intradoc"),
+        F.array_join(piece, "").alias("text_clean_raw"))
+
+
 def remove_dup_spans_chars(
     docs: DataFrame,
     text_col: str = "text",

@@ -35,16 +35,16 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # ORDER MATTERS: the driver's correctness gate samples a prefix of this dict
 # (each round checks the first ~50 entries).  Rotation protocol (r05):
-# the front block holds queries with no green driver row yet (the 4
+# the front block holds queries with no green driver row yet (the 5
 # round-13 additions), then entries whose implementation CHANGED this
 # round (the span family's shared _doc_kgrams front + the char form's
 # linear front/interval rebuild + the fixpoint cuts + the takedown
 # staging/null-id fixes — 11 entries), then the oldest
-# stale-verification tranche: the 3 remaining r06 greens + 32 of the
-# 39 r07 greens (VERDICT r12 task 6) — 4 + 11 + 3 + 32 = exactly the
-# 50-entry prefix.  Seven r07 greens did not fit behind the
+# stale-verification tranche: the 3 remaining r06 greens + 31 of the
+# 39 r07 greens (VERDICT r12 task 6) — 5 + 11 + 3 + 31 = exactly the
+# 50-entry prefix.  Eight r07 greens did not fit behind the
 # changed-machinery head; they lead the r14 rotation (so r07, not
-# r08, stays the oldest green — by 7 entries).  Entries greened by
+# r08, stays the oldest green — by 8 entries).  Entries greened by
 # the r12 driver and unchanged this round rotate to the very END
 # (freshest verification).  Later blocks are ordered by round of LAST
 # driver verification, oldest first.
@@ -65,6 +65,9 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_clean_corpus_chain": (
         r13.stream_clean_corpus_chain,
         r13.STREAM_CLEAN_CORPUS_CHAIN_SQL),
+    "clean_corpus_raw_onepass": (
+        r13.clean_corpus_raw_onepass,
+        r13.CLEAN_CORPUS_RAW_ONEPASS_SQL),
     # ---- changed this round — re-verify (the span family's shared
     # _doc_kgrams front now carries the token array and dispatches
     # large k to slice-hash digests; the char form gained the linear
@@ -96,8 +99,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "clean_corpus_export": (r11.clean_corpus_export,
                             r11.CLEAN_CORPUS_EXPORT_SQL),
     # ---- stale tail: the three remaining r06 greens, then the r07
-    # tranche (VERDICT r12 task 6) — 4 + 11 + 3 + 32 = the 50-entry
-    # prefix; seven r07 greens (arrow_roundtrip .. asof_tolerance)
+    # tranche (VERDICT r12 task 6) — 5 + 11 + 3 + 31 = the 50-entry
+    # prefix; eight r07 greens (json_roundtrip .. asof_tolerance)
     # did not fit behind the changed-machinery head and lead the r14
     # rotation ----
     "compaction_roundtrip": (r6.compaction_roundtrip,
@@ -139,8 +142,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pipeline_end_to_end": (pq.pipeline_end_to_end, pq.PIPELINE_END_TO_END_SQL),
     "parquet_roundtrip": (rt.parquet_roundtrip, rt.PARQUET_ROUNDTRIP_SQL),
     "csv_roundtrip": (rt.csv_roundtrip, rt.CSV_ROUNDTRIP_SQL),
-    "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),
     # ======================== 50-entry prefix boundary =====================
+    "json_roundtrip": (rt.json_roundtrip, rt.JSON_ROUNDTRIP_SQL),
     "arrow_roundtrip": (rt.arrow_roundtrip, rt.ARROW_ROUNDTRIP_SQL),
     "ngram_dup_counts": (pq.ngram_dup_counts, pq.NGRAM_DUP_SQL),
     # ---- later blocks by round of last driver verification, oldest

@@ -559,3 +559,149 @@ LEFT JOIN ccnt cc2 USING (doc_id)
 LEFT JOIN icnt ic USING (doc_id)
 LEFT JOIN clean USING (doc_id)
 """
+
+
+# ====== the composed build, byte-preserving (raw) rewrite
+def clean_corpus_raw_onepass(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The composed cut with the BYTE-PRESERVING rewrite — the
+    artifact a production pipeline ships (the normalized form
+    destroys case and inner whitespace; Lee et al.'s tool cuts raw
+    bytes).  Same train/benchmark split and simultaneous-union
+    semantics as ``clean_corpus_onepass``; detection is
+    case-insensitive, the rebuild keeps every original byte of the
+    kept runs and collapses each cut to one space.
+
+    In-query laws: the accounting identities and attribution
+    sandwich, PLUS the raw↔normalized RECONCILIATION law (the r11
+    single-cut convention, now on the composed cut): lowercasing and
+    whitespace-collapsing ``text_clean_raw`` must reproduce
+    ``clean_corpus``'s ``text_clean`` doc for doc, with identical
+    removed/kept accounting — the two rebuilds are independent
+    implementations over the same cover, so a positional slip in
+    either flips this immediately.  (The audit runs the composed
+    cover twice by design — same convention and cost class as
+    ``substring_span_removal_raw``.)  Oracle: the separator-aware
+    ordered rebuild with the union cover in DuckDB, hash covering
+    the raw text and all three attribution columns."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        clean_corpus,
+        clean_corpus_raw,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 7)
+    test = d.filter(F.col("doc_id") % 10 == 7)
+    out = clean_corpus_raw(train, test, k=8).localCheckpoint(
+        eager=True)
+    bad = out.filter(
+        (F.col("removed_tokens") + F.col("kept_tokens")
+         != F.col("n_tokens"))
+        | (F.col("removed_tokens") > F.col("cov_benchmark")
+           + F.col("cov_crossdoc") + F.col("cov_intradoc"))
+        | (F.col("removed_tokens") < F.greatest(
+            "cov_benchmark", "cov_crossdoc", "cov_intradoc"))
+    ).count()
+    if bad:
+        raise AssertionError(
+            f"{bad} row(s) break the raw composed-cut accounting")
+    # raw <-> normalized reconciliation over the composed cover
+    norm_of_raw = out.select(
+        "doc_id", "removed_tokens",
+        F.array_join(F.split(F.trim(F.lower("text_clean_raw")),
+                             r"\s+"), " ").alias("norm"))
+    normalized = clean_corpus(train, test, k=8).select(
+        "doc_id", F.col("removed_tokens").alias("removed_n"),
+        "text_clean")
+    drift = (norm_of_raw.join(normalized, "doc_id")
+             .filter((F.col("norm") != F.col("text_clean"))
+                     | (F.col("removed_tokens")
+                        != F.col("removed_n"))).count())
+    if drift:
+        raise AssertionError(
+            f"{drift} doc(s) break the raw<->normalized "
+            f"reconciliation law on the composed cut")
+    return out
+
+
+CLEAN_CORPUS_RAW_ONEPASS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\S+') AS tr,
+         regexp_extract_all(
+           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS sp
+  FROM documents),
+btr AS (SELECT * FROM base WHERE doc_id % 10 <> 7),
+bte AS (SELECT * FROM base WHERE doc_id % 10 = 7),
+kg AS (
+  SELECT doc_id, i AS pos,
+         md5(lower(array_to_string(tr[i:i+7], ' '))) AS dig
+  FROM btr, unnest(generate_series(1, greatest(len(tr)-7, 0))) AS u(i)),
+tdig AS (
+  SELECT DISTINCT md5(lower(array_to_string(tr[i:i+7], ' '))) AS dig
+  FROM bte, unnest(generate_series(1, greatest(len(tr)-7, 0))) AS u(i)),
+xdig AS (SELECT dig FROM kg GROUP BY dig
+         HAVING count(DISTINCT doc_id) > 1),
+bcov AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN tdig USING (dig),
+       unnest(generate_series(0, 7)) AS o(off)),
+ccov AS (
+  SELECT DISTINCT kg.doc_id, kg.pos + o.off AS t
+  FROM kg JOIN xdig USING (dig),
+       unnest(generate_series(0, 7)) AS o(off)),
+rep AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, dig) AS fp
+    FROM kg) WHERE pos > fp),
+icov AS (
+  SELECT DISTINCT r.doc_id, r.pos + o.off AS t
+  FROM rep r, unnest(generate_series(0, 7)) AS o(off)),
+ucov AS (
+  SELECT doc_id, t FROM bcov UNION
+  SELECT doc_id, t FROM ccov UNION
+  SELECT doc_id, t FROM icov),
+ucnt AS (SELECT doc_id, count(*) AS removed FROM ucov GROUP BY doc_id),
+bcnt AS (SELECT doc_id, count(*) AS cb FROM bcov GROUP BY doc_id),
+ccnt AS (SELECT doc_id, count(*) AS cc FROM ccov GROUP BY doc_id),
+icnt AS (SELECT doc_id, count(*) AS ci FROM icov GROUP BY doc_id),
+tok AS (
+  SELECT b.doc_id, i AS pos, b.tr[i] AS tok
+  FROM btr b, unnest(generate_series(1, len(b.tr))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t LEFT JOIN ucov c ON c.doc_id = t.doc_id AND c.t = t.pos
+  WHERE c.doc_id IS NULL),
+pieces AS (
+  SELECT k.doc_id, k.pos,
+         CASE
+           WHEN lag(k.pos) OVER w IS NULL THEN k.tok
+           WHEN lag(k.pos) OVER w = k.pos - 1
+             THEN b.sp[k.pos - 1] || k.tok
+           ELSE ' ' || k.tok
+         END AS piece
+  FROM kept k JOIN btr b USING (doc_id)
+  WINDOW w AS (PARTITION BY k.doc_id ORDER BY k.pos)),
+clean AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS text_clean_raw
+  FROM pieces GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(b.tr) AS BIGINT) AS n_tokens,
+       CAST(coalesce(u.removed, 0) AS BIGINT) AS removed_tokens,
+       CAST(len(b.tr) - coalesce(u.removed, 0) AS BIGINT)
+         AS kept_tokens,
+       CASE WHEN len(b.tr) = 0 THEN 0.0
+            ELSE round(coalesce(u.removed, 0) / len(b.tr), 6)
+       END AS dup_ratio,
+       CAST(coalesce(bc.cb, 0) AS BIGINT) AS cov_benchmark,
+       CAST(coalesce(cc2.cc, 0) AS BIGINT) AS cov_crossdoc,
+       CAST(coalesce(ic.ci, 0) AS BIGINT) AS cov_intradoc,
+       coalesce(clean.text_clean_raw, '') AS text_clean_raw
+FROM btr b
+LEFT JOIN ucnt u USING (doc_id)
+LEFT JOIN bcnt bc USING (doc_id)
+LEFT JOIN ccnt cc2 USING (doc_id)
+LEFT JOIN icnt ic USING (doc_id)
+LEFT JOIN clean USING (doc_id)
+"""

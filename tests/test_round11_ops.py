@@ -656,21 +656,22 @@ def test_registry_prefix_matches_rotation_protocol():
     from legate_dataframe_spark.plans.registry import QUERIES
 
     names = list(QUERIES)
-    assert names[:4] == ["clean_corpus_onepass",
+    assert names[:5] == ["clean_corpus_onepass",
                          "substring_span_removal_bpe",
                          "incremental_clean_corpus",
-                         "stream_clean_corpus_chain"]
-    assert set(names[4:15]) == {
+                         "stream_clean_corpus_chain",
+                         "clean_corpus_raw_onepass"]
+    assert set(names[5:16]) == {
         "substring_span_removal_chars", "decontaminate_spans",
         "repeated_span_removal", "takedown_clean_corpus_export",
         "substring_dup_spans", "substring_span_removal",
         "incremental_substring_spans", "stream_substring_chain",
         "incremental_span_removal", "dup_span_intervals",
         "clean_corpus_export"}
-    assert set(names[15:18]) == {
+    assert set(names[16:19]) == {
         "compaction_roundtrip", "dq_checks", "incremental_rollup"}
-    assert names[18] == "rollup_serve_only"  # the r07 tranche
-    assert names[49] == "json_roundtrip"  # the boundary entry
+    assert names[19] == "rollup_serve_only"  # the r07 tranche
+    assert names[49] == "csv_roundtrip"  # the boundary entry
     assert len(names) == len(set(names))
 
 
