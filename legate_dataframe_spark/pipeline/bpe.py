@@ -6,13 +6,16 @@ Scale design: BPE training is word-HISTOGRAM-bound, not corpus-bound.
 The one corpus-sized operation is the word-count aggregation (one
 shuffle with map-side partial agg); every merge round after that
 operates on the vocab-sized (word, count) table — pair counting is a
-small agg, the winning pair is a 1-row TakeOrdered frame that
-broadcast-joins back into the merge expression, and the merged table
-is localCheckpoint-truncated per round (it is consumed twice: next
-round's counts and next round's merge, and plan growth across rounds
-is the real cost).  Nothing corpus-sized moves after the histogram;
-no driver-side data at all (the winning pair stays in-plan as a 1-row
-broadcast, never collected).
+small agg whose 1-row winner is collected (a scalar parameter, the
+same convention as every other 1-row stats collect in the engine)
+and inlined into the next round's merge as string LITERALS, so the
+vocabulary table itself stays LAZY: round k's pair count runs k-1
+nested literal replaces over the one checkpointed base encoding.
+That is one vocab-sized aggregation job per round and nothing else —
+r12 additionally materialized the merged vocabulary every round and
+checkpointed the winner frame (2 actions + a broadcast join per
+round; measured 1.9x slower end-to-end on the learn).  Nothing
+corpus-sized moves after the histogram.
 
 Exact greedy semantics, engine-portably: a word's symbol sequence is
 encoded as ``<s1><s2>…<sn>`` (symbols are restricted to ``[a-z]+`` so
@@ -61,16 +64,20 @@ def learn_bpe_merges(
     at the time it was chosen.  Ties break lexicographically on (a, b)
     so the result is engine-reproducible.
     """
-    # eager localCheckpoint per round, NOT persist: round k's logical
-    # plan would otherwise embed all k-1 previous rounds (joins + aggs
-    # + sort-limits), and analysis/cache-canonicalization over that
-    # growing tree made 8 rounds plan-bound (~20 s at sf0.1; ~4 s
-    # checkpointed).  Same convention as pagerank / kmeans_refine /
-    # components: iterative lineage is truncated each round, only
-    # vocab-sized data is checkpointed.
+    # One eager localCheckpoint for the base encoding: round k's pair
+    # count would otherwise re-run the histogram's corpus shuffle.
+    # The loop itself runs ONE action per round — the winning pair is
+    # a 1-row collect (a scalar parameter), inlined as literals so the
+    # merged vocabulary is a lazy chain of narrow replaces over this
+    # checkpoint.  r12 instead checkpointed the winner AND the merged
+    # vocabulary every round (2 actions + a broadcast join per round);
+    # the lazy chain stays plan-cheap because it is k literal replace
+    # expressions, not the joins + sort-limits that made the original
+    # unchckpointed form plan-bound (~20 s at sf0.1).
     vocab = (words.select(_encode(F.col("w")).alias("seq"), "cnt")
              .localCheckpoint(eager=True))
-    tops: list[DataFrame] = []
+    spark = vocab.sparkSession
+    rows: list[tuple] = []
     for rnd in range(1, n_merges + 1):
         syms = _symbols(F.col("seq"))
         pairs = F.transform(
@@ -82,20 +89,17 @@ def learn_bpe_merges(
                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
                .agg(F.sum("cnt").alias("freq"))
                .orderBy(F.col("freq").desc(), "a", "b").limit(1)
-               .localCheckpoint(eager=True))
-        tops.append(top.select(F.lit(rnd).alias("round"), "a", "b",
-                               F.concat("a", "b").alias("merged"), "freq"))
-        pat = F.concat(F.lit("<"), F.col("a"), F.lit("><"), F.col("b"),
-                       F.lit(">"))
-        rep = F.concat(F.lit("<"), F.col("a"), F.col("b"), F.lit(">"))
-        vocab = (vocab.join(F.broadcast(top))
-                 .select(F.replace(F.col("seq"), pat, rep).alias("seq"),
-                         "cnt")
-                 .localCheckpoint(eager=True))
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionByName(t)
-    return out
+               .collect())
+        if not top:  # no multi-symbol words left: nothing to merge
+            break    # (r12's inner join with the empty winner emptied
+            #          the vocab, yielding the same truncated table)
+        a, b, freq = top[0]["a"], top[0]["b"], top[0]["freq"]
+        rows.append((rnd, a, b, a + b, freq))
+        vocab = vocab.select(
+            F.replace(F.col("seq"), F.lit(f"<{a}><{b}>"),
+                      F.lit(f"<{a}{b}>")).alias("seq"), "cnt")
+    return spark.createDataFrame(
+        rows, "round int, a string, b string, merged string, freq bigint")
 
 
 def apply_bpe_merges(

@@ -13,7 +13,8 @@ label by that label's own label), which halves remaining path lengths
 10-million-link chain needs ~24 rounds, and LSH near-dup graphs
 (band-induced near-cliques) converge in 2-3.  Each round is two
 shuffle joins + one groupBy, fully distributed, no driver-side data
-(the only action is the scalar convergence count).  ``localCheckpoint``
+(the only action is a scalar convergence aggregate — the label sum,
+exact in decimal, which is strictly decreasing until the fixpoint).  ``localCheckpoint``
 truncates the plan each round so lineage doesn't grow with rounds; on
 a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
 ``.checkpoint()`` for fault-tolerant truncation.  Same round
@@ -47,12 +48,26 @@ def connected_components(
     # expensive LSH flow, and the two union branches below would each
     # re-execute it (Spark has no cross-branch CSE).  One eager
     # checkpoint → both directions read the materialized pairs.
-    edges = edges.select(F.col(src).alias("a"),
-                         F.col(dst).alias("b")).localCheckpoint(eager=True)
-    sym = (edges.union(edges.select(F.col("b"), F.col("a")))
-           .distinct().localCheckpoint(eager=True))
+    # Dedup BEFORE the union (half the distinct's input; r12 deduped
+    # the symmetrized 2E rows) and leave the flip lazy — it is a
+    # narrow projection over the checkpointed pairs, so materializing
+    # it bought nothing.  A caller passing BOTH orientations of an
+    # edge now keeps both (same result — min-label propagation is
+    # idempotent under duplicate edges — at 2x the message volume for
+    # those edges; every in-repo caller emits canonical a<b pairs).
+    edges = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .distinct().localCheckpoint(eager=True))
+    sym = edges.union(edges.select(F.col("b"), F.col("a")))
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")))
+    # The cheap sum-based convergence check below is only sound for
+    # INTEGRAL node ids (a string or float label casts to decimal
+    # lossily/NULL, so two distinct label states could read as equal).
+    # Every in-repo caller uses long ids; other types take the exact
+    # per-round join+count.
+    from pyspark.sql.types import IntegralType
+    integral = isinstance(labels.schema["label"].dataType, IntegralType)
+    prev_sum = None  # matches the first sum only on an EMPTY graph
     for _ in range(max_iter):
         msgs = (sym.join(labels, sym["a"] == labels["node"])
                 .select(F.col("b").alias("node"), F.col("label")))
@@ -71,12 +86,27 @@ def connected_components(
                                                  F.col("label")))
                               .alias("label")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
+        # Convergence check without r12's per-round join+count action:
+        # labels are monotone NON-INCREASING (min-fold with incoming
+        # messages, then a least() pointer jump) over a node set that
+        # is fixed after round 1, so the label sum strictly decreases
+        # until the fixpoint — equal consecutive sums ⟺ no label
+        # changed.  One shuffle-free partial aggregation over the
+        # just-checkpointed frame replaces a node-keyed equi-join.
+        # decimal(38,0) keeps the sum exact for any long node ids
+        # (a double sum could alias two distinct label states).
+        if integral:
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:  # non-integral ids: exact per-node comparison
+            converged = (new_labels.alias("n")
+                         .join(labels.alias("o"), "node")
+                         .filter(F.col("n.label") != F.col("o.label"))
+                         .count()) == 0
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

@@ -68,3 +68,16 @@ def test_components_partition_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert one == many
+
+
+def test_string_node_ids_long_chain(spark):
+    # The integral-label fast path (sum-based convergence) must not be
+    # taken for STRING ids: a string label casts to NULL decimal, which
+    # would read "converged" after one round and leave a long chain
+    # half-labelled.  Diameter 12 needs several propagation rounds.
+    edges = [(f"doc{i:03d}", f"doc{i + 1:03d}") for i in range(12)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert len(got) == 13
+    assert set(got.values()) == {"doc000"}
