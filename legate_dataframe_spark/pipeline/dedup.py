@@ -931,6 +931,13 @@ def substring_dup_spans(
     shingles.  No suffix array, no all-pairs, nothing driver-side.
     """
     base, kg = _doc_kgrams(docs, text_col, id_col, k)
+    # kg feeds TWO branches (the dup-digest aggregate and the covered
+    # semi-join) and Spark has no cross-branch CSE, so the digest
+    # build — the family's dominant narrow cost, O(k·n) hashing per
+    # doc — would run twice.  Materialize the positional digest
+    # stream once (write-once/read-twice beats compute-twice; the
+    # same trade clean_corpus makes with its occurrence aggregate).
+    kg = kg.localCheckpoint(eager=True)
     dup = (kg.groupBy("dig")
            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
            .filter(F.col("nd") > 1).select("dig"))
@@ -1025,6 +1032,13 @@ def remove_dup_spans(
     never shuffle.  Nothing is driver-side; no suffix array, no
     all-pairs."""
     _, kg = _doc_kgrams(docs, text_col, id_col, k)
+    # one materialization of the positional digest stream: kg feeds
+    # both the dup-digest aggregate and the covered semi-join, and
+    # without it the O(k·n) digest build runs once per branch
+    # (measured 2x the digest cost end-to-end at sf0.1; the k=50 BPE
+    # cut pays it hardest).  Same write-once/read-twice trade as
+    # clean_corpus's checkpointed occurrence aggregate.
+    kg = kg.localCheckpoint(eager=True)
     dup = (kg.groupBy("dig")
            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
            .filter(F.col("nd") > 1).select("dig"))
@@ -1135,6 +1149,11 @@ def remove_dup_spans_raw(
                   F.md5(F.lower(F.array_join(
                       F.slice("tr", F.col("pos"), k), " ")))
                   .alias("dig")))
+    # kg feeds both the dup-digest aggregate and the covered
+    # semi-join; no cross-branch CSE, so without this the digest
+    # build (regexp tokenize + per-position slice/md5) runs twice.
+    # Same write-once/read-twice trade as remove_dup_spans.
+    kg = kg.localCheckpoint(eager=True)
     dup = (kg.groupBy("dig")
            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
            .filter(F.col("nd") > 1).select("dig"))
