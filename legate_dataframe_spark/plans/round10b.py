@@ -73,6 +73,33 @@ def _plan_of(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def bag_diff_counts(left: DataFrame,
+                    right: DataFrame) -> tuple[int, int]:
+    """(#rows of ``left`` not in ``right``, #rows of ``right`` not in
+    ``left``), with multiplicity — exactly
+    ``left.exceptAll(right).count()`` / ``right.exceptAll(left).count()``
+    — but off ONE evaluation of each side and ONE action: tag rows ±1,
+    aggregate the signed residue per distinct row value, sum the
+    positive and negative residues.  (The two-``exceptAll`` form plans
+    each input twice and runs two jobs; the exact-fold asserts feed it
+    a corpus-sized digest build as one side, so that form doubled the
+    assert's dominant cost.)  Columns are matched by ``left``'s order,
+    nulls compare equal — both exactly as ``exceptAll`` does."""
+    cols = left.columns
+    w = F.col("__w")
+    residue = (left.select(*cols).withColumn("__w", F.lit(1))
+               .unionByName(
+                   right.toDF(*cols).withColumn("__w", F.lit(-1)))
+               .groupBy(*cols).agg(F.sum("__w").alias("__w"))
+               .select(
+                   F.sum(F.when(w > 0, w).otherwise(F.lit(0)))
+                   .alias("a"),
+                   F.sum(F.when(w < 0, -w).otherwise(F.lit(0)))
+                   .alias("b"))
+               .collect()[0])
+    return int(residue["a"] or 0), int(residue["b"] or 0)
+
+
 @contextlib.contextmanager
 def _temp_db(spark: SparkSession, stem: str):
     db = f"{stem}_{uuid.uuid4().hex[:8]}"
@@ -132,8 +159,7 @@ def cdf_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                            GROUP_KEYS, _PARTIALS)
         recon = recon.localCheckpoint(eager=True)
         live = read_generation(spark, state, 1)
-        missing = live.exceptAll(recon).count()
-        phantom = recon.exceptAll(live).count()
+        missing, phantom = bag_diff_counts(live, recon)
         if missing or phantom:
             raise AssertionError(
                 f"apply_diff did not reconstruct generation 1: "
@@ -687,8 +713,9 @@ def incremental_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .groupBy("dig")
                  .agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
         folded = spark.table(f"{idx}_kgrams")
-        a = folded.exceptAll(fresh).count()
-        b = fresh.exceptAll(folded).count()
+        # one evaluation of each side (fresh is a corpus-sized digest
+        # build — the two-exceptAll form ran it twice)
+        a, b = bag_diff_counts(folded, fresh)
         if a or b:
             raise AssertionError(
                 f"index fold drifted from a fresh build: "
@@ -795,8 +822,9 @@ def stream_substring_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .groupBy("dig")
                      .agg(F.count(F.lit(1)).cast("long")
                           .alias("n_docs")))
-            a = folded.exceptAll(fresh).count()
-            b = fresh.exceptAll(folded).count()
+            # one evaluation of each side (fresh is a corpus-sized
+            # digest build — the two-exceptAll form ran it twice)
+            a, b = bag_diff_counts(folded, fresh)
             if a or b:
                 raise AssertionError(
                     f"streamed delta folds drifted from a fresh "

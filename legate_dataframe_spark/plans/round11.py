@@ -556,10 +556,11 @@ def stream_cdf_apply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                                num_buckets=16)
                 sess.catalog.refreshTable(
                     current_generation_table(sess, rep))
-                a = (sess.table(rep).exceptAll(sess.table(src))
-                     .count())
-                b = (sess.table(src).exceptAll(sess.table(rep))
-                     .count())
+                from legate_dataframe_spark.plans.round10b import (
+                    bag_diff_counts,
+                )
+                a, b = bag_diff_counts(sess.table(rep),
+                                       sess.table(src))
                 if a or b:
                     raise AssertionError(
                         f"replica drifted after trigger {batch_id}: "

@@ -456,8 +456,13 @@ def stream_clean_corpus_chain(spark: SparkSession,
                      .groupBy("dig")
                      .agg(F.count(F.lit(1)).cast("long")
                           .alias("n_docs")))
-            if (folded.exceptAll(fresh).count()
-                    or fresh.exceptAll(folded).count()):
+            # one evaluation of each side (fresh is a corpus-sized
+            # digest build — the two-exceptAll form ran it twice)
+            from legate_dataframe_spark.plans.round10b import (
+                bag_diff_counts,
+            )
+            a, b = bag_diff_counts(folded, fresh)
+            if a or b:
                 raise AssertionError(
                     "streamed delta folds drifted from a fresh build")
             out = spark.read.parquet(*parts).localCheckpoint(

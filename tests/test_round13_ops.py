@@ -473,3 +473,30 @@ def test_now_stamp_spark_fallback_matches_session_zone(spark):
         assert skew < 120, f"stamp {stamp} skewed {skew}s in CST"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+# ---------- bag_diff_counts == exceptAll counts, both directions ----
+def test_bag_diff_counts_matches_exceptall(spark):
+    """The one-pass fold-law check must count exactly what the
+    two-exceptAll form counted: per-row-value multiplicity residues,
+    nulls comparing equal, asymmetric multisets both ways."""
+    from legate_dataframe_spark.plans.round10b import bag_diff_counts
+
+    rows_a = [(1, "x"), (1, "x"), (2, "y"), (3, None), (None, "z")]
+    rows_b = [(1, "x"), (2, "y"), (2, "y"), (3, None), (4, "w")]
+    a = spark.createDataFrame(rows_a, "k int, v string")
+    b = spark.createDataFrame(rows_b, "k int, v string")
+    for left, right in ((a, b), (b, a), (a, a)):
+        got = bag_diff_counts(left, right)
+        want = (left.exceptAll(right).count(),
+                right.exceptAll(left).count())
+        assert got == want, (got, want)
+    # column-name drift on the right side: exceptAll matches by
+    # position, the helper must too
+    b2 = b.toDF("kk", "vv")
+    assert (bag_diff_counts(a, b2)
+            == (a.exceptAll(b).count(), b.exceptAll(a).count()))
+    # empty vs non-empty
+    empty = a.limit(0)
+    assert bag_diff_counts(a, empty) == (5, 0)
+    assert bag_diff_counts(empty, a) == (0, 5)
