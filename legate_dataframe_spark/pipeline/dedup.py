@@ -1592,12 +1592,16 @@ def clean_corpus_batch(
     idx = read_bucketed(spark, f"{table_prefix}_kgrams").select("dig")
     bench_digs = (_doc_kgrams(benchmarks, text_col, id_col, k)[1]
                   .select("dig").distinct())
-    in_corpus = (occ.select("dig").distinct()
-                 .join(idx, "dig", "left_semi"))
-    intra_batch = (occ.groupBy("dig")
-                   .agg(F.count(F.lit(1)).alias("nd"))
-                   .filter(F.col("nd") > 1).select("dig"))
-    crossdup_digs = in_corpus.unionByName(intra_batch).distinct()
+    # one-pass gate (same set as the two-branch union it replaces):
+    # cross-doc dup iff ≥2 distinct batch docs share the digest OR it
+    # is in the index — occ is already (doc, dig)-unique, so the
+    # count IS the distinct-doc count
+    counts = occ.groupBy("dig").agg(F.count(F.lit(1)).alias("nd"))
+    crossdup_digs = (counts.join(idx.withColumn("__in_idx", F.lit(1)),
+                                 "dig", "left")
+                     .filter((F.col("nd") > 1)
+                             | F.col("__in_idx").isNotNull())
+                     .select("dig"))
     return _composed_cut(batch, occ, bench_digs, crossdup_digs,
                          text_col, id_col, k)
 
@@ -1914,14 +1918,19 @@ def batch_remove_dup_spans(
     from legate_dataframe_spark.core.bucketing import read_bucketed
 
     _, kg = _doc_kgrams(batch, text_col, id_col, k)
+    # one-pass gate: dup iff ≥2 distinct batch docs share the digest
+    # OR it is in the index — a left join against the bucketed index
+    # replaces the old two-branch union (same set, and kg now feeds
+    # two plans instead of three; no eager checkpoint here — a
+    # per-trigger materialization barrier costs more than the spared
+    # batch-sized digest re-evaluation in the streaming chains).
     idx = read_bucketed(spark, f"{table_prefix}_kgrams").select("dig")
-    batch_digs = kg.select("dig", id_col).distinct()
-    in_corpus = (batch_digs.select("dig").distinct()
-                 .join(idx, "dig", "left_semi"))
-    intra_batch = (batch_digs.groupBy("dig")
-                   .agg(F.count(F.lit(1)).alias("nd"))
-                   .filter(F.col("nd") > 1).select("dig"))
-    dup = in_corpus.unionByName(intra_batch).distinct()
+    counts = (kg.select("dig", id_col).distinct()
+              .groupBy("dig").agg(F.count(F.lit(1)).alias("nd")))
+    dup = (counts.join(idx.withColumn("__in_idx", F.lit(1)),
+                       "dig", "left")
+           .filter((F.col("nd") > 1) | F.col("__in_idx").isNotNull())
+           .select("dig"))
     return _span_removal(batch, kg, dup, text_col, id_col, k)
 
 
@@ -1981,14 +1990,16 @@ def batch_substring_spans(
     from legate_dataframe_spark.core.bucketing import read_bucketed
 
     base, kg = _doc_kgrams(batch, text_col, id_col, k)
+    # same one-pass gate as batch_remove_dup_spans (dup iff nd>1 OR
+    # in the index — identical set, one less kg evaluation, no
+    # per-trigger checkpoint barrier)
     idx = read_bucketed(spark, f"{table_prefix}_kgrams").select("dig")
-    batch_digs = kg.select("dig", id_col).distinct()
-    in_corpus = (batch_digs.select("dig").distinct()
-                 .join(idx, "dig", "left_semi"))
-    intra_batch = (batch_digs.groupBy("dig")
-                   .agg(F.count(F.lit(1)).alias("nd"))
-                   .filter(F.col("nd") > 1).select("dig"))
-    dup = in_corpus.unionByName(intra_batch).distinct()
+    counts = (kg.select("dig", id_col).distinct()
+              .groupBy("dig").agg(F.count(F.lit(1)).alias("nd")))
+    dup = (counts.join(idx.withColumn("__in_idx", F.lit(1)),
+                       "dig", "left")
+           .filter((F.col("nd") > 1) | F.col("__in_idx").isNotNull())
+           .select("dig"))
     return _span_coverage(base, kg, dup, id_col, k)
 
 
