@@ -266,6 +266,120 @@ def contention_sentinel(reps: int = 3) -> float:
     return round(best, 4)
 
 
+# DURING-WINDOW interference sampler (r13: the point-sample sentinel
+# is blind to bursty interference — the r13 freeze evening showed
+# 0.12–0.13 "quiet" edge sentinels bracketing windows with 1.5–13×
+# inflation on unchanged queries).  A timing probe cannot run WHILE
+# the suite executes (our own 32-core stages starve it), so the
+# during-window signal is hypervisor STEAL time from /proc/stat:
+# cycles the host took from this VM for other tenants — exactly the
+# foreign load that inflates queries, zero contribution from our own
+# work, and ~free to sample.  The child writes (wall_ts,
+# steal_ticks_cumulative) every 2 s and exits on its own when the
+# parent dies (ppid check).
+_SENTINEL_CHILD_SRC = r"""
+import os, sys, time
+ppid = os.getppid()
+out = open(sys.argv[1], "a", buffering=1)
+while os.getppid() == ppid:
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        steal = int(parts[8]) if len(parts) > 8 else 0
+    except Exception:
+        steal = -1
+    out.write("%.3f %d\n" % (time.time(), steal))
+    time.sleep(2.0)
+"""
+
+
+class SentinelSampler:
+    """Background subprocess sampling hypervisor steal ACROSS timed
+    windows (not just at their edges).  ``stats(t0, t1)`` grades any
+    wall-clock window after the fact: per-2s-interval steal in cores,
+    its mean/p95/max, and the fraction of intervals whose implied
+    slowdown ncpu/(ncpu−steal) exceeds CONTENDED_FACTOR."""
+
+    def __init__(self) -> None:
+        import subprocess
+        import tempfile
+
+        fd, self.path = tempfile.mkstemp(prefix="bench_sentinel_",
+                                         suffix=".log")
+        os.close(fd)
+        self.hz = os.sysconf("SC_CLK_TCK")
+        self.ncpu = os.cpu_count() or 1
+        self.proc = subprocess.Popen(
+            [sys.executable, "-c", _SENTINEL_CHILD_SRC, self.path],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    def stop(self) -> None:
+        try:
+            self.proc.terminate()
+            self.proc.wait(timeout=10)
+        except Exception:
+            pass
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+
+    def _samples(self) -> list[tuple[float, int]]:
+        out = []
+        try:
+            with open(self.path) as fh:
+                for line in fh:
+                    parts = line.split()
+                    if len(parts) == 2:
+                        try:
+                            out.append((float(parts[0]), int(parts[1])))
+                        except ValueError:
+                            pass
+        except OSError:
+            pass
+        return out
+
+    def stats(self, t0: float, t1: float) -> dict | None:
+        pts = [(t, s) for t, s in self._samples()
+               if t0 <= t <= t1 and s >= 0]
+        if len(pts) < 2:
+            return None
+        cores = []
+        for (ta, sa), (tb, sb) in zip(pts, pts[1:]):
+            dt = tb - ta
+            if dt > 0:
+                cores.append((sb - sa) / self.hz / dt)
+        if not cores:
+            return None
+        cores.sort()
+        n = len(cores)
+        # steal of S cores slows a box-wide stage by ncpu/(ncpu-S);
+        # an interval is "contended" when that factor crosses the
+        # same CONTENDED_FACTOR the point sentinel uses
+        s_thresh = self.ncpu * (1.0 - 1.0 / CONTENDED_FACTOR)
+        return {
+            "n": n,
+            "mean_steal_cores": round(sum(cores) / n, 2),
+            "p95_steal_cores": round(cores[min(n - 1, int(0.95 * n))], 2),
+            "max_steal_cores": round(cores[-1], 2),
+            "frac_contended": round(
+                sum(1 for c in cores if c > s_thresh) / n, 3),
+        }
+
+
+def _during_contended(stats: dict | None) -> bool:
+    """A window counts as contended when its MEAN steal implies a
+    ≥CONTENDED_FACTOR slowdown, or more than a quarter of its
+    intervals do individually — bursty interference shows up here
+    even when the edge sentinels read quiet."""
+    if not stats:
+        return False
+    ncpu = os.cpu_count() or 1
+    s_thresh = ncpu * (1.0 - 1.0 / CONTENDED_FACTOR)
+    return (stats["mean_steal_cores"] > s_thresh
+            or stats["frac_contended"] > 0.25)
+
+
 def _run_tags() -> dict:
     """Round/commit provenance for every persisted bench record
     (VERDICT r08 task 6: BENCH_EXTRAS_HISTORY.jsonl lines carried
@@ -395,7 +509,10 @@ def run_all() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     out_path = os.path.join(here, "BENCH_ALL.json")
 
-    def ledger_pass() -> tuple[dict[str, float], float]:
+    sampler = SentinelSampler()
+
+    def ledger_pass() -> tuple[dict[str, float], float, dict | None]:
+        t_start = time.time()
         times: dict[str, float] = {}
         for i, name in enumerate(sorted(QUERIES)):
             t0 = time.perf_counter()
@@ -410,7 +527,8 @@ def run_all() -> None:
             release_caches()
             print(f"[{i + 1}/{len(QUERIES)}] {name} {times[name]}",
                   file=sys.stderr, flush=True)
-        return times, contention_sentinel()
+        return times, contention_sentinel(), sampler.stats(
+            t_start, time.time())
 
     try:
         attempts = max(1, int(os.environ.get(
@@ -420,27 +538,36 @@ def run_all() -> None:
     attempt_sentinels: list[float] = []
     times: dict[str, float] = {}
     ledger_sentinel = float("inf")
+    during: dict | None = None
     for attempt in range(attempts):
-        times, ledger_sentinel = ledger_pass()
+        times, ledger_sentinel, during = ledger_pass()
         attempt_sentinels.append(ledger_sentinel)
-        if ledger_sentinel <= CONTENDED_FACTOR * QUIET_SENTINEL_SEC:
+        # the point sentinel is blind to bursty interference INSIDE
+        # the pass (r13: 0.12–0.13 edge readings bracketing 1.5–13×
+        # inflated windows); the during-window sampler closes that —
+        # a pass only counts as quiet when both agree
+        if (ledger_sentinel <= CONTENDED_FACTOR * QUIET_SENTINEL_SEC
+                and not _during_contended(during)):
             break
         print(f"ledger pass {attempt + 1}/{attempts} contended "
-              f"(sentinel {ledger_sentinel}); "
+              f"(sentinel {ledger_sentinel}, during {during}); "
               + ("re-running" if attempt + 1 < attempts
                  else "giving up — tagging and carrying the last "
                       "quiet ledger forward"),
               file=sys.stderr, flush=True)
+    sampler.stop()
     try:
         sf_num: float | str = float(sf)
     except ValueError:
         sf_num = sf
     contended = (ledger_sentinel
-                 > CONTENDED_FACTOR * QUIET_SENTINEL_SEC)
+                 > CONTENDED_FACTOR * QUIET_SENTINEL_SEC
+                 or _during_contended(during))
     record = {"metric": "all_queries_seconds_single_run", "unit": "sec",
               "sf": sf_num, "queries": times,
               "sentinel_sec": ledger_sentinel,
               "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
+              "sentinel_during": during,
               "attempt_sentinels": attempt_sentinels,
               "registry_count": len(QUERIES),
               "contended": contended,
@@ -487,6 +614,12 @@ def main() -> None:
     # warm up the JVM / parquet readers / codegen on the smallest query
     run("sort_topk")
 
+    # during-window sentinel (r13): sample contention ACROSS the timed
+    # windows, not just at their edges — bursty interference inflates
+    # queries while the edge point samples still read quiet
+    sampler = SentinelSampler()
+    t_head0 = time.time()
+
     # best-of-3: the box is multi-tenant with multi-second contention
     # bursts (observed 10× swings on trivial queries); min isolates
     # intrinsic cost.  SPARK_GRAFT_BENCH_RUNS overrides for long scale
@@ -508,20 +641,26 @@ def main() -> None:
     # gets TAGGED so cross-round diffs exclude it by code, not by
     # hand)
     sentinel_mid = contention_sentinel()
-    contended_rerun = sentinel_mid > CONTENDED_FACTOR * QUIET_SENTINEL_SEC
+    head_during = sampler.stats(t_head0, time.time())
+    contended_rerun = (sentinel_mid > CONTENDED_FACTOR * QUIET_SENTINEL_SEC
+                       or _during_contended(head_during))
     if contended_rerun:
-        print(f"contended headline pass (sentinel {sentinel_mid}); "
-              f"re-running headline once", file=sys.stderr, flush=True)
+        print(f"contended headline pass (sentinel {sentinel_mid}, "
+              f"during {head_during}); re-running headline once",
+              file=sys.stderr, flush=True)
         for name in HEADLINE:
             times[name] = round(min(times[name], run(name)), 3)
             release_caches()
+        head_during = sampler.stats(t_head0, time.time())
 
     # round-2 additions, reported separately so the headline total stays
     # comparable against BASELINE.md's 21-query suite
+    t_extra0 = time.time()
     extra: dict[str, float] = {}
     for name in EXTRA:
         extra[name] = round(min(run(name) for _ in range(nruns)), 3)
         release_caches()
+    extras_during = sampler.stats(t_extra0, time.time())
 
     total = round(sum(times.values()), 3)
     # The extras list has grown past the driver's stdout tail-capture
@@ -540,8 +679,10 @@ def main() -> None:
                      "queries": extra,
                      "sentinel_sec": extras_sentinel,
                      "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
-                     "contended": extras_sentinel
-                     > CONTENDED_FACTOR * QUIET_SENTINEL_SEC,
+                     "sentinel_during": extras_during,
+                     "contended": (extras_sentinel
+                                   > CONTENDED_FACTOR * QUIET_SENTINEL_SEC)
+                     or _during_contended(extras_during),
                      **_run_tags()}
     with open(extras_out, "w") as fh:
         json.dump(extras_record, fh, indent=1, sort_keys=True)
@@ -557,6 +698,8 @@ def main() -> None:
     print(json.dumps({"metric": "extra_queries_seconds",
                       "unit": "sec", "queries": extra}))
     final_sentinel = contention_sentinel()
+    join_gibs = join_throughput_gibs(spark)
+    sampler.stop()
     print(json.dumps({
         "metric": "headline_suite_seconds",
         "value": total,
@@ -566,15 +709,22 @@ def main() -> None:
         "cpus": int(cpus) if cpus.isdigit() else cpus,
         # reference harness metric shape (join.py:158-166): inner-join
         # throughput over 2×2^24-row float64 tables, unique keys.
-        "join_gibs": join_throughput_gibs(spark),
+        "join_gibs": join_gibs,
         "sentinel_sec": final_sentinel,
         "sentinel_mid_sec": sentinel_mid,
         "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
+        # during-window samples (r13): one sentinel rep every ~2 s in a
+        # subprocess across the headline / extras windows — catches the
+        # bursty interference the edge point samples miss
+        "sentinel_during_headline": head_during,
+        "sentinel_during_extras": extras_during,
         "contended_rerun": contended_rerun,
         # a contended snapshot self-EXCLUDES from cross-round diff
-        # bases (the BASELINE.md cross-epoch rule, applied by code)
-        "contended": min(final_sentinel, sentinel_mid)
-        > CONTENDED_FACTOR * QUIET_SENTINEL_SEC,
+        # bases (the BASELINE.md cross-epoch rule, applied by code);
+        # r13: the during-window evidence joins the decision
+        "contended": (min(final_sentinel, sentinel_mid)
+                      > CONTENDED_FACTOR * QUIET_SENTINEL_SEC)
+        or _during_contended(head_during),
     }))
 
 
