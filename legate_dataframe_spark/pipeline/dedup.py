@@ -1804,6 +1804,13 @@ def remove_dup_spans_chars(
           .withColumn("__cs", F.split("__t", ""))
           .select(id_col, F.posexplode(digs).alias("off", "dig"))
           .select(id_col, (F.col("off") + 1).alias("pos"), "dig"))
+    # kg feeds TWO branches (the dup-digest aggregate and the covered
+    # semi-join) and Spark has no cross-branch CSE — without a
+    # materialization the per-CHARACTER slice hashing (the family's
+    # most expensive digest front: ~wordlen× more shingles than the
+    # word form, O(k) per position) runs twice.  Same
+    # write-once/read-twice trade the word/raw/BPE cuts make.
+    kg = kg.localCheckpoint(eager=True)
     dup = (kg.groupBy("dig")
            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
            .filter(F.col("nd") > 1).select("dig"))
@@ -1880,6 +1887,10 @@ def dup_span_intervals(
     from pyspark.sql import Window
 
     _, kg = _doc_kgrams(docs, text_col, id_col, k)
+    # kg feeds both the dup aggregate and the covered semi-join; no
+    # cross-branch CSE in Spark, so materialize the corpus-sized
+    # digest stream once (the word/raw/BPE cuts' trade).
+    kg = kg.localCheckpoint(eager=True)
     dup = (kg.groupBy("dig")
            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
            .filter(F.col("nd") > 1).select("dig"))
