@@ -380,6 +380,49 @@ def _during_contended(stats: dict | None) -> bool:
             or stats["frac_contended"] > 0.25)
 
 
+class SentinelSeries:
+    """Between-query point-sentinel series (r13): steal accounting
+    only sees the DESCHEDULING class of interference — the first r13
+    freeze attempt hit a host state where a single-thread loop ran
+    2.7× slow on an otherwise idle guest with steal near zero
+    (host-level core sharing / throttling charges no steal).  The
+    only guest-visible signal for that class is the timing probe
+    itself, and between queries (after the noop action returns and
+    caches release) Spark is idle, so a single-rep probe there is
+    starved by nothing of ours.  ~0.14 s per sample on a quiet box,
+    taken OUTSIDE every timed region — per-query timings are
+    untouched."""
+
+    def __init__(self) -> None:
+        self.samples: list[tuple[float, float]] = []
+
+    def take(self) -> None:
+        self.samples.append((time.time(), contention_sentinel(reps=1)))
+
+    def stats(self, t0: float, t1: float) -> dict | None:
+        durs = sorted(d for t, d in self.samples if t0 <= t <= t1)
+        if not durs:
+            return None
+        n = len(durs)
+        thresh = CONTENDED_FACTOR * QUIET_SENTINEL_SEC
+        return {
+            "n": n,
+            "p50": round(durs[n // 2], 4),
+            "p95": round(durs[min(n - 1, int(0.95 * n))], 4),
+            "max": round(durs[-1], 4),
+            "frac_contended": round(
+                sum(1 for d in durs if d > thresh) / n, 3),
+        }
+
+
+def _series_contended(stats: dict | None) -> bool:
+    """More than a quarter of the between-query probes above the
+    contended threshold = the window spent real time degraded, even
+    if the edges read quiet (single probes are noisier than the
+    min-of-3 edge sentinel, so one hot sample must not tag a run)."""
+    return bool(stats) and stats["frac_contended"] > 0.25
+
+
 def _run_tags() -> dict:
     """Round/commit provenance for every persisted bench record
     (VERDICT r08 task 6: BENCH_EXTRAS_HISTORY.jsonl lines carried
@@ -510,8 +553,10 @@ def run_all() -> None:
     out_path = os.path.join(here, "BENCH_ALL.json")
 
     sampler = SentinelSampler()
+    series = SentinelSeries()
 
-    def ledger_pass() -> tuple[dict[str, float], float, dict | None]:
+    def ledger_pass() -> tuple[dict[str, float], float,
+                               dict | None, dict | None]:
         t_start = time.time()
         times: dict[str, float] = {}
         for i, name in enumerate(sorted(QUERIES)):
@@ -525,10 +570,13 @@ def run_all() -> None:
                 print(f"ERR {name}: {type(e).__name__}: {e}",
                       file=sys.stderr, flush=True)
             release_caches()
+            series.take()
             print(f"[{i + 1}/{len(QUERIES)}] {name} {times[name]}",
                   file=sys.stderr, flush=True)
-        return times, contention_sentinel(), sampler.stats(
-            t_start, time.time())
+        t_end = time.time()
+        return (times, contention_sentinel(),
+                sampler.stats(t_start, t_end),
+                series.stats(t_start, t_end))
 
     try:
         attempts = max(1, int(os.environ.get(
@@ -539,18 +587,21 @@ def run_all() -> None:
     times: dict[str, float] = {}
     ledger_sentinel = float("inf")
     during: dict | None = None
+    ser: dict | None = None
     for attempt in range(attempts):
-        times, ledger_sentinel, during = ledger_pass()
+        times, ledger_sentinel, during, ser = ledger_pass()
         attempt_sentinels.append(ledger_sentinel)
-        # the point sentinel is blind to bursty interference INSIDE
-        # the pass (r13: 0.12–0.13 edge readings bracketing 1.5–13×
-        # inflated windows); the during-window sampler closes that —
-        # a pass only counts as quiet when both agree
+        # the edge sentinel is blind to interference INSIDE the pass
+        # (r13: 0.12–0.13 edge readings bracketing 1.5–13× inflated
+        # windows); a pass only counts as quiet when the edges, the
+        # steal window AND the between-query probe series agree
         if (ledger_sentinel <= CONTENDED_FACTOR * QUIET_SENTINEL_SEC
-                and not _during_contended(during)):
+                and not _during_contended(during)
+                and not _series_contended(ser)):
             break
         print(f"ledger pass {attempt + 1}/{attempts} contended "
-              f"(sentinel {ledger_sentinel}, during {during}); "
+              f"(sentinel {ledger_sentinel}, steal {during}, "
+              f"series {ser}); "
               + ("re-running" if attempt + 1 < attempts
                  else "giving up — tagging and carrying the last "
                       "quiet ledger forward"),
@@ -562,12 +613,14 @@ def run_all() -> None:
         sf_num = sf
     contended = (ledger_sentinel
                  > CONTENDED_FACTOR * QUIET_SENTINEL_SEC
-                 or _during_contended(during))
+                 or _during_contended(during)
+                 or _series_contended(ser))
     record = {"metric": "all_queries_seconds_single_run", "unit": "sec",
               "sf": sf_num, "queries": times,
               "sentinel_sec": ledger_sentinel,
               "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
               "sentinel_during": during,
+              "sentinel_series": ser,
               "attempt_sentinels": attempt_sentinels,
               "registry_count": len(QUERIES),
               "contended": contended,
@@ -614,10 +667,12 @@ def main() -> None:
     # warm up the JVM / parquet readers / codegen on the smallest query
     run("sort_topk")
 
-    # during-window sentinel (r13): sample contention ACROSS the timed
-    # windows, not just at their edges — bursty interference inflates
-    # queries while the edge point samples still read quiet
+    # during-window sentinels (r13): steal sampling catches vCPU
+    # descheduling; the between-query probe series catches host-level
+    # execution-speed degradation steal cannot see — both graded per
+    # window, neither perturbs any timed region
     sampler = SentinelSampler()
+    series = SentinelSeries()
     t_head0 = time.time()
 
     # best-of-3: the box is multi-tenant with multi-second contention
@@ -633,6 +688,7 @@ def main() -> None:
     for name in HEADLINE:
         times[name] = round(min(run(name) for _ in range(nruns)), 3)
         release_caches()
+        series.take()
 
     # contention hygiene (VERDICT r10 task 6): if the box was
     # contended during the headline pass, auto-rerun the headline
@@ -642,16 +698,21 @@ def main() -> None:
     # hand)
     sentinel_mid = contention_sentinel()
     head_during = sampler.stats(t_head0, time.time())
+    head_series = series.stats(t_head0, time.time())
     contended_rerun = (sentinel_mid > CONTENDED_FACTOR * QUIET_SENTINEL_SEC
-                       or _during_contended(head_during))
+                       or _during_contended(head_during)
+                       or _series_contended(head_series))
     if contended_rerun:
         print(f"contended headline pass (sentinel {sentinel_mid}, "
-              f"during {head_during}); re-running headline once",
+              f"steal {head_during}, series {head_series}); "
+              f"re-running headline once",
               file=sys.stderr, flush=True)
         for name in HEADLINE:
             times[name] = round(min(times[name], run(name)), 3)
             release_caches()
+            series.take()
         head_during = sampler.stats(t_head0, time.time())
+        head_series = series.stats(t_head0, time.time())
 
     # round-2 additions, reported separately so the headline total stays
     # comparable against BASELINE.md's 21-query suite
@@ -660,7 +721,9 @@ def main() -> None:
     for name in EXTRA:
         extra[name] = round(min(run(name) for _ in range(nruns)), 3)
         release_caches()
+        series.take()
     extras_during = sampler.stats(t_extra0, time.time())
+    extras_series = series.stats(t_extra0, time.time())
 
     total = round(sum(times.values()), 3)
     # The extras list has grown past the driver's stdout tail-capture
@@ -680,9 +743,11 @@ def main() -> None:
                      "sentinel_sec": extras_sentinel,
                      "sentinel_quiet_nominal": QUIET_SENTINEL_SEC,
                      "sentinel_during": extras_during,
+                     "sentinel_series": extras_series,
                      "contended": (extras_sentinel
                                    > CONTENDED_FACTOR * QUIET_SENTINEL_SEC)
-                     or _during_contended(extras_during),
+                     or _during_contended(extras_during)
+                     or _series_contended(extras_series),
                      **_run_tags()}
     with open(extras_out, "w") as fh:
         json.dump(extras_record, fh, indent=1, sort_keys=True)
@@ -718,13 +783,17 @@ def main() -> None:
         # bursty interference the edge point samples miss
         "sentinel_during_headline": head_during,
         "sentinel_during_extras": extras_during,
+        "sentinel_series_headline": head_series,
+        "sentinel_series_extras": extras_series,
         "contended_rerun": contended_rerun,
         # a contended snapshot self-EXCLUDES from cross-round diff
         # bases (the BASELINE.md cross-epoch rule, applied by code);
-        # r13: the during-window evidence joins the decision
+        # r13: the during-window evidence (steal + probe series)
+        # joins the decision
         "contended": (min(final_sentinel, sentinel_mid)
                       > CONTENDED_FACTOR * QUIET_SENTINEL_SEC)
-        or _during_contended(head_during),
+        or _during_contended(head_during)
+        or _series_contended(head_series),
     }))
 
 
