@@ -1288,14 +1288,24 @@ def _iterate_span_cut(first: DataFrame, recut, id_col: str,
     the same cut to an (id, text) frame.  Accounting stays anchored
     to the ORIGINAL document: ``n_tokens`` never changes, removals
     accumulate, ``kept_tokens``/``dup_ratio`` describe the final
-    text.  Each pass is one dup-mass-bounded job over the PREVIOUS
-    output (pass ≥2 runs only when a junction k-gram actually
-    formed — zero passes beyond the first on real corpora, so the
-    fixpoint costs one cheap convergence probe); ``max_iters`` is a
-    divergence guard, not a tuning knob."""
+    text.
+
+    CONTRACT: the recut predicate must be DOC-STABLE — a document's
+    pass-(i+1) cuts may depend only on that document's current text
+    plus pass-invariant reference digests (benchmark set, intra-doc
+    repeats).  Both instantiations qualify; a cross-document dup
+    predicate would NOT (other docs' digests change as they are
+    cut).  Under that contract a document the previous pass did not
+    touch is text-identical to an input the predicate already
+    cleared, so each pass ≥2 recuts ONLY the documents the previous
+    pass cut (junction k-grams can only form at a cut) — the
+    convergence probe is touched-mass-sized, not corpus-sized, and
+    a duplicate-free corpus pays one near-empty job.  ``max_iters``
+    is a divergence guard, not a tuning knob."""
     cur = first.localCheckpoint(eager=True)
+    active = cur.filter(F.col("removed_tokens") > 0)
     for _ in range(max_iters):
-        nxt = recut(cur.select(
+        nxt = recut(active.select(
             F.col(id_col),
             F.col("text_clean").alias("text"))).localCheckpoint(
                 eager=True)
@@ -1303,20 +1313,26 @@ def _iterate_span_cut(first: DataFrame, recut, id_col: str,
         if extra == 0:
             return cur
         merged_removed = (F.col("a.removed_tokens")
-                          + F.col("b.removed_tokens"))
+                          + F.coalesce(F.col("b.removed_tokens"),
+                                       F.lit(0)))
         cur = (cur.alias("a")
                .join(nxt.alias("b"), F.col(f"a.{id_col}")
-                     == F.col(f"b.{id_col}"))
+                     == F.col(f"b.{id_col}"), "left")
                .select(F.col(f"a.{id_col}").alias(id_col),
                        F.col("a.n_tokens").alias("n_tokens"),
                        merged_removed.alias("removed_tokens"),
                        (F.col("a.kept_tokens")
-                        - F.col("b.removed_tokens"))
+                        - F.coalesce(F.col("b.removed_tokens"),
+                                     F.lit(0)))
                        .alias("kept_tokens"),
                        F.round(merged_removed / F.col("a.n_tokens"),
                                6).alias("dup_ratio"),
-                       F.col("b.text_clean").alias("text_clean"))
+                       F.coalesce(F.col("b.text_clean"),
+                                  F.col("a.text_clean"))
+                       .alias("text_clean"))
                .localCheckpoint(eager=True))
+        # only docs this pass cut can have formed a new junction
+        active = nxt.filter(F.col("removed_tokens") > 0)
     raise AssertionError(
         f"span cut did not reach a fixpoint in {max_iters} passes")
 
@@ -1336,7 +1352,9 @@ def remove_contaminated_spans_fixpoint(
     span> t5..t8`` where ``t1..t8`` is itself a benchmark 8-gram).
     On corpora where the single pass already converges (all real
     ones measured) the extra cost is one convergence probe over the
-    pass-1 output and the result is IDENTICAL to the single pass."""
+    pass-1 TOUCHED documents (uncut docs carry the zero-leak law by
+    construction — see :func:`_iterate_span_cut`'s contract) and the
+    result is IDENTICAL to the single pass."""
     test_digs = (_doc_kgrams(test, text_col, id_col, k)[1]
                  .select("dig").distinct().localCheckpoint(eager=True))
 
@@ -1365,7 +1383,9 @@ def remove_repeated_spans_fixpoint(
     pass keeps the first occurrence of every repeated k-gram of the
     CURRENT text; the fixpoint is the first text stable under that
     rule.  Identical to the single pass whenever pass 2 removes
-    nothing (all real corpora measured)."""
+    nothing (all real corpora measured); each probe pass recuts only
+    the documents the previous pass touched (uncut docs are
+    idempotent by construction — :func:`_iterate_span_cut`)."""
 
     def recut(frame: DataFrame) -> DataFrame:
         return remove_repeated_spans(frame, "text", id_col, k)

@@ -414,14 +414,21 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             f"{bad} row(s) break the decontamination accounting laws")
     # the zero-leak certificate is the fixpoint loop's EXIT CONDITION,
-    # executed in-query: the loop returns only after a full re-cut of
-    # the cleaned text against the benchmark digests removed ZERO
-    # positions — and a position is removed iff some k-gram of the
-    # cleaned text matches a benchmark digest, so "recut removes
-    # nothing" IS "no benchmark k-gram survives".  (Positions merge
-    # across a cut — kept prefix and suffix become adjacent — which
-    # is why the law needs the loop, not a single pass.)  No second
-    # re-shingle here: it would recompute the probe pass verbatim.
+    # executed in-query: the loop returns only after a re-cut of every
+    # CUT document's cleaned text against the benchmark digests
+    # removed ZERO positions — and a position is removed iff some
+    # k-gram of the cleaned text matches a benchmark digest, so
+    # "recut removes nothing" IS "no benchmark k-gram survives".  The
+    # probe covers the cut documents; the uncut ones carry the law BY
+    # CONSTRUCTION: pass 1's covered-position computation already
+    # evaluated every k-gram of their (unchanged) text against the
+    # same fixed digest set and found no match — re-shingling them
+    # would re-execute a check whose inputs are bit-identical.
+    # (Positions merge across a cut — kept prefix and suffix become
+    # adjacent — which is why the law needs the loop on cut docs, and
+    # why it needs nothing on uncut ones: junctions only form at
+    # cuts.)  No second re-shingle here: it would recompute the probe
+    # pass verbatim.
     return out
 
 
@@ -499,8 +506,12 @@ def repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{bad} row(s) break the repetition-removal accounting")
     # idempotence is the fixpoint loop's EXIT CONDITION, executed
     # in-query: the loop returns only after remove_repeated_spans on
-    # the output removed zero tokens — re-running the identical check
-    # here would recompute that probe pass verbatim.
+    # every CUT document's output removed zero tokens.  Uncut docs
+    # are idempotent by construction — their text is unchanged and
+    # the repeat predicate is doc-local, so pass 1 already evaluated
+    # exactly the k-grams a probe would re-evaluate (junction
+    # k-grams only form where a cut happened).  Re-running the
+    # identical check here would recompute that probe pass verbatim.
     return out
 
 

@@ -83,6 +83,44 @@ def test_repeated_fixpoint_reaches_idempotence(spark):
     assert stable["removed_tokens"] == 0
 
 
+def test_fixpoint_touched_only_probe_keeps_untouched_rows(spark):
+    """The convergence probe recuts only the documents the previous
+    pass touched (uncut docs are clean by construction — their text
+    is unchanged and the predicate is fixed).  Pin the merge path:
+    a junction-forming doc that needs TWO passes, mixed with clean
+    docs and a doc cut once in pass 1 only — every row must come out
+    exactly as the per-doc single-doc runs produce, and the clean
+    rows must be byte-identical to their pass-1 form."""
+    from legate_dataframe_spark.pipeline.dedup import (
+        remove_contaminated_spans_fixpoint,
+    )
+
+    t = [f"t{i}" for i in range(1, 9)]
+    s = [f"s{i}" for i in range(1, 9)]
+    clean1 = " ".join(f"a{i}" for i in range(1, 9))
+    clean2 = " ".join(f"b{i}" for i in range(1, 13))
+    once = " ".join(["z0"] + s + ["z1", "z2"])  # span cut, no junction
+    junction = " ".join(t[:4] + s + t[4:])      # needs pass 2
+    train = _docs(spark, [(1, clean1), (2, junction),
+                          (3, once), (4, clean2)])
+    test = _docs(spark, [(100, " ".join(s)), (101, " ".join(t))])
+
+    rows = {r["doc_id"]: r for r in
+            remove_contaminated_spans_fixpoint(train, test, k=8)
+            .collect()}
+    assert rows[1]["removed_tokens"] == 0
+    assert rows[1]["text_clean"] == clean1
+    assert rows[4]["removed_tokens"] == 0
+    assert rows[4]["text_clean"] == clean2
+    assert rows[3]["removed_tokens"] == 8
+    assert rows[3]["text_clean"] == "z0 z1 z2"
+    assert rows[2]["removed_tokens"] == 16
+    assert rows[2]["kept_tokens"] == 0
+    assert rows[2]["text_clean"] == ""
+    for r in rows.values():
+        assert r["removed_tokens"] + r["kept_tokens"] == r["n_tokens"]
+
+
 def test_fixpoint_equals_single_pass_on_convergent_corpus(spark):
     """When pass 1 converges (every real corpus measured — and the
     driver's documents table), the fixpoint IS the single pass; this
