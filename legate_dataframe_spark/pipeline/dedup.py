@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from legate_dataframe_spark.core.caching import tracked_persist
 from legate_dataframe_spark.core.partitioning import widen_partitions
@@ -482,29 +483,46 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """All-pairs Jaccard within blocking-key groups (exact, for small
-    blocks; use minhash_lsh_pairs when blocks are large)."""
-    # both sides of the self-join read this frame — persist so the
-    # shingle pass runs once (spill-capable at corpus scale).
-    base = tracked_persist(widen_partitions(docs).select(
+    """Exact Jaccard pairs within blocking-key groups via a shared-
+    shingle inverted index (r14; was an all-pairs block self-join over
+    full shingle arrays).  Any pair reaching a positive threshold
+    shares at least one shingle, so candidates come from an equi-join
+    of the (block, shingle-digest) postings table with itself:
+    |intersection| is the per-pair join-row count (postings are
+    distinct per doc by construction), |union| = |A|+|B|−|inter| from
+    the per-doc distinct-shingle counts.  Identical output — the same
+    rounded Jaccard over the same pair set — but the |block|² pair
+    matrix never forms and ``array_intersect`` never runs: the work is
+    proportional to shared-shingle co-occurrences, not to block size
+    squared, and the join key is an 8-byte xxhash64 digest (the span
+    family's internal equality proxy) rather than the shingle string."""
+    # both self-join sides read the postings — persist so the shingle
+    # front (split + zip_with + distinct + explode) runs once.
+    posts = tracked_persist(widen_partitions(docs).select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        F.explode(F.array_distinct(F.transform(
+            word_shingles(F.col(text_col), shingle_k),
+            lambda x: F.xxhash64(x)))).alias("s"),
     ))
-    l = base.alias("l")
-    r = base.alias("r")
-    cond = (F.col("l.id") < F.col("r.id"))
+    sizes = posts.groupBy("id").agg(F.count(F.lit(1)).alias("nsh"))
+    l = posts.alias("l")
+    r = posts.alias("r")
+    cond = (F.col("l.id") < F.col("r.id")) & (F.col("l.s") == F.col("r.s"))
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh"))).cast("double")
-    union = (F.size("l.sh") + F.size("r.sh")).cast("double") - inter
-    jac = F.when(union > 0, F.round(inter / union, 6))  # ANSI-safe 0/0
-    return (
-        l.join(r, cond)
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "jaccard")
-    )
+    inter_pairs = (l.join(r, cond)
+                   .groupBy(F.col("l.id").alias("id_a"),
+                            F.col("r.id").alias("id_b"))
+                   .agg(F.count(F.lit(1)).cast("double").alias("inter")))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("nsh").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("nsh").alias("nb"))
+    union = (F.col("na") + F.col("nb")).cast("double") - F.col("inter")
+    jac = F.when(union > 0, F.round(F.col("inter") / union, 6))  # ANSI-safe
+    return (inter_pairs.join(na, "id_a").join(nb, "id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
 
 
 def simhash_pairs(
@@ -944,6 +962,136 @@ def substring_dup_spans(
     return _span_coverage(base, kg, dup, id_col, k)
 
 
+_ROLL_B = 0x9E3779B97F4A7C15  # odd ⇒ multiplication is a bijection mod 2^64
+
+
+def _make_roller(k: int, id_name: str, extract):
+    """Shared mapInArrow kernel core: per-document k-window rolling
+    polynomial digests — O(n) per doc, vectorized numpy uint64.
+
+    H(i) = Σ_{j=0..k-1} h[i+j]·B^j  (mod 2^64), computed for every i
+    from one wraparound prefix sum: with P(g) = Σ_{g'<g} h[g']·B^{pos(g')}
+    (positions doc-local), H(i) = (P(i+k) − P(i))·B^{−i} — B is odd so
+    its inverse mod 2^64 exists (Newton iteration).  Identical windows
+    get identical digests; distinct windows collide with probability
+    ~2^-64 (element hashes are 64-bit mixed values, and any
+    single-element difference is a nonzero value times an odd power —
+    a bijection).  ``extract(batch) -> (vals_uint64, offs_int64)``
+    supplies the flattened per-doc element-hash stream."""
+    import numpy as np
+
+    _err = np.seterr(over="ignore")  # wraparound is the algebra here
+    try:
+        B = np.uint64(_ROLL_B)
+        binv = np.uint64(1)
+        for _ in range(6):  # Newton: x ← x(2 − Bx) doubles correct bits
+            binv = binv * (np.uint64(2) - B * binv)
+    finally:
+        np.seterr(**_err)
+    pows = {"b": np.array([1], dtype=np.uint64),
+            "i": np.array([1], dtype=np.uint64)}
+
+    def _upto(n: int):
+        if len(pows["b"]) <= n:
+            old = len(pows["b"])
+            nb = np.empty(n + 1, dtype=np.uint64)
+            ni = np.empty(n + 1, dtype=np.uint64)
+            nb[:old], ni[:old] = pows["b"], pows["i"]
+            for j in range(old, n + 1):
+                nb[j] = nb[j - 1] * B
+                ni[j] = ni[j - 1] * binv
+            pows["b"], pows["i"] = nb, ni
+        return pows["b"], pows["i"]
+
+    def roll(batches):
+        import pyarrow as pa
+        old = np.seterr(over="ignore")  # wraparound is the algebra here
+        try:
+            for b in batches:
+                ids = b.column(b.schema.get_field_index(id_name))
+                vals, offs = extract(b, np, pa)
+                n = np.diff(offs)
+                m = np.maximum(n - (k - 1), 0)
+                total_w = int(m.sum())
+                if total_w == 0:
+                    out = pa.ListArray.from_arrays(
+                        np.zeros(len(n) + 1, dtype=np.int32),
+                        pa.array([], type=pa.int64()))
+                    yield pa.RecordBatch.from_arrays(
+                        [ids, out], [id_name, "__digs"])
+                    continue
+                bp, bi = _upto(int(n.max()))
+                p = (np.arange(len(vals), dtype=np.int64)
+                     - np.repeat(offs[:-1], n))
+                s0 = np.empty(len(vals) + 1, dtype=np.uint64)
+                s0[0] = 0
+                np.cumsum(vals * bp[p], out=s0[1:])
+                doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), m)
+                mstart = np.concatenate(([0], np.cumsum(m)))[:-1]
+                s_local = (np.arange(total_w, dtype=np.int64)
+                           - mstart[doc_idx])
+                g0 = offs[:-1][doc_idx] + s_local
+                w = (s0[g0 + k] - s0[g0]) * bi[s_local]
+                out = pa.ListArray.from_arrays(
+                    pa.array(np.concatenate(([0], np.cumsum(m)))
+                             .astype(np.int32), type=pa.int32()),
+                    pa.array(w.view(np.int64), type=pa.int64()))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, out], [id_name, "__digs"])
+        finally:
+            np.seterr(**old)
+
+    return roll
+
+
+def _rolling_digest_fn(k: int, id_name: str):
+    """Roller over a pre-hashed token column ``__h`` (array<bigint>,
+    one xxhash64 long per token — the JVM does that single O(n)
+    string pass; the window digests are then O(n) here instead of the
+    O(k·n) per-position slice hashing of the r13 form)."""
+
+    def extract(b, np, pa):
+        lst = b.column(b.schema.get_field_index("__h"))
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offs = lst.offsets.to_numpy().astype(np.int64)
+        vals = lst.values.to_numpy().view(np.uint64)
+        if offs[0] != 0 or offs[-1] != len(vals):
+            vals = vals[offs[0]:offs[-1]]  # sliced list array
+            offs = offs - offs[0]
+        return vals, offs
+
+    return _make_roller(k, id_name, extract)
+
+
+def _rolling_char_digest_fn(k: int, id_name: str):
+    """Roller over the raw text column ``__t``: decode each document
+    to codepoints (utf-32, one C-speed pass per row), mix every
+    codepoint through the splitmix64 finalizer for 64-bit dispersion,
+    then the shared O(n) rolling window.  Replaces the r13 char front
+    (split('') to a per-char string array + xxhash64 over a k-char
+    slice per position — O(k·n) with n = characters, the span
+    family's most expensive digest build)."""
+
+    def extract(b, np, pa):
+        col = b.column(b.schema.get_field_index("__t"))
+        txts = col.to_pylist()
+        arrs = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+                if s else np.empty(0, dtype=np.uint32) for s in txts]
+        n = np.array([len(a) for a in arrs], dtype=np.int64)
+        offs = np.concatenate(([0], np.cumsum(n)))
+        vals = (np.concatenate(arrs) if len(arrs)
+                else np.empty(0, dtype=np.uint32)).astype(np.uint64)
+        # splitmix64 finalizer — codepoints are tiny ints, windows
+        # need full-width element entropy for the 2^-64 collision bound
+        z = vals + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31)), offs
+
+    return _make_roller(k, id_name, extract)
+
+
 def _doc_kgrams(docs, text_col: str, id_col: str, k: int):
     """(per-doc sizes frame, positional k-gram digest stream) — the
     shared front of the substring-span family.
@@ -951,14 +1099,16 @@ def _doc_kgrams(docs, text_col: str, id_col: str, k: int):
     Two builders by k: small k keeps the ``word_shingles`` zip_with
     chain + md5 (the measured-stable path every k=8 entry froze its
     numbers on); large k (>12 — Lee et al.'s 50-BPE-token band)
-    switches to hashing k-length SLICES of the token array inside a
-    per-position transform, because the zip_with chain does O(k)
-    array passes each concatenating strings that grow to k words —
-    O(k²·n) character work per doc and a k-deep expression tree —
-    while the slice hash is O(k·n) with no shingle strings built at
-    all (xxhash64 over an array<string> slice discriminates exactly
-    like md5 over the joined string; digests are internal equality
-    proxies on both sides of every oracle)."""
+    hashes each token ONCE in the JVM (one O(n) xxhash64 pass) and
+    rolls an O(n) polynomial window digest over the longs in
+    vectorized numpy via mapInArrow (guide §4.2) — r13's slice-hash
+    form did O(k·n) string hashing per doc (xxhash64 over a k-token
+    slice per position), the dominant stage of the k=50 BPE cut.
+    Digests are internal equality proxies on both sides of every
+    oracle, so the digest FUNCTION is free to differ between the two
+    builders (and from DuckDB's md5) as long as it is deterministic
+    and collision-free at corpus scale — both hold (see
+    ``_rolling_digest_fn``)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col),
                        F.size(toks).cast("long").alias("n_tokens"),
@@ -971,13 +1121,15 @@ def _doc_kgrams(docs, text_col: str, id_col: str, k: int):
               .select(id_col, (F.col("off") + 1).alias("pos"),
                       F.md5("s").alias("dig")))
         return base, kg
-    digs = F.when(
-        F.size("__ts") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__ts") - F.lit(k - 1)),
-            lambda i: F.xxhash64(F.slice(F.col("__ts"), i, k)))
-    ).otherwise(F.array().cast("array<bigint>"))
-    kg = (base.select(id_col, F.posexplode(digs).alias("off", "dig"))
+    hashed = docs.select(F.col(id_col),
+                         F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"))
+    id_field = hashed.schema[id_col]
+    out_type = T.StructType([
+        id_field,
+        T.StructField("__digs", T.ArrayType(T.LongType(), False), True),
+    ])
+    digs = hashed.mapInArrow(_rolling_digest_fn(k, id_field.name), out_type)
+    kg = (digs.select(id_col, F.posexplode("__digs").alias("off", "dig"))
           .select(id_col, (F.col("off") + 1).alias("pos"), "dig"))
     return base, kg
 
@@ -1800,29 +1952,25 @@ def remove_dup_spans_chars(
     records the measured gap).  Characters never shuffle."""
     base = docs.select(F.col(id_col), F.col(text_col).alias("__t"),
                        F.length(F.col(text_col)).alias("__n"))
-    # xxhash64, not md5: the digest is an internal equality proxy
-    # (each side of the oracle comparison hashes independently), and
-    # for 20-char shingles an md5 hex digest is LONGER than the
-    # shingle — xxhash64 keeps the one corpus-sized exchange at 8
-    # bytes/row and skips the cryptographic hash (measured 1.8x
-    # end-to-end at sf0.1).
-    #
-    # The digest is computed over a SLICE OF THE CHAR ARRAY, not
-    # substring(__t, pos, k): UTF8String.substring scans from the
-    # string head to find the codepoint offset, so per-position
-    # substrings are O(doc_len) EACH — quadratic per document, and
-    # the real reason the r12 form choked on multi-MB docs (measured
-    # 4x20 kB in 1.0 s but 4x40 kB in 3.4 s; the char-array slice
-    # form is flat-linear: 4x1 MB in 2.6 s).  split-once is O(n),
-    # each slice is O(k), and hashing an array<string> of k chars
-    # discriminates exactly like hashing the k-char substring.
-    digs = F.transform(
-        F.sequence(F.lit(1), F.col("__n") - F.lit(k - 1)),
-        lambda i: F.xxhash64(F.slice(F.col("__cs"), i, k)))
-    kg = (base.filter(F.col("__n") >= k)
-          # split ONCE per doc, outside the per-position lambda
-          .withColumn("__cs", F.split("__t", ""))
-          .select(id_col, F.posexplode(digs).alias("off", "dig"))
+    # The digest is an internal equality proxy (each side of the
+    # oracle comparison hashes independently), so the FUNCTION is free
+    # to change as long as it is deterministic and collision-free at
+    # corpus scale.  r14: the per-position slice hashing (split('') to
+    # a per-char string array + xxhash64 over a k-char slice per
+    # position — O(k·n) with n = CHARACTERS, the span family's most
+    # expensive digest build) is replaced by an O(n) rolling
+    # polynomial window over splitmix64-mixed codepoints in vectorized
+    # numpy via mapInArrow (guide §4.2) — see _rolling_char_digest_fn.
+    # The per-char string array is never built at all.
+    id_field = base.schema[id_col]
+    out_type = T.StructType([
+        id_field,
+        T.StructField("__digs", T.ArrayType(T.LongType(), False), True),
+    ])
+    digs = (base.filter(F.col("__n") >= k).select(id_col, "__t")
+            .mapInArrow(_rolling_char_digest_fn(k, id_field.name),
+                        out_type))
+    kg = (digs.select(id_col, F.posexplode("__digs").alias("off", "dig"))
           .select(id_col, (F.col("off") + 1).alias("pos"), "dig"))
     # kg feeds TWO branches (the dup-digest aggregate and the covered
     # semi-join) and Spark has no cross-branch CSE — without a

@@ -3,7 +3,7 @@
 
 Times named registry queries with the noop sink (best-of-N, labelled
 jobs) and optionally dumps `.explain("formatted")` to
-plans/r13/<query>_<tag>.txt for the before/after evidence.
+plans/<round>/<query>_<tag>.txt for the before/after evidence.
 
 Usage:
     python scripts/opt_measure.py [--sf DIR] [--runs N] [--plans TAG] q1 q2 ...
@@ -37,7 +37,9 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans", default=None,
-                    help="dump explain(formatted) to plans/r13/<q>_<TAG>.txt")
+                    help="dump explain(formatted) to plans/<round>/<q>_<TAG>.txt")
+    ap.add_argument("--round", default="r14",
+                    help="plans subdirectory (default r14)")
     ap.add_argument("--no-time", action="store_true",
                     help="plan dump only, skip timing")
     args = ap.parse_args()
@@ -45,7 +47,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_session(app_name="opt-measure", master=f"local[{cpus}]")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r13")
+    plans_dir = os.path.join(here, "plans", args.round)
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, float] = {}
@@ -65,7 +67,7 @@ def main() -> None:
             continue
         best = float("inf")
         for i in range(args.runs):
-            spark.sparkContext.setJobDescription(f"opt13:{name}#{i}")
+            spark.sparkContext.setJobDescription(f"opt:{name}#{i}")
             t0 = time.perf_counter()
             fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
