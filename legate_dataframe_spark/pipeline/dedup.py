@@ -1092,45 +1092,51 @@ def _rolling_char_digest_fn(k: int, id_name: str):
     return _make_roller(k, id_name, extract)
 
 
-def _doc_kgrams(docs, text_col: str, id_col: str, k: int):
-    """(per-doc sizes frame, positional k-gram digest stream) — the
-    shared front of the substring-span family.
-
-    Two builders by k: small k keeps the ``word_shingles`` zip_with
-    chain + md5 (the measured-stable path every k=8 entry froze its
-    numbers on); large k (>12 — Lee et al.'s 50-BPE-token band)
-    hashes each token ONCE in the JVM (one O(n) xxhash64 pass) and
-    rolls an O(n) polynomial window digest over the longs in
-    vectorized numpy via mapInArrow (guide §4.2) — r13's slice-hash
-    form did O(k·n) string hashing per doc (xxhash64 over a k-token
-    slice per position), the dominant stage of the k=50 BPE cut.
-    Digests are internal equality proxies on both sides of every
-    oracle, so the digest FUNCTION is free to differ between the two
-    builders (and from DuckDB's md5) as long as it is deterministic
-    and collision-free at corpus scale — both hold (see
-    ``_rolling_digest_fn``)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = docs.select(F.col(id_col),
-                       F.size(toks).cast("long").alias("n_tokens"),
-                       toks.alias("__ts"))
-    if k <= 12:
-        kg = (base.select(
-                  id_col,
-                  F.posexplode(word_shingles_of(F.col("__ts"), k))
-                  .alias("off", "s"))
-              .select(id_col, (F.col("off") + 1).alias("pos"),
-                      F.md5("s").alias("dig")))
-        return base, kg
-    hashed = docs.select(F.col(id_col),
-                         F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"))
+def _rolled_kgrams(hashed, id_col: str, k: int):
+    """(id, pos, dig) positional window-digest stream from an
+    (id, __h array<bigint>) element-hash frame via the rolling
+    kernel; pos is 1-based, docs shorter than k emit nothing."""
     id_field = hashed.schema[id_col]
     out_type = T.StructType([
         id_field,
         T.StructField("__digs", T.ArrayType(T.LongType(), False), True),
     ])
-    digs = hashed.mapInArrow(_rolling_digest_fn(k, id_field.name), out_type)
-    kg = (digs.select(id_col, F.posexplode("__digs").alias("off", "dig"))
-          .select(id_col, (F.col("off") + 1).alias("pos"), "dig"))
+    digs = hashed.mapInArrow(_rolling_digest_fn(k, id_field.name),
+                             out_type)
+    return (digs.select(id_col, F.posexplode("__digs")
+                        .alias("off", "dig"))
+            .select(id_col, (F.col("off") + 1).alias("pos"), "dig"))
+
+
+def _doc_kgrams(docs, text_col: str, id_col: str, k: int):
+    """(per-doc sizes frame, positional k-gram digest stream) — the
+    shared front of the substring-span family.
+
+    r14: ONE builder for every k — hash each token once in the JVM
+    (a single O(n) xxhash64 pass over the split) and roll an O(n)
+    polynomial window digest over the longs in vectorized numpy via
+    mapInArrow (guide §4.2).  Replaces two r13 builders: the
+    zip_with shingle chain + md5 (k≤12 — O(k²·n) character work per
+    doc, and a 32-char string digest riding the one corpus-sized
+    exchange) and the per-position k-token slice xxhash64 (k>12 —
+    O(k·n) string hashing, the dominant stage of the k=50 BPE cut).
+    Measured fronts at sf0.1: k=8 0.58 s vs 1.40 s md5, k=50 0.88 s
+    vs 3.56 s slices, identical duplicated-digest classes both
+    times; the 8-byte long digest also shrinks every downstream
+    dig-keyed exchange and persisted index row.  Digests are
+    internal equality proxies on both sides of every oracle, so the
+    digest FUNCTION is free to differ from DuckDB's md5 as long as
+    it is deterministic and collision-free at corpus scale — both
+    hold (see ``_rolling_digest_fn``)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col),
+                       F.size(toks).cast("long").alias("n_tokens"),
+                       toks.alias("__ts"))
+    kg = _rolled_kgrams(
+        docs.select(F.col(id_col),
+                    F.transform(toks, lambda t: F.xxhash64(t))
+                    .alias("__h")),
+        id_col, k)
     return base, kg
 
 
@@ -1277,33 +1283,13 @@ def remove_dup_spans_raw(
     left separator when its left neighbor was also kept, else to one
     space.  Tokens never shuffle (same plan shape as
     :func:`remove_dup_spans`)."""
-    # strip ALL leading/trailing whitespace, not trim()'s ASCII
-    # spaces only (ADVICE r11 medium: '\tfoo bar' under trim() keeps
-    # the tab, producing a LEADING sp entry that shifts every
-    # separator index by one — kept runs would rebuild with the
-    # wrong whitespace bytes, silently, since the oracle shared the
-    # same misalignment); after the \s-strip, separators sit exactly
-    # BETWEEN tokens: sp[i] separates token i from token i+1
-    stripped = (f"regexp_replace({text_col}, "
-                f"'^\\\\s+|\\\\s+$', '')")
-    base = docs.select(
-        F.col(id_col),
-        F.expr(f"regexp_extract_all({stripped}, '\\\\S+', 0)")
-        .alias("tr"),
-        F.expr(f"regexp_extract_all({stripped}, '\\\\s+', 0)")
-        .alias("sp"))
+    # tokenize + digest through _raw_kgrams (the \s-strip semantics
+    # and the rolling digest front are defined ONCE there)
+    base, kg = _raw_kgrams(docs, text_col, id_col, k)
     n = F.size("tr")
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))) \
-        .otherwise(F.array().cast("array<int>"))
-    kg = (base.select(id_col, F.explode(starts).alias("pos"),
-                      F.col("tr"))
-          .select(id_col, "pos",
-                  F.md5(F.lower(F.array_join(
-                      F.slice("tr", F.col("pos"), k), " ")))
-                  .alias("dig")))
     # kg feeds both the dup-digest aggregate and the covered
     # semi-join; no cross-branch CSE, so without this the digest
-    # build (regexp tokenize + per-position slice/md5) runs twice.
+    # build (regexp tokenize + rolling window digests) runs twice.
     # Same write-once/read-twice trade as remove_dup_spans.
     kg = kg.localCheckpoint(eager=True)
     dup = (kg.groupBy("dig")
@@ -1786,7 +1772,13 @@ def _raw_kgrams(docs, text_col: str, id_col: str, k: int):
     rewrite byte-faithful.  Both sides of a raw cut (train and
     benchmark) must shingle through THIS construction: the
     normalized family's ``trim()`` is ASCII-space-only, so its token
-    positions can shift by one on leading-tab documents."""
+    positions can shift by one on leading-tab documents.
+
+    r14: digests via the rolling kernel over xxhash64(lower(token))
+    longs — tokens are ``\\S+`` runs (never contain whitespace), so
+    per-token lowercased equality is exactly the old
+    md5(lower(array_join(slice))) equality class, without the O(k·n)
+    per-position string build + md5."""
     stripped = (f"regexp_replace({text_col}, "
                 f"'^\\\\s+|\\\\s+$', '')")
     base = docs.select(
@@ -1795,15 +1787,12 @@ def _raw_kgrams(docs, text_col: str, id_col: str, k: int):
         .alias("tr"),
         F.expr(f"regexp_extract_all({stripped}, '\\\\s+', 0)")
         .alias("sp"))
-    n = F.size("tr")
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))) \
-        .otherwise(F.array().cast("array<int>"))
-    kg = (base.select(id_col, F.explode(starts).alias("pos"),
-                      F.col("tr"))
-          .select(id_col, "pos",
-                  F.md5(F.lower(F.array_join(
-                      F.slice("tr", F.col("pos"), k), " ")))
-                  .alias("dig")))
+    kg = _rolled_kgrams(
+        base.select(F.col(id_col),
+                    F.transform("tr",
+                                lambda t: F.xxhash64(F.lower(t)))
+                    .alias("__h")),
+        id_col, k)
     return base, kg
 
 

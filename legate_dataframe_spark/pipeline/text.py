@@ -332,18 +332,25 @@ def duplicated_ngrams(
     / template / mirrored content even when the full text isn't an
     exact duplicate.
 
-    Shape at scale: explode per-doc DISTINCT n-grams (dedup before the
+    Shape at scale: per-doc DISTINCT n-gram digests (dedup before the
     shuffle so a doc repeating one phrase contributes one row), count
-    distinct docs per n-gram keyed by the n-gram digest (uniform md5
-    key, no hot shingles), join back, per-doc re-aggregate.  Two
-    shuffles total, both on uniform keys; nothing all-pairs.
-    """
-    from legate_dataframe_spark.pipeline.dedup import word_shingles
+    distinct docs per n-gram keyed by the digest (uniform 8-byte key,
+    no hot shingles), join back, per-doc re-aggregate.  Two shuffles
+    total, both on uniform keys; nothing all-pairs.
 
-    sh = (docs.select(F.col(id_col),
-                      F.explode(F.array_distinct(
-                          word_shingles(F.col(text_col), n))).alias("g"))
-          .select(id_col, F.md5(F.col("g")).alias("gd")))
+    r14: digests come from the span family's shared rolling front
+    (``_doc_kgrams`` — O(n) numpy window hashing over one JVM
+    xxhash64 pass, instead of the zip_with n-gram strings + md5 the
+    r13 form built), and the distinct digest stream is materialized
+    ONCE: it feeds both the per-digest doc count and the join back,
+    and Spark has no cross-branch CSE, so the un-materialized form
+    re-ran the whole front per branch.
+    """
+    from legate_dataframe_spark.pipeline.dedup import _doc_kgrams
+
+    _, kg = _doc_kgrams(docs, text_col, id_col, n)
+    sh = (kg.select(id_col, F.col("dig").alias("gd")).distinct()
+          .localCheckpoint(eager=True))
     counts = sh.groupBy("gd").agg(F.count(F.lit(1)).alias("ndocs"))
     return (sh.join(counts, "gd")
             .groupBy(id_col)
